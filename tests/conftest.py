@@ -1,0 +1,19 @@
+"""Test config: force an 8-virtual-device CPU mesh so sharding/collective
+logic is exercised without TPU hardware (the JAX equivalent of a fake
+distributed backend — see SURVEY.md §4 item 6)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,126 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cookietts_tpu.audio import STFT, TacotronSTFT, mel_filterbank
+from cookietts_tpu.audio.dsp import (
+    measure_loudness_lufs,
+    normalize_loudness,
+    resample,
+    trim_silence_multipass,
+)
+
+# Small configs keep single-core CPU test time sane; semantics are identical
+# to the production 2048/512 config (covered by the TPU bench path).
+FL, HOP = 256, 64
+
+
+@pytest.fixture(scope="module")
+def stft():
+    return STFT(filter_length=FL, hop_length=HOP, win_length=FL)
+
+
+def test_stft_forward_matches_numpy_rfft(stft, rng=None):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 2048)) * 0.1).astype(np.float32)
+    mag, phase = stft.transform(jnp.asarray(audio))
+
+    from scipy.signal import get_window
+
+    pad = FL // 2
+    x = np.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    win = get_window("hann", FL, fftbins=True)
+    n_frames = (x.shape[1] - FL) // HOP + 1
+    ref = np.stack(
+        [np.abs(np.fft.rfft(x[:, t * HOP : t * HOP + FL] * win, axis=1))
+         for t in range(n_frames)],
+        axis=1,
+    )
+    assert mag.shape == (2, n_frames, FL // 2 + 1)
+    np.testing.assert_allclose(np.asarray(mag), ref, atol=2e-3)
+
+
+def test_stft_roundtrip(stft):
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal((1, 2048)) * 0.5).astype(np.float32)
+    rec = np.asarray(stft(jnp.asarray(audio)))
+    assert rec.shape == audio.shape
+    # interior (away from edge padding effects) reconstructs accurately
+    np.testing.assert_allclose(rec[:, FL:-FL], audio[:, FL:-FL], atol=5e-3)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every filter has support, band edges respected
+    assert (fb.sum(axis=1) > 0).all()
+    freqs = np.linspace(0, 11025, 513)
+    assert fb[:, freqs > 8100].sum() == 0.0
+
+
+def test_mel_spectrogram_range_and_silence():
+    ts = TacotronSTFT(FL, HOP, FL, n_mel_channels=20, sampling_rate=22050,
+                      mel_fmin=0.0, mel_fmax=8000.0)
+    silence = jnp.zeros((1, 1024))
+    mel = ts.mel_spectrogram(silence)
+    # ln(1e-5) = -11.5129... — the reference's "silence_value"
+    np.testing.assert_allclose(np.asarray(mel), np.log(1e-5), atol=1e-4)
+
+    rng = np.random.default_rng(2)
+    audio = jnp.asarray((rng.standard_normal((1, 1024)) * 0.3).astype(np.float32))
+    mel = ts.mel_spectrogram(audio)
+    assert np.asarray(mel).min() >= np.log(1e-5) - 1e-4
+
+
+def test_griffin_lim_reduces_error():
+    ts = TacotronSTFT(FL, HOP, FL, n_mel_channels=20, sampling_rate=22050)
+    t = np.arange(4096) / 22050.0
+    audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    mag, _ = ts.stft.transform(jnp.asarray(audio))
+    rel = []
+    for iters in (1, 8):
+        rec = np.asarray(ts.griffin_lim(mag, n_iters=iters))
+        mag2, _ = ts.stft.transform(jnp.asarray(rec))
+        rel.append(
+            np.linalg.norm(np.asarray(mag2) - np.asarray(mag))
+            / np.linalg.norm(np.asarray(mag))
+        )
+    assert rel[1] < 0.25  # spectral convergence for a pure tone
+    assert rel[1] < rel[0]  # iterating improves the estimate
+
+
+def test_resample_preserves_tone():
+    t = np.arange(22050) / 22050.0
+    audio = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample(audio, 22050, 44100)
+    assert abs(len(out) - 44100) <= 2
+    # dominant bin still 440 Hz
+    spec = np.abs(np.fft.rfft(out))
+    peak_hz = np.argmax(spec) * 44100 / len(out)
+    assert abs(peak_hz - 440) < 2
+
+
+def test_trim_silence():
+    sr = 22050
+    sig = np.concatenate([
+        np.zeros(sr // 2, dtype=np.float32),
+        (0.5 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32),
+        np.zeros(sr // 2, dtype=np.float32),
+    ])
+    out = trim_silence_multipass(sig, sr)
+    assert len(out) < len(sig)
+    assert len(out) >= sr * 0.9  # kept the tone
+    assert np.abs(out).max() > 0.4
+
+
+def test_bs1770_loudness_normalize():
+    sr = 48000
+    t = np.arange(sr * 2) / sr
+    audio = (0.1 * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    lufs = measure_loudness_lufs(audio, sr)
+    # BS.1770: a full-scale 997 Hz sine reads -3.01 LKFS, so a -20 dBFS one
+    # reads -23.01 (the -0.691 offset cancels the K-weighting gain at 1 kHz).
+    assert abs(lufs - (-23.01)) < 0.2
+    out = normalize_loudness(audio, sr, target_lufs=-27.0)
+    assert abs(measure_loudness_lufs(out, sr) - (-27.0)) < 0.5

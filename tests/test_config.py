@@ -1,0 +1,37 @@
+from cookietts_tpu.config import HParams, parse_override_string
+
+import pytest
+
+
+def test_parse_override_scalars():
+    d = parse_override_string("a=1,b=2.5,c=hello,d=true,e=false,f=none")
+    assert d == {"a": 1, "b": 2.5, "c": "hello", "d": True, "e": False, "f": None}
+
+
+def test_parse_override_lists_and_quotes():
+    d = parse_override_string("xs=[1,2,3],ys=[a,b],s='q,q',t=3.5e-4")
+    assert d["xs"] == [1, 2, 3]
+    assert d["ys"] == ["a", "b"]
+    assert d["s"] == "q,q"
+    assert d["t"] == 3.5e-4
+
+
+def test_hparams_roundtrip_and_types():
+    hp = HParams(lr=1e-3, steps=100, name="taco", dims=[1, 2], flag=False)
+    hp.parse("lr=5e-4,steps=200,flag=true,dims=[3,4,5]")
+    assert hp.lr == 5e-4 and hp.steps == 200 and hp.flag is True
+    assert hp.dims == [3, 4, 5]
+    hp2 = HParams.from_json(hp.to_json())
+    assert hp2.values() == hp.values()
+
+
+def test_hparams_unknown_key_raises():
+    hp = HParams(a=1)
+    with pytest.raises(KeyError):
+        hp.parse("b=2")
+
+
+def test_hparams_type_mismatch_raises():
+    hp = HParams(a=1)
+    with pytest.raises(TypeError):
+        hp.set_hparam("a", "not_an_int")
