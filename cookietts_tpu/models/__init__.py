@@ -1,0 +1,10 @@
+"""Model zoo (flax.linen, scan-based AR decode, static shapes).
+
+- :mod:`tacotron2` — AR attention TTS (reference _2_ttm/tacotron2_tm).
+- :mod:`sylpsnet`  — syllables/sec VAE conditioning head.
+- :mod:`waveglow`  — unified WaveGlow/WaveFlow invertible flow vocoder
+                     (reference _4_mtw/waveglow).
+- :mod:`hifigan`   — HiFi-GAN generator + discriminators.
+"""
+from .sylpsnet import SylpsNet  # noqa: F401
+from .tacotron2 import Tacotron2, Tacotron2Config  # noqa: F401

@@ -1,0 +1,601 @@
+"""Tacotron2 — AR attention text-to-mel, TPU-first.
+
+Capability rebuild of CookieTTS/_2_ttm/tacotron2_tm/model.py (the flagship
+model served by _5_infer), redesigned around XLA's compilation model:
+
+- The decoder frame loop is a single ``lax.scan`` (via ``nn.scan``) over a
+  small carry struct — the reference's Python ``while`` loop
+  (model.py:829-844) becomes one compiled program; all per-utterance
+  projections (memory layer, attention memory processing) are hoisted out
+  of the loop and ride the scan as broadcast constants.
+- Per-step teacher-forcing randomness (model.py:830-833) is pre-drawn as a
+  [T] bernoulli mask in the scan xs.
+- Inference runs the same scanned cell for ``max_decoder_steps`` with a
+  carried ``finished`` mask; gate threshold + gate_delay produce output
+  lengths (model.py:879-908 semantics, static shapes).
+- Prenet dropout is ALWAYS on, including inference (reference model.py:190
+  intentionally sets training=True) — per-step rng keys ride the scan xs.
+- Layout is time-major: mels are [B, T, n_mel].
+
+Default dimensions mirror tacotron2_tm/hparams.py:160-279 (1280-d
+attention RNN, 768-d decoder RNN + 768-d second decoder RNN w/ residual,
+192-d attention, windowed range 16 w/ learned offset, 512-d memory
+bottleneck, speaker-embed 64 concat before encoder convs).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import ATTENTION_TYPES, AttentionState
+from ..ops.lstm import ZoneoutLSTMCell
+from ..ops.masking import dropout_frame, get_first_over_thresh, get_mask_from_lengths
+from .sylpsnet import SylpsNet
+
+
+@dataclasses.dataclass(frozen=True)
+class Tacotron2Config:
+    # symbols / speakers
+    n_symbols: int = 256
+    symbols_embedding_dim: int = 512
+    n_speakers: int = 512
+    speaker_embedding_dim: int = 256
+    # mel
+    n_mel_channels: int = 80
+    n_frames_per_step: int = 1
+    # encoder (hparams.py:175-181)
+    encoder_speaker_embed_dim: int = 64
+    encoder_concat_speaker_embed: str = "before_conv"  # or "before_lstm"
+    encoder_kernel_size: int = 5
+    encoder_n_convolutions: int = 3
+    encoder_conv_hidden_dim: int = 512
+    encoder_lstm_dim: int = 1024          # total (both directions)
+    encoder_conv_dropout: float = 0.5
+    # sylpsnet
+    sylpsnet_layer_dims: Tuple[int, ...] = (32, 32)
+    # torchmoji conditioning (hparams.py:189-192)
+    torchmoji_dim: int = 2304
+    torchmoji_crushed_dim: int = 32
+    torchmoji_batchnorm: bool = True
+    # memory bottleneck (hparams.py:199-203)
+    use_memory_bottleneck: bool = True
+    memory_bottleneck_dim: int = 512
+    memory_bottleneck_bias: bool = False
+    # prenet (hparams.py:213-219)
+    prenet_dim: int = 256
+    prenet_layers: int = 2
+    p_prenet_dropout: float = 0.5
+    # attention rnn (hparams.py:228-232)
+    attention_rnn_dim: int = 1280
+    p_attrnn_dropout: float = 0.10
+    attrnn_zoneout: float = 0.0           # dropout type 'dropout' by default
+    attrnn_extra_decoder_input: bool = True
+    # decoder rnn (hparams.py:234-241)
+    decoder_rnn_dim: int = 768
+    p_decrnn_dropout: float = 0.25
+    decrnn_zoneout: float = 0.0
+    decoder_residual_connection: bool = False
+    second_decoder_rnn_dim: int = 768     # 0 disables
+    second_decoder_residual_connection: bool = True
+    # attention (hparams.py:243-274)
+    attention_type: int = 0
+    attention_dim: int = 192
+    windowed_attention_range: int = 16
+    windowed_att_pos_offset: float = 1.25
+    windowed_att_pos_learned: bool = True
+    attention_learned_temperature: bool = False
+    attention_location_n_filters: int = 32
+    attention_location_kernel_size: int = 31
+    num_att_mixtures: int = 1
+    delta_offset: float = 0.005
+    delta_min_limit: float = 0.0
+    dynamic_filter_num: int = 128
+    dynamic_filter_len: int = 21
+    # postnet (hparams.py:276-281)
+    use_postnet: bool = True
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 6
+    postnet_residual_connections: int = 3
+    # inference (hparams.py:155-157)
+    gate_threshold: float = 0.5
+    gate_delay: int = 10
+    max_decoder_steps: int = 3000
+    # precision
+    dtype: Any = jnp.float32
+
+
+class Prenet(nn.Module):
+    """2x(Dense+ReLU+always-on dropout 0.5). Reference model.py:164-193."""
+    cfg: Tacotron2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        cfg = self.cfg
+        for i in range(cfg.prenet_layers):
+            x = nn.Dense(cfg.prenet_dim, dtype=cfg.dtype, name=f"fc{i}")(x)
+            x = nn.relu(x)
+            key, sub = jax.random.split(key)
+            keep = jax.random.bernoulli(sub, 1.0 - cfg.p_prenet_dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - cfg.p_prenet_dropout), 0.0)
+        return x
+
+
+class Postnet(nn.Module):
+    """Conv stack with residual blocks every N layers.
+
+    Reference model.py:196-228 (postnet_residual_connections=3).
+    """
+    cfg: Tacotron2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        n = cfg.postnet_n_convolutions
+        res_every = cfg.postnet_residual_connections
+        h = x
+        block_in = h
+        for i in range(n):
+            last = i == n - 1
+            out_ch = cfg.n_mel_channels if last else cfg.postnet_embedding_dim
+            h = nn.Conv(out_ch, (cfg.postnet_kernel_size,), padding="SAME",
+                        dtype=cfg.dtype, name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=deterministic,
+                             dtype=cfg.dtype, name=f"bn{i}")(h)
+            if not last:
+                h = jnp.tanh(h)
+                h = nn.Dropout(0.5, deterministic=deterministic)(h)
+            if res_every and (i + 1) % res_every == 0 and not last:
+                if block_in.shape[-1] == h.shape[-1]:
+                    h = h + block_in
+                block_in = h
+        return h
+
+
+class Encoder(nn.Module):
+    """Conv stack + BiLSTM encoder with speaker-embed concat and sylps head.
+
+    Reference model.py:231-316.
+    """
+    cfg: Tacotron2Config
+
+    @nn.compact
+    def __call__(self, embedded: jnp.ndarray, text_lengths: jnp.ndarray,
+                 encoder_speaker_embed: Optional[jnp.ndarray],
+                 deterministic: bool = True):
+        cfg = self.cfg
+        B, T, _ = embedded.shape
+        mask = get_mask_from_lengths(text_lengths, T)[:, :, None]
+
+        x = embedded
+        if (encoder_speaker_embed is not None
+                and cfg.encoder_concat_speaker_embed == "before_conv"):
+            spk = jnp.broadcast_to(
+                encoder_speaker_embed[:, None, :],
+                (B, T, cfg.encoder_speaker_embed_dim))
+            x = jnp.concatenate([x, spk], axis=-1)
+
+        for i in range(cfg.encoder_n_convolutions):
+            x = nn.Conv(cfg.encoder_conv_hidden_dim,
+                        (cfg.encoder_kernel_size,), padding="SAME",
+                        dtype=cfg.dtype, name=f"conv{i}")(x * mask)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             dtype=cfg.dtype, name=f"bn{i}")(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = nn.Dropout(cfg.encoder_conv_dropout,
+                           deterministic=deterministic)(x)
+
+        if (encoder_speaker_embed is not None
+                and cfg.encoder_concat_speaker_embed == "before_lstm"):
+            spk = jnp.broadcast_to(
+                encoder_speaker_embed[:, None, :],
+                (B, T, cfg.encoder_speaker_embed_dim))
+            x = jnp.concatenate([x, spk], axis=-1)
+        x = x * mask
+
+        half = cfg.encoder_lstm_dim // 2
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True,
+                     keep_order=True, name="lstm_bwd")
+        out_f = fwd(x, seq_lengths=text_lengths)
+        out_b = bwd(x, seq_lengths=text_lengths)
+        outputs = jnp.concatenate([out_f, out_b], axis=-1) * mask
+
+        # sylps head: predict syllables/sec from the mean-pooled states
+        # (reference sylps_layer uses the final hidden states)
+        denom = jnp.maximum(text_lengths[:, None].astype(outputs.dtype), 1.0)
+        pooled = jnp.sum(outputs, axis=1) / denom
+        pred_sylps = nn.Dense(1, dtype=cfg.dtype, name="sylps_layer")(pooled)
+        return outputs, pred_sylps[:, 0]
+
+
+class DecoderCarry(NamedTuple):
+    attn_cell: Tuple[jnp.ndarray, jnp.ndarray]
+    dec_cell: Tuple[jnp.ndarray, jnp.ndarray]
+    dec2_cell: Tuple[jnp.ndarray, jnp.ndarray]
+    attention: AttentionState
+    context: jnp.ndarray       # [B, mem_dim]
+    prev_output: jnp.ndarray   # [B, n_mel * r] last predicted frame
+    prev_teacher: jnp.ndarray  # [B, n_mel * r] last ground-truth frame
+                               # (feeds the first teacher-forced step of the
+                               # next TBPTT segment; reference collate passes
+                               # the prior segment's final frame,
+                               # data_utils.py:881-886)
+    finished: jnp.ndarray      # [B] bool (inference early-stop mask)
+
+
+class DecoderCell(nn.Module):
+    """One AR decode step. Reference Decoder.decode (model.py:668-767)."""
+    cfg: Tacotron2Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.prenet = Prenet(cfg, name="prenet")
+        self.attention_rnn = ZoneoutLSTMCell(
+            cfg.attention_rnn_dim, zoneout=cfg.attrnn_zoneout,
+            dropout=cfg.p_attrnn_dropout, dtype=cfg.dtype,
+            name="attention_rnn")
+        att_cls = ATTENTION_TYPES[cfg.attention_type]
+        if cfg.attention_type == 0:
+            self.attention = att_cls(
+                attention_dim=cfg.attention_dim,
+                location_n_filters=cfg.attention_location_n_filters,
+                location_kernel_size=cfg.attention_location_kernel_size,
+                windowed_attention_range=cfg.windowed_attention_range,
+                windowed_att_pos_learned=cfg.windowed_att_pos_learned,
+                windowed_att_pos_offset=cfg.windowed_att_pos_offset,
+                learn_temperature=cfg.attention_learned_temperature,
+                dtype=cfg.dtype, name="attention")
+        elif cfg.attention_type == 1:
+            self.attention = att_cls(
+                n_mixtures=cfg.num_att_mixtures,
+                attention_dim=cfg.attention_dim,
+                delta_min=cfg.delta_min_limit,
+                delta_offset=cfg.delta_offset,
+                dtype=cfg.dtype, name="attention")
+        else:
+            self.attention = att_cls(
+                attention_dim=cfg.attention_dim,
+                dynamic_channels=cfg.dynamic_filter_num,
+                dynamic_kernel_size=cfg.dynamic_filter_len,
+                dtype=cfg.dtype, name="attention")
+        self.decoder_rnn = ZoneoutLSTMCell(
+            cfg.decoder_rnn_dim, zoneout=cfg.decrnn_zoneout,
+            dropout=cfg.p_decrnn_dropout, dtype=cfg.dtype,
+            name="decoder_rnn")
+        if cfg.second_decoder_rnn_dim > 0:
+            self.second_decoder_rnn = ZoneoutLSTMCell(
+                cfg.second_decoder_rnn_dim, zoneout=cfg.decrnn_zoneout,
+                dropout=cfg.p_decrnn_dropout, dtype=cfg.dtype,
+                name="second_decoder_rnn")
+        out_dim = cfg.n_mel_channels * cfg.n_frames_per_step
+        self.linear_projection = nn.Dense(out_dim, dtype=cfg.dtype,
+                                          name="linear_projection")
+        self.gate_layer = nn.Dense(cfg.n_frames_per_step, dtype=cfg.dtype,
+                                   name="gate_layer")
+
+    def __call__(self, carry: DecoderCarry, x: Dict[str, jnp.ndarray],
+                 memory: jnp.ndarray, const: Dict[str, Any],
+                 deterministic: bool):
+        cfg = self.cfg
+        key = x["key"]
+        k_pre, k_attn, k_dec, k_dec2 = jax.random.split(key, 4)
+
+        # pick decoder input: ground-truth prev frame if teacher-forced
+        dec_input = jnp.where(x["tf"][:, None], x["teacher_frame"],
+                              carry.prev_output)
+        prenet_out = self.prenet(dec_input.astype(cfg.dtype), k_pre)
+
+        attn_in = [prenet_out, carry.context]
+        if cfg.attrnn_extra_decoder_input:
+            attn_in.append(carry.dec_cell[1].astype(cfg.dtype))
+        attn_cell, attn_h = self.attention_rnn(
+            carry.attn_cell, jnp.concatenate(attn_in, axis=-1),
+            key=k_attn, deterministic=deterministic)
+
+        context, weights, attn_state = self.attention(
+            attn_h, memory, const, carry.attention)
+
+        dec_in = jnp.concatenate([attn_h, context.astype(cfg.dtype)], axis=-1)
+        dec_cell, dec_h = self.decoder_rnn(
+            carry.dec_cell, dec_in, key=k_dec, deterministic=deterministic)
+        if cfg.decoder_residual_connection:
+            dec_h = dec_h + attn_h[..., : dec_h.shape[-1]]
+
+        if cfg.second_decoder_rnn_dim > 0:
+            dec2_cell, dec2_h = self.second_decoder_rnn(
+                carry.dec2_cell, dec_h, key=k_dec2,
+                deterministic=deterministic)
+            if cfg.second_decoder_residual_connection:
+                dec2_h = dec2_h + dec_h
+            final_h = dec2_h
+        else:
+            dec2_cell = carry.dec2_cell
+            final_h = dec_h
+
+        proj_in = jnp.concatenate([final_h, context.astype(cfg.dtype)], axis=-1)
+        mel_frame = self.linear_projection(proj_in)
+        gate = self.gate_layer(proj_in)[:, 0].astype(jnp.float32)
+
+        new_finished = carry.finished | (
+            jax.nn.sigmoid(gate) >= cfg.gate_threshold)
+        new_carry = DecoderCarry(
+            attn_cell=attn_cell, dec_cell=dec_cell, dec2_cell=dec2_cell,
+            attention=attn_state, context=context,
+            prev_output=mel_frame, prev_teacher=carry.prev_teacher,
+            finished=new_finished)
+        y = {"mel_frame": mel_frame, "gate": gate, "weights": weights}
+        return new_carry, y
+
+
+class Decoder(nn.Module):
+    """Scan-based AR decoder. Reference model.py:349-916."""
+    cfg: Tacotron2Config
+
+    def setup(self):
+        self.cell = DecoderCell(self.cfg, name="cell")
+
+    def _scan(self, carry, xs, memory, const, deterministic):
+        """Scan the (bound) cell over the time axis, sharing its params."""
+        scan_fn = nn.scan(
+            lambda cell, c, x: cell(c, x, memory, const, deterministic),
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0,
+        )
+        return scan_fn(self.cell, carry, xs)
+
+    def init_carry(self, batch: int, t_enc: int, memory_dim: int,
+                   dtype) -> DecoderCarry:
+        cfg = self.cfg
+        zeros2 = lambda d: (jnp.zeros((batch, d), jnp.float32),
+                            jnp.zeros((batch, d), jnp.float32))
+        return DecoderCarry(
+            attn_cell=zeros2(cfg.attention_rnn_dim),
+            dec_cell=zeros2(cfg.decoder_rnn_dim),
+            dec2_cell=zeros2(max(cfg.second_decoder_rnn_dim, 1)),
+            attention=self.cell.attention.init_state(batch, t_enc),
+            context=jnp.zeros((batch, memory_dim), dtype),
+            prev_output=jnp.zeros(
+                (batch, cfg.n_mel_channels * cfg.n_frames_per_step), dtype),
+            prev_teacher=jnp.zeros(
+                (batch, cfg.n_mel_channels * cfg.n_frames_per_step), dtype),
+            finished=jnp.zeros((batch,), bool),
+        )
+
+    def __call__(self, memory: jnp.ndarray, memory_lengths: jnp.ndarray,
+                 mels: jnp.ndarray, key: jax.Array,
+                 p_teacher_forcing: float | jnp.ndarray = 1.0,
+                 teacher_force_till: int | jnp.ndarray = 0,
+                 deterministic: bool = False,
+                 init_carry: Optional[DecoderCarry] = None):
+        """Teacher-forced decode over the full (padded) target length.
+
+        mels: [B, T_dec, n_mel] ground truth. Returns dict + final carry
+        (the carry feeds the next TBPTT segment, reference
+        initialize_decoder_states(preserve=...) model.py:507-608).
+        """
+        cfg = self.cfg
+        B, T_dec, _ = mels.shape
+        const = self.cell.attention.precompute(memory, memory_lengths)
+        if init_carry is None:
+            carry = self.init_carry(B, memory.shape[1], memory.shape[-1],
+                                    memory.dtype)
+        else:
+            carry = init_carry
+
+        # teacher frames: frame t-1 feeds step t; step 0 gets the GO frame
+        # (zeros on a fresh utterance, the prior segment's last gt frame on
+        # a TBPTT continuation)
+        go = carry.prev_teacher[:, None, :].astype(mels.dtype)
+        teacher = jnp.concatenate([go, mels[:, :-1, :]], axis=1)  # [B, T, M]
+
+        k_tf, k_steps = jax.random.split(key)
+        tf_draw = jax.random.uniform(k_tf, (T_dec,)) < p_teacher_forcing
+        step_ids = jnp.arange(T_dec)
+        tf = tf_draw | (step_ids < teacher_force_till)            # [T]
+        tf = jnp.broadcast_to(tf[:, None], (T_dec, B))
+        xs = {
+            "teacher_frame": jnp.swapaxes(teacher, 0, 1),          # [T, B, M]
+            "tf": tf,
+            "key": jax.random.split(k_steps, T_dec),
+        }
+        carry, ys = self._scan(carry, xs, memory, const, deterministic)
+        carry = carry._replace(prev_teacher=mels[:, -1, :])
+        out = {
+            "mel_outputs": jnp.swapaxes(ys["mel_frame"], 0, 1),    # [B, T, M]
+            "gate_outputs": jnp.swapaxes(ys["gate"], 0, 1),        # [B, T]
+            "alignments": jnp.swapaxes(ys["weights"], 0, 1),       # [B, T, T_enc]
+        }
+        return out, carry
+
+    def inference(self, memory: jnp.ndarray, memory_lengths: jnp.ndarray,
+                  key: jax.Array, max_decoder_steps: Optional[int] = None):
+        """Free-running decode with gate stopping (masked fixed-length scan).
+
+        Returns dict with mel_outputs [B, T_max, M], gate_outputs, alignments
+        and mel_lengths computed from the first gate crossing + gate_delay
+        (reference model.py:879-908).
+        """
+        cfg = self.cfg
+        T_max = max_decoder_steps or cfg.max_decoder_steps
+        B = memory.shape[0]
+        const = self.cell.attention.precompute(memory, memory_lengths)
+        carry = self.init_carry(B, memory.shape[1], memory.shape[-1],
+                                memory.dtype)
+        xs = {
+            "teacher_frame": jnp.zeros(
+                (T_max, B, cfg.n_mel_channels * cfg.n_frames_per_step),
+                memory.dtype),
+            "tf": jnp.zeros((T_max, B), bool),
+            "key": jax.random.split(key, T_max),
+        }
+        carry, ys = self._scan(carry, xs, memory, const, True)
+        gates = jnp.swapaxes(jax.nn.sigmoid(ys["gate"]), 0, 1)     # [B, T]
+        stop = get_first_over_thresh(gates, cfg.gate_threshold)
+        mel_lengths = jnp.minimum(stop + cfg.gate_delay, T_max)
+        return {
+            "mel_outputs": jnp.swapaxes(ys["mel_frame"], 0, 1),
+            "gate_outputs": jnp.swapaxes(ys["gate"], 0, 1),
+            "alignments": jnp.swapaxes(ys["weights"], 0, 1),
+            "mel_lengths": mel_lengths,
+        }
+
+
+class Tacotron2(nn.Module):
+    """Top-level model. Reference model.py:919-1080."""
+    cfg: Tacotron2Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.embedding = nn.Embed(cfg.n_symbols, cfg.symbols_embedding_dim,
+                                  dtype=cfg.dtype, name="embedding")
+        if cfg.encoder_speaker_embed_dim > 0:
+            self.encoder_speaker_embedding = nn.Embed(
+                cfg.n_speakers, cfg.encoder_speaker_embed_dim,
+                dtype=cfg.dtype, name="encoder_speaker_embedding")
+        self.encoder = Encoder(cfg, name="encoder")
+        self.speaker_embedding = nn.Embed(
+            cfg.n_speakers, cfg.speaker_embedding_dim, dtype=cfg.dtype,
+            name="speaker_embedding")
+        self.sylps_net = SylpsNet(cfg.sylpsnet_layer_dims, dtype=cfg.dtype,
+                                  name="sylps_net")
+        self.tm_linear = nn.Dense(cfg.torchmoji_crushed_dim, dtype=cfg.dtype,
+                                  name="tm_linear")
+        if cfg.torchmoji_batchnorm:
+            self.tm_bn = nn.BatchNorm(dtype=cfg.dtype, name="tm_bn")
+        if cfg.use_memory_bottleneck:
+            self.memory_bottleneck = nn.Dense(
+                cfg.memory_bottleneck_dim, use_bias=cfg.memory_bottleneck_bias,
+                dtype=cfg.dtype, name="memory_bottleneck")
+        self.decoder = Decoder(cfg, name="decoder")
+        if cfg.use_postnet:
+            self.postnet = Postnet(cfg, name="postnet")
+
+    def _build_memory(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
+                      speaker_id: jnp.ndarray, sylps: jnp.ndarray,
+                      torchmoji_hidden: Optional[jnp.ndarray],
+                      key: Optional[jax.Array], deterministic: bool):
+        cfg = self.cfg
+        B, T_txt = text.shape
+        embedded = self.embedding(text)
+        enc_spk = (self.encoder_speaker_embedding(speaker_id)
+                   if cfg.encoder_speaker_embed_dim > 0 else None)
+        encoder_outputs, pred_sylps = self.encoder(
+            embedded, text_lengths, enc_spk, deterministic=deterministic)
+
+        syl_key = None
+        if key is not None:
+            key, syl_key = jax.random.split(key)
+        syl_zu, syl_mu, syl_logvar = self.sylps_net(
+            sylps, key=syl_key, deterministic=deterministic)
+
+        spk = self.speaker_embedding(speaker_id)                   # [B, S]
+        if torchmoji_hidden is None:
+            torchmoji_hidden = jnp.zeros((B, cfg.torchmoji_dim), cfg.dtype)
+        tm = self.tm_linear(torchmoji_hidden)
+        if cfg.torchmoji_batchnorm:
+            tm = self.tm_bn(tm, use_running_average=deterministic)
+
+        parts = [
+            encoder_outputs,
+            jnp.broadcast_to(spk[:, None, :], (B, T_txt, spk.shape[-1])),
+            jnp.broadcast_to(syl_zu[:, None, :].astype(cfg.dtype),
+                             (B, T_txt, 1)),
+            jnp.broadcast_to(tm[:, None, :], (B, T_txt, tm.shape[-1])),
+        ]
+        memory = jnp.concatenate(parts, axis=-1)
+        if cfg.use_memory_bottleneck:
+            memory = self.memory_bottleneck(memory)
+        return memory, {"pred_sylps": pred_sylps, "syl_mu": syl_mu,
+                        "syl_logvar": syl_logvar}
+
+    def __call__(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
+                 mels: jnp.ndarray, mel_lengths: jnp.ndarray,
+                 speaker_id: jnp.ndarray, sylps: jnp.ndarray,
+                 torchmoji_hidden: Optional[jnp.ndarray] = None,
+                 key: Optional[jax.Array] = None,
+                 p_teacher_forcing: float | jnp.ndarray = 1.0,
+                 teacher_force_till: int | jnp.ndarray = 0,
+                 drop_frame_rate: float | jnp.ndarray = 0.0,
+                 global_mean: Optional[jnp.ndarray] = None,
+                 deterministic: bool = False,
+                 init_carry: Optional[DecoderCarry] = None):
+        """Teacher-forced forward. Returns output dict + final decoder carry."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, k_mem, k_dfr, k_dec = jax.random.split(key, 4)
+
+        memory, heads = self._build_memory(
+            text, text_lengths, speaker_id, sylps, torchmoji_hidden,
+            k_mem, deterministic)
+
+        dec_target = mels
+        if not deterministic and global_mean is not None:
+            # drop-frame-rate: replace input frames w/ global mean
+            # (reference model.py:979-985); loss targets stay untouched
+            dec_target = dropout_frame(mels, global_mean, mel_lengths,
+                                       drop_frame_rate, k_dfr)
+
+        dec_out, carry = self.decoder(
+            memory, text_lengths, dec_target, k_dec,
+            p_teacher_forcing=p_teacher_forcing,
+            teacher_force_till=teacher_force_till,
+            deterministic=deterministic, init_carry=init_carry)
+
+        mel_outputs = dec_out["mel_outputs"]
+        if cfg.use_postnet:
+            postnet_out = mel_outputs + self.postnet(
+                mel_outputs, deterministic=deterministic)
+        else:
+            postnet_out = mel_outputs
+
+        mask = get_mask_from_lengths(mel_lengths, mels.shape[1])[:, :, None]
+        outputs = {
+            "mel_outputs": mel_outputs * mask,
+            "mel_outputs_postnet": postnet_out * mask,
+            "gate_outputs": dec_out["gate_outputs"],
+            "alignments": dec_out["alignments"],
+            **heads,
+        }
+        return outputs, carry
+
+    def inference(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
+                  speaker_id: jnp.ndarray,
+                  torchmoji_hidden: Optional[jnp.ndarray] = None,
+                  sylps: Optional[jnp.ndarray] = None,
+                  key: Optional[jax.Array] = None,
+                  max_decoder_steps: Optional[int] = None):
+        """Free-running inference. Reference model.py:1044-1080."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, k_mem, k_dec = jax.random.split(key, 3)
+        B = text.shape[0]
+        if sylps is None:
+            sylps = jnp.full((B,), 4.0)  # ~typical speaking rate
+
+        memory, heads = self._build_memory(
+            text, text_lengths, speaker_id, sylps, torchmoji_hidden,
+            None, True)
+        dec_out = self.decoder.inference(
+            memory, text_lengths, k_dec, max_decoder_steps=max_decoder_steps)
+        mel_outputs = dec_out["mel_outputs"]
+        if cfg.use_postnet:
+            postnet_out = mel_outputs + self.postnet(mel_outputs,
+                                                     deterministic=True)
+        else:
+            postnet_out = mel_outputs
+        return {
+            "mel_outputs": mel_outputs,
+            "mel_outputs_postnet": postnet_out,
+            "gate_outputs": dec_out["gate_outputs"],
+            "alignments": dec_out["alignments"],
+            "mel_lengths": dec_out["mel_lengths"],
+            **heads,
+        }

@@ -1,0 +1,74 @@
+"""Zoneout LSTM cell as a pure scan cell.
+
+Rebuild of the reference's ``LSTMCellWithZoneout``
+(CookieTTS/utils/model/layers.py:253-421): an LSTM cell whose hidden/cell
+states are stochastically "zoned out" (kept from the previous step) during
+training and blended by expectation at inference, with optional dropout on
+the new state instead.
+
+TPU-first notes:
+- The gates are computed as ONE [in+hidden, 4*hidden] matmul (MXU-friendly)
+  rather than the reference's separate ih/hh TorchScript cell.
+- Randomness is fed explicitly (a per-step key), so the cell composes with
+  ``lax.scan``: pre-split keys ride in the scan's xs.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ZoneoutLSTMCell(nn.Module):
+    """LSTM cell with zoneout regularization on (h, c).
+
+    Call: ``(c, h), y = cell((c, h), x, key=key, deterministic=...)``
+    States are float32 regardless of compute dtype — AR decode stability
+    (mirrors the reference keeping decoder states in fp32 under AMP).
+    """
+    hidden_size: int
+    zoneout: float = 0.1
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray,
+                 key: jax.Array | None = None,
+                 deterministic: bool = True):
+        c_prev, h_prev = carry
+        concat = jnp.concatenate([x, h_prev.astype(x.dtype)], axis=-1)
+        gates = nn.Dense(
+            4 * self.hidden_size, dtype=self.dtype, name="gates",
+            kernel_init=nn.initializers.xavier_uniform(),
+        )(concat)
+        gates = gates.astype(jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f + 1.0)  # forget-gate bias +1 (standard stability trick)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c_prev + i * g
+        h_new = o * jnp.tanh(c_new)
+
+        if self.zoneout > 0.0:
+            if deterministic or key is None:
+                # expectation blend (reference layers.py eval path)
+                c_new = self.zoneout * c_prev + (1.0 - self.zoneout) * c_new
+                h_new = self.zoneout * h_prev + (1.0 - self.zoneout) * h_new
+            else:
+                kc, kh = jax.random.split(key)
+                zc = jax.random.bernoulli(kc, self.zoneout, c_new.shape)
+                zh = jax.random.bernoulli(kh, self.zoneout, h_new.shape)
+                c_new = jnp.where(zc, c_prev, c_new)
+                h_new = jnp.where(zh, h_prev, h_new)
+        elif self.dropout > 0.0 and not deterministic and key is not None:
+            keep = jax.random.bernoulli(key, 1.0 - self.dropout, h_new.shape)
+            h_new = jnp.where(keep, h_new / (1.0 - self.dropout), 0.0)
+
+        return (c_new, h_new), h_new.astype(self.dtype)
+
+    def initialize_carry(self, batch: int):
+        shape = (batch, self.hidden_size)
+        return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
