@@ -184,6 +184,30 @@ class TacotronSTFT:
         )
         return self.spectral_normalize(mel)
 
+
+
+    def mel_spectrogram_np(self, audio) -> "np.ndarray":
+        """Numpy mirror of :meth:`mel_spectrogram` for host-side feature
+        extraction (dataset preprocessing / caching). Bit-compatible with
+        the JAX path up to float32 rounding — parity-tested in
+        tests/test_audio.py. Accepts [T] or [B, T]."""
+        squeeze = audio.ndim == 1
+        x = np.atleast_2d(np.asarray(audio, np.float32))
+        pad = self.stft.filter_length // 2
+        x = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = (x.shape[1] - self.stft.filter_length) \
+            // self.stft.hop_length + 1
+        idx = (np.arange(n_frames)[:, None] * self.stft.hop_length
+               + np.arange(self.stft.filter_length)[None, :])
+        frames = x[:, idx]                                  # [B, T, F]
+        fwd = np.asarray(self.stft.forward_basis)           # [F, 2*cutoff]
+        spec = frames @ fwd
+        c = self.stft.cutoff
+        mag = np.sqrt(spec[..., :c] ** 2 + spec[..., c:] ** 2)
+        mel = mag @ np.asarray(self.mel_basis)
+        mel = np.log(np.clip(mel, self.clip_val, None))
+        return mel[0] if squeeze else mel
+
     def griffin_lim(self, magnitudes: jnp.ndarray, n_iters: int = 30,
                     momentum: float = 0.99,
                     key: jax.Array | None = None) -> jnp.ndarray:

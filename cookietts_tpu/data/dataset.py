@@ -1,0 +1,321 @@
+"""TTSDataset-equivalent feature factory with static-shape batching.
+
+Capability rebuild of the reference's 1,076-line TTSDataset
+(CookieTTS/utils/dataset/data_utils.py:329-905) redesigned for TPU:
+
+- features are selected by NAME (the reference introspects the model/loss
+  arg names via get_args, utils/_utils_.py:3-37 — here callers pass the
+  same names explicitly or use :func:`requested_features_of`).
+- batches are padded to BUCKETED static shapes (text and mel lengths are
+  rounded up to bucket boundaries) so XLA compiles a handful of shapes
+  instead of one per batch — replaces the reference's sort-by-length
+  dynamic padding (data_utils.py:1009-1014).
+- TBPTT: long utterances are split into fixed-size mel segments; the
+  :class:`TBPTTSampler` schedules batches so consecutive iterations
+  continue the same utterances and flags ``pres_prev_state``
+  (reference update_dataloader_indexes, data_utils.py:430-498).
+- gate targets: 1.0 from the last frame on (padding included), but only
+  on the FINAL segment of an utterance (data_utils.py:1066-1072).
+- ``force_load``: unreadable files are replaced by a random other file
+  (data_utils.py:888-902).
+- mel/feature caching to ``.npy`` sidecar files (the reference caches
+  ``.pt`` tensors).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import inspect
+import os
+import random
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..audio.stft import TacotronSTFT
+from ..text import text_to_sequence
+from . import audio_io
+
+
+def get_args(func: Callable) -> List[str]:
+    """Argument-name introspection (reference utils/_utils_.py:3-17)."""
+    return list(inspect.signature(func).parameters.keys())
+
+
+@dataclasses.dataclass
+class DataConfig:
+    # audio frontend (tacotron2_tm/hparams.py:119-151)
+    sampling_rate: int = 44100
+    filter_length: int = 2048
+    hop_length: int = 512
+    win_length: int = 2048
+    n_mel_channels: int = 80
+    mel_fmin: float = 20.0
+    mel_fmax: float = 11025.0
+    clamp_val: float = 1e-5
+    # preprocessing
+    trim_enable: bool = True
+    trim_top_db: float = 45.0
+    target_lufs: Optional[float] = -27.0
+    # text
+    text_cleaners: Sequence[str] = ("english_cleaners",)
+    p_arpabet: float = 0.5
+    # TBPTT (hparams.py:53-54: max 800 frames/segment)
+    max_segment_frames: int = 800
+    # static-shape bucketing
+    text_buckets: Sequence[int] = (32, 64, 96, 128, 192, 256)
+    mel_buckets: Sequence[int] = (128, 256, 384, 512, 640, 800)
+    # misc
+    cache_mels: bool = True
+    force_load: bool = True
+    torchmoji_dim: int = 2304
+
+
+def bucket_size(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class TTSDataset:
+    """Maps filelist entries -> per-utterance feature dicts (numpy)."""
+
+    def __init__(self, entries: Sequence[Dict[str, Any]], config: DataConfig,
+                 arpa_lookup: Optional[Callable[[str], str]] = None,
+                 torchmoji_fn: Optional[Callable[[str], np.ndarray]] = None,
+                 features: Sequence[str] = ("text", "mel", "speaker_id",
+                                            "sylps", "gate"),
+                 seed: int = 1234):
+        self.entries = list(entries)
+        self.cfg = config
+        self.features = set(features)
+        self.arpa_lookup = arpa_lookup
+        self.torchmoji_fn = torchmoji_fn
+        self.rng = random.Random(seed)
+        self.stft = TacotronSTFT(
+            config.filter_length, config.hop_length, config.win_length,
+            config.n_mel_channels, config.sampling_rate, config.mel_fmin,
+            config.mel_fmax, config.clamp_val)
+
+    def __len__(self):
+        return len(self.entries)
+
+    # -- audio/mel -----------------------------------------------------------
+    def _cache_path(self, audiopath: str) -> str:
+        h = hashlib.md5(
+            f"{self.cfg.sampling_rate}_{self.cfg.filter_length}_"
+            f"{self.cfg.hop_length}_{self.cfg.n_mel_channels}_"
+            f"{self.cfg.mel_fmin}_{self.cfg.mel_fmax}_"
+            f"{self.cfg.trim_top_db if self.cfg.trim_enable else 'raw'}_"
+            f"{self.cfg.target_lufs}".encode()).hexdigest()[:8]
+        return audiopath + f".{h}.mel.npy"
+
+    def load_audio(self, audiopath: str) -> np.ndarray:
+        audio, sr = audio_io.load_wav(audiopath,
+                                      target_sr=self.cfg.sampling_rate)
+        audio = audio_io.remove_dc_offset(audio)
+        if self.cfg.trim_enable and len(audio) > self.cfg.filter_length:
+            audio = audio_io.trim_silence(
+                audio, sr, top_db=self.cfg.trim_top_db,
+                frame_length=self.cfg.filter_length,
+                hop_length=self.cfg.hop_length)
+        if self.cfg.target_lufs is not None and len(audio) > sr // 10:
+            audio = audio_io.loudness_normalize(
+                audio, sr, target_lufs=self.cfg.target_lufs)
+        return audio
+
+    def get_mel(self, audiopath: str,
+                audio: Optional[np.ndarray] = None) -> np.ndarray:
+        cache = self._cache_path(audiopath)
+        if self.cfg.cache_mels and os.path.exists(cache):
+            return np.load(cache)
+        if audio is None:
+            audio = self.load_audio(audiopath)
+        mel = self.stft.mel_spectrogram_np(audio).astype(np.float32)
+        if self.cfg.cache_mels:
+            try:
+                np.save(cache, mel)
+            except OSError:
+                pass
+        return mel                         # [T_frames, n_mel]
+
+    # -- text ------------------------------------------------------------------
+    def get_text_ids(self, quote: str, use_arpabet: Optional[bool] = None
+                     ) -> np.ndarray:
+        text = quote
+        if self.arpa_lookup is not None:
+            if use_arpabet is None:
+                use_arpabet = self.rng.random() < self.cfg.p_arpabet
+            if use_arpabet:
+                text = self.arpa_lookup(quote)
+        ids = text_to_sequence(text, self.cfg.text_cleaners)
+        return np.asarray(ids, np.int32)
+
+    # -- item ----------------------------------------------------------------
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        for attempt in range(20 if self.cfg.force_load else 1):
+            try:
+                return self._get(index)
+            except Exception:
+                if not self.cfg.force_load or attempt == 19:
+                    raise
+                index = self.rng.randrange(len(self.entries))
+        raise RuntimeError("unreachable")
+
+    def _get(self, index: int) -> Dict[str, Any]:
+        e = self.entries[index]
+        cfg = self.cfg
+        out: Dict[str, Any] = {"audiopath": e["path"], "index": index}
+
+        audio = None
+        if "mel" in self.features or "sylps" in self.features \
+                or "f0" in self.features or "energy" in self.features \
+                or "audio" in self.features:
+            mel_cached = (cfg.cache_mels
+                          and os.path.exists(self._cache_path(e["path"])))
+            if not mel_cached or "audio" in self.features \
+                    or "f0" in self.features or "energy" in self.features:
+                audio = self.load_audio(e["path"])
+                out["audio"] = audio
+        if "mel" in self.features:
+            mel = self.get_mel(e["path"], audio)
+            out["mel"] = mel
+            out["mel_length"] = mel.shape[0]
+        if "text" in self.features:
+            ids = self.get_text_ids(e["quote"])
+            out["text"] = ids
+            out["text_length"] = len(ids)
+            out["transcript"] = e["quote"]
+        if "speaker_id" in self.features:
+            out["speaker_id"] = int(e.get("speaker_id", 0))
+        if "emotion_id" in self.features:
+            out["emotion_id"] = int(e.get("emotion_id", 0))
+        if "sylps" in self.features:
+            n_syl = audio_io.count_syllables(e["quote"])
+            dur = (out.get("mel_length", 1) * cfg.hop_length
+                   / cfg.sampling_rate)
+            out["sylps"] = np.float32(n_syl / max(dur, 1e-2))
+        if "f0" in self.features:
+            assert audio is not None
+            f0, voiced = audio_io.estimate_f0_autocorr(
+                audio, cfg.sampling_rate, hop_length=cfg.hop_length,
+                frame_length=cfg.filter_length)
+            out["f0"], out["voiced"] = f0, voiced
+        if "energy" in self.features:
+            assert "mel" in out
+            out["energy"] = np.exp(out["mel"]).mean(axis=1).astype(np.float32)
+        if "torchmoji" in self.features:
+            if self.torchmoji_fn is not None:
+                out["torchmoji"] = self.torchmoji_fn(e["quote"])
+            else:
+                out["torchmoji"] = np.zeros(cfg.torchmoji_dim, np.float32)
+        return out
+
+
+# -- TBPTT segment scheduling --------------------------------------------------
+
+@dataclasses.dataclass
+class Segment:
+    file_idx: int
+    seg_idx: int
+    n_segs: int
+
+
+class TBPTTSampler:
+    """Plans batches so each batch lane continues its utterance across
+    consecutive iterations (reference data_utils.py:430-498)."""
+
+    def __init__(self, mel_lengths: Sequence[int], batch_size: int,
+                 max_segment_frames: int, shuffle: bool = True,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        self.max_frames = max_segment_frames
+        order = list(range(len(mel_lengths)))
+        if shuffle:
+            random.Random(seed).shuffle(order)
+        self.queue: List[List[Segment]] = []
+        for i in order:
+            n = max(-(-int(mel_lengths[i]) // max_segment_frames), 1)
+            self.queue.append(
+                [Segment(i, s, n) for s in range(n)])
+
+    def __iter__(self):
+        lanes: List[List[Segment]] = [[] for _ in range(self.batch_size)]
+        pending = list(self.queue)
+        while True:
+            batch: List[Segment] = []
+            for lane in lanes:
+                if not lane:
+                    if pending:
+                        lane.extend(pending.pop(0))
+                    else:
+                        return
+                batch.append(lane.pop(0))
+            yield batch
+
+
+def collate(items: Sequence[Dict[str, Any]],
+            cfg: DataConfig,
+            segments: Optional[Sequence[Segment]] = None,
+            static_shapes: bool = True) -> Dict[str, np.ndarray]:
+    """Pad-and-stack a batch with bucketed static shapes + gate targets.
+
+    Reference Collate.__call__ (data_utils.py:996-1076): left-aligned
+    padding, gate target 1.0 from the last valid frame on (final segment
+    only), ``pres_prev_state`` marks TBPTT continuations.
+    """
+    B = len(items)
+    out: Dict[str, Any] = {}
+
+    if "text" in items[0]:
+        t_max = max(len(it["text"]) for it in items)
+        if static_shapes:
+            t_max = bucket_size(t_max, cfg.text_buckets)
+        text = np.zeros((B, t_max), np.int32)
+        text_lengths = np.zeros((B,), np.int32)
+        for i, it in enumerate(items):
+            n = min(len(it["text"]), t_max)
+            text[i, :n] = it["text"][:n]
+            text_lengths[i] = n
+        out["text"] = text
+        out["text_lengths"] = text_lengths
+
+    if "mel" in items[0]:
+        m_max = max(it["mel"].shape[0] for it in items)
+        if static_shapes:
+            m_max = bucket_size(m_max, cfg.mel_buckets)
+        n_mel = items[0]["mel"].shape[1]
+        mels = np.zeros((B, m_max, n_mel), np.float32)
+        mel_lengths = np.zeros((B,), np.int32)
+        gate = np.zeros((B, m_max), np.float32)
+        pres_prev = np.zeros((B,), np.float32)
+        cont_next = np.zeros((B,), np.float32)
+        for i, it in enumerate(items):
+            mel = it["mel"]
+            seg = segments[i] if segments is not None else None
+            if seg is not None:
+                start = seg.seg_idx * cfg.max_segment_frames
+                mel = mel[start:start + cfg.max_segment_frames]
+                pres_prev[i] = float(seg.seg_idx > 0)
+                cont_next[i] = float(seg.seg_idx < seg.n_segs - 1)
+            n = min(mel.shape[0], m_max)
+            mels[i, :n] = mel[:n]
+            mel_lengths[i] = n
+            if cont_next[i] == 0.0:   # gate only on the final segment
+                gate[i, max(n - 1, 0):] = 1.0
+        out["mels"] = mels
+        out["mel_lengths"] = mel_lengths
+        out["gate_target"] = gate
+        out["pres_prev_state"] = pres_prev
+        out["cont_next_iter"] = cont_next
+
+    for key in ("speaker_id", "emotion_id"):
+        if key in items[0]:
+            out[key] = np.asarray([it[key] for it in items], np.int32)
+    if "sylps" in items[0]:
+        out["sylps"] = np.asarray([it["sylps"] for it in items], np.float32)
+    if "torchmoji" in items[0]:
+        out["torchmoji"] = np.stack([it["torchmoji"] for it in items])
+    out["audiopath"] = [it["audiopath"] for it in items]
+    return out

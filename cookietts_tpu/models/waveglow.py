@@ -1,0 +1,504 @@
+"""Unified WaveGlow / WaveFlow invertible flow vocoder, TPU-first.
+
+Capability rebuild of CookieTTS/_4_mtw/waveglow/{efficient_model_ax.py,
+glow_ax.py, efficient_modules.py}:
+
+- ``channel_mixing='1x1conv'``      -> WaveGlow (Invertible1x1Conv + affine
+                                       coupling over grouped channels)
+- ``channel_mixing='permuteheight'``-> WaveFlow (height permutations +
+                                       height-causal 2-D WN coupling)
+
+TPU-first design decisions:
+- Memory-efficient training: the reference implements custom invertible
+  autograd Functions that recompute inputs from outputs in backward
+  (efficient_modules.py:108-233). Here each flow is wrapped in
+  ``jax.checkpoint`` — XLA rematerialization is the idiomatic equivalent
+  (SURVEY.md §7 hard-parts list).
+- WaveGlow inverse is closed-form and fully parallel over time — one
+  batched program, MXU-heavy, ideal for TPU batch inference.
+- WaveFlow inverse is autoregressive in height (8-64 steps only): a
+  ``lax.scan`` over rows carrying a (kernel_h-1)-row conv queue per WN
+  layer (the scan equivalent of glow_ax.py:594-602's streaming queues).
+- logdet terms are accumulated in float32 regardless of compute dtype
+  (reference keeps logdet fp32 under AMP, efficient_model_ax.py:266-273).
+
+Layout is time-major: audio [B, T]; grouped audio [B, T/G, G]; WaveFlow
+tensors [B, H, W]; mels [B, T_mel, n_mel].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# gated-unit zoo (glow_ax.py:36-198). Each takes (a, b) pre-activation halves.
+# ---------------------------------------------------------------------------
+GATED_UNITS = {
+    "GTU": lambda a, b: jnp.tanh(a) * jax.nn.sigmoid(b),
+    "GTRU": lambda a, b: jnp.tanh(a) * nn.relu(b),
+    "GLU": lambda a, b: a * jax.nn.sigmoid(b),
+    "TTU": lambda a, b: jnp.tanh(a) * jnp.tanh(b),
+    "STU": lambda a, b: jax.nn.sigmoid(a) * jnp.tanh(b),
+    "GTSU": lambda a, b: jnp.tanh(a) * jax.nn.softsign(b),
+    "SPTU": lambda a, b: jax.nn.softplus(a) * jnp.tanh(b),
+    "GSIU": lambda a, b: jax.nn.softsign(a) * jax.nn.sigmoid(b),
+    "GSIRU": lambda a, b: jax.nn.softsign(a) * nn.relu(b),
+    "GTLRU": lambda a, b: jnp.tanh(a) * nn.leaky_relu(b, 0.1),
+    "linear": lambda a, b: a,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveGlowConfig:
+    n_mel_channels: int = 160
+    n_flows: int = 12
+    n_group: int = 8              # WaveGlow: channel groups; WaveFlow: height
+    n_early_every: int = 4        # emit early z channels every k flows (0=off)
+    n_early_size: int = 2
+    channel_mixing: str = "1x1conv"   # '1x1conv' (WaveGlow) | 'permuteheight' (WaveFlow)
+    # WN coupling net
+    n_layers: int = 8
+    n_channels: int = 256
+    kernel_size: int = 3
+    kernel_size_h: int = 3        # WaveFlow: causal height kernel
+    gated_unit: str = "GTU"
+    # conditioning / upsampling
+    hop_length: int = 600
+    upsample_strides: Tuple[int, ...] = (5, 5, 3)   # product * n_group == hop
+    upsample_channels: int = 256
+    cond_residual: bool = False    # shared residual cond stack (glow_ax 72-112)
+    cond_layers: int = 1
+    # training
+    memory_efficient: bool = True  # jax.checkpoint each flow
+    sigma: float = 1.0
+    dtype: Any = jnp.float32
+
+
+class Invertible1x1Conv(nn.Module):
+    """1x1 channel-mixing conv with exact log-determinant.
+
+    Reference glow.py:65-107 / efficient_modules.py:289-321. Weight is
+    initialized to a random rotation (det = +1).
+    """
+    channels: int
+    dtype: Any = jnp.float32
+
+    def _init_w(self, key, shape):
+        w = jax.random.normal(key, shape)
+        q, _ = jnp.linalg.qr(w)
+        # force det=+1 so log|det| starts at 0
+        q = q.at[:, 0].set(q[:, 0] * jnp.sign(jnp.linalg.det(q)))
+        return q
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, inverse: bool = False):
+        """x: [B, T, C] -> (y, logdet_per_timestep) (logdet is scalar)."""
+        w = self.param("weight", self._init_w,
+                       (self.channels, self.channels))
+        # invertibility demands exact f32 matmuls — the default matmul
+        # precision may use bf16 passes (TPU MXU / oneDNN fast math), which
+        # breaks forward∘inverse ≈ id at the 1e-2 level
+        hi = jax.lax.Precision.HIGHEST
+        if inverse:
+            w_inv = jnp.linalg.inv(w.astype(jnp.float32)).astype(x.dtype)
+            return jnp.einsum("btc,cd->btd", x, w_inv, precision=hi), None
+        y = jnp.einsum("btc,cd->btd", x, w.astype(x.dtype), precision=hi)
+        _, logdet = jnp.linalg.slogdet(w.astype(jnp.float32))
+        return y, logdet
+
+
+PERMUTE_KINDS = ("reverse", "bipartize")
+
+
+def permute_height_order(h: int, kind: str, flow_idx: int) -> np.ndarray:
+    """Static height permutation orders (efficient_modules.py:360-403).
+
+    'reverse' flips the height each flow; 'bipartize' alternates flipping
+    the two halves to mix rows across the halves.
+    """
+    idx = np.arange(h)
+    if kind == "reverse":
+        return idx[::-1].copy()
+    half = h // 2
+    if flow_idx % 2 == 0:
+        return np.concatenate([idx[:half][::-1], idx[half:][::-1]])
+    return np.concatenate([idx[half:], idx[:half]])
+
+
+class WN(nn.Module):
+    """Non-causal dilated-conv WaveNet producing affine (log_s, t).
+
+    Reference glow.py:110-222 / glow_ax.py:245-418: gated units, residual +
+    skip connections, all conditioning layers fused into one conv applied
+    to the (already upsampled) cond tensor.
+    """
+    n_in_channels: int
+    n_layers: int = 8
+    n_channels: int = 256
+    kernel_size: int = 3
+    gated_unit: str = "GTU"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        """x [B, T, C_in], cond [B, T, C_cond] -> [B, T, 2*C_in] (log_s, t)."""
+        gate = GATED_UNITS[self.gated_unit]
+        h = nn.Dense(self.n_channels, dtype=self.dtype, name="start")(x)
+        # all cond projections in ONE matmul: [B, T, 2*ch*n_layers]
+        cond_all = nn.Dense(2 * self.n_channels * self.n_layers,
+                            dtype=self.dtype, name="cond_layer")(cond)
+        skip_sum = jnp.zeros_like(h)
+        for i in range(self.n_layers):
+            dilation = 2 ** i
+            acts = nn.Conv(2 * self.n_channels, (self.kernel_size,),
+                           kernel_dilation=(dilation,), padding="SAME",
+                           dtype=self.dtype, name=f"in_layer{i}")(h)
+            c = cond_all[..., 2 * self.n_channels * i:
+                         2 * self.n_channels * (i + 1)]
+            acts = acts + c
+            a, b = jnp.split(acts, 2, axis=-1)
+            out = gate(a, b)
+            if i < self.n_layers - 1:
+                res_skip = nn.Conv(2 * self.n_channels, (1,),
+                                   dtype=self.dtype,
+                                   name=f"res_skip{i}")(out)
+                res, skip = jnp.split(res_skip, 2, axis=-1)
+                h = h + res
+                skip_sum = skip_sum + skip
+            else:
+                skip = nn.Conv(self.n_channels, (1,), dtype=self.dtype,
+                               name=f"res_skip{i}")(out)
+                skip_sum = skip_sum + skip
+        # zero-init end layer => identity flow at init (glow.py:146-150)
+        out = nn.Dense(2 * self.n_in_channels, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros, name="end")(skip_sum)
+        return out
+
+
+class WN2D(nn.Module):
+    """Height-causal 2-D WaveNet for WaveFlow couplings.
+
+    Reference glow_ax.py:421-635 (WN_2d): convs are causal in the height
+    dimension (row h sees only rows < h) and SAME-padded dilated in width.
+    Produces (log_s, t) for every row from the rows above it.
+    """
+    n_layers: int = 8
+    n_channels: int = 64
+    kernel_size: int = 3          # width kernel
+    kernel_size_h: int = 3        # height kernel (causal)
+    gated_unit: str = "GTU"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        """x [B, H, W, 1], cond [B, W, C] -> [B, H, W, 2] (log_s, t).
+
+        Row h of the output depends only on rows < h of x (strict causality
+        via one-row shift + causal padding).
+        """
+        gate = GATED_UNITS[self.gated_unit]
+        B, H, W, _ = x.shape
+        # strict causality: shift input down one row so row h sees rows <h
+        x_shift = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+        h = nn.Conv(self.n_channels, (1, 1), dtype=self.dtype,
+                    name="start")(x_shift)
+        cond_all = nn.Dense(2 * self.n_channels * self.n_layers,
+                            dtype=self.dtype, name="cond_layer")(cond)
+        skip_sum = jnp.zeros_like(h)
+        kh = self.kernel_size_h
+        for i in range(self.n_layers):
+            dilation_w = 2 ** i
+            pad_w = (self.kernel_size // 2) * dilation_w
+            # causal in height: pad (kh-1) rows on top only
+            acts = nn.Conv(2 * self.n_channels,
+                           (kh, self.kernel_size),
+                           kernel_dilation=(1, dilation_w),
+                           padding=((kh - 1, 0), (pad_w, pad_w)),
+                           dtype=self.dtype, name=f"in_layer{i}")(h)
+            c = cond_all[..., 2 * self.n_channels * i:
+                         2 * self.n_channels * (i + 1)]
+            acts = acts + c[:, None, :, :]      # broadcast over height
+            a, b = jnp.split(acts, 2, axis=-1)
+            out = gate(a, b)
+            if i < self.n_layers - 1:
+                res_skip = nn.Conv(2 * self.n_channels, (1, 1),
+                                   dtype=self.dtype,
+                                   name=f"res_skip{i}")(out)
+                res, skip = jnp.split(res_skip, 2, axis=-1)
+                h = h + res
+                skip_sum = skip_sum + skip
+            else:
+                skip = nn.Conv(self.n_channels, (1, 1), dtype=self.dtype,
+                               name=f"res_skip{i}")(out)
+                skip_sum = skip_sum + skip
+        out = nn.Conv(2, (1, 1), dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, name="end")(skip_sum)
+        return out
+
+
+class UpsampleNet(nn.Module):
+    """Multi-stage transposed-conv mel upsampler.
+
+    Reference glow_ax.py:201-242 (TransposedUpsampleNet). Upsamples
+    [B, T_mel, n_mel] to [B, T_mel * prod(strides), channels].
+    """
+    strides: Sequence[int]
+    channels: int = 256
+    out_channels: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        h = mel
+        n = len(self.strides)
+        for i, s in enumerate(self.strides):
+            out_ch = (self.out_channels or self.channels) if i == n - 1 \
+                else self.channels
+            # SAME padding => output length is exactly T * stride
+            h = nn.ConvTranspose(out_ch, (2 * s,), strides=(s,),
+                                 padding="SAME",
+                                 dtype=self.dtype, name=f"up{i}")(h)
+            if i != n - 1:
+                h = nn.leaky_relu(h, negative_slope=0.4)
+        return h
+
+
+class WaveGlow(nn.Module):
+    """Unified WaveGlow/WaveFlow flow vocoder.
+
+    Reference efficient_model_ax.py:24-408. ``forward`` maps audio->latent
+    for max-likelihood training; ``inverse``/``infer`` generate audio.
+    """
+    cfg: WaveGlowConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.waveflow = cfg.channel_mixing == "permuteheight"
+        up_prod = int(np.prod(cfg.upsample_strides))
+        if self.waveflow:
+            # cond at width rate W = T / n_group => strides*1 == hop/n_group
+            assert up_prod * cfg.n_group == cfg.hop_length, (
+                f"prod(upsample_strides)={up_prod} * n_group={cfg.n_group} "
+                f"must equal hop_length={cfg.hop_length}")
+        else:
+            assert up_prod * cfg.n_group == cfg.hop_length, (
+                f"prod(upsample_strides)={up_prod} * n_group={cfg.n_group} "
+                f"must equal hop_length={cfg.hop_length}")
+        self.upsample = UpsampleNet(cfg.upsample_strides,
+                                    cfg.upsample_channels,
+                                    dtype=cfg.dtype, name="upsample")
+
+        n_flows = cfg.n_flows
+        wns: List[nn.Module] = []
+        convinvs: List[nn.Module] = []
+        early: List[int] = []     # z channels split off before each flow
+        halves: List[int] = []    # coupling split sizes per flow (waveglow)
+        remaining = cfg.n_group
+        for k in range(n_flows):
+            if (not self.waveflow and cfg.n_early_every
+                    and k % cfg.n_early_every == 0 and k > 0):
+                remaining -= cfg.n_early_size
+                early.append(cfg.n_early_size)
+            else:
+                early.append(0)
+            if self.waveflow:
+                wns.append(WN2D(cfg.n_layers, cfg.n_channels,
+                                cfg.kernel_size, cfg.kernel_size_h,
+                                cfg.gated_unit, dtype=cfg.dtype,
+                                name=f"wn{k}"))
+                halves.append(0)
+            else:
+                half = remaining // 2
+                halves.append(half)
+                wns.append(WN(remaining - half, cfg.n_layers, cfg.n_channels,
+                              cfg.kernel_size, cfg.gated_unit,
+                              dtype=cfg.dtype, name=f"wn{k}"))
+                convinvs.append(Invertible1x1Conv(remaining, dtype=cfg.dtype,
+                                                  name=f"convinv{k}"))
+        self.wn = wns
+        self.convinv = convinvs
+        self._early = tuple(early)
+        self._half = tuple(halves)
+        self._n_remaining = remaining
+
+    # -- shared ------------------------------------------------------------
+    def _cond(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """[B, T_mel, M] -> [B, T/G, C] conditioning at group rate."""
+        return self.upsample(mel)
+
+    def _squeeze(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """[B, T] -> WaveGlow [B, T/G, G] | WaveFlow [B, G, T/G]."""
+        B, T = audio.shape
+        G = self.cfg.n_group
+        x = audio[:, : (T // G) * G].reshape(B, T // G, G)
+        if self.waveflow:
+            return jnp.swapaxes(x, 1, 2)      # [B, H=G, W=T/G]
+        return x
+
+    def _unsqueeze(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.waveflow:
+            x = jnp.swapaxes(x, 1, 2)
+        B, TG, G = x.shape
+        return x.reshape(B, TG * G)
+
+    # -- WaveGlow path -------------------------------------------------------
+    def _forward_waveglow(self, x: jnp.ndarray, cond: jnp.ndarray):
+        cfg = self.cfg
+        B, TG, _ = x.shape
+        log_s_sum = jnp.zeros((), jnp.float32)
+        logdet_w_sum = jnp.zeros((), jnp.float32)
+        early_out = []
+
+        for k in range(cfg.n_flows):
+            if self._early[k]:
+                early_out.append(x[..., : self._early[k]])
+                x = x[..., self._early[k]:]
+
+            def flow(x, cond, k=k):
+                y, logdet_w = self.convinv[k](x)
+                half = self._half[k]
+                xa, xb = y[..., :half], y[..., half:]
+                st = self.wn[k](xb, cond)
+                log_s, t = jnp.split(st, 2, axis=-1)
+                xa = xa * jnp.exp(log_s) + t
+                out = jnp.concatenate([xa, xb], axis=-1)
+                return out, jnp.sum(log_s.astype(jnp.float32)), \
+                    logdet_w.astype(jnp.float32)
+
+            if cfg.memory_efficient:
+                flow = jax.checkpoint(flow, static_argnums=())
+            x, ls, lw = flow(x, cond)
+            log_s_sum = log_s_sum + ls
+            logdet_w_sum = logdet_w_sum + lw * (B * TG)
+
+        early_out.append(x)
+        z = jnp.concatenate(early_out, axis=-1)
+        return z, log_s_sum, logdet_w_sum
+
+    def _inverse_waveglow(self, z: jnp.ndarray, cond: jnp.ndarray,
+                          ) -> jnp.ndarray:
+        cfg = self.cfg
+        # split z back into early outputs + final remaining channels
+        early_sizes = [e for e in self._early if e]
+        n_final = self._n_remaining
+        splits = np.cumsum(early_sizes).tolist()
+        parts = jnp.split(z, splits, axis=-1) if splits else [z]
+        early_parts, x = parts[:-1], parts[-1]
+
+        for k in reversed(range(cfg.n_flows)):
+            half = self._half[k]
+            xa, xb = x[..., :half], x[..., half:]
+            st = self.wn[k](xb, cond)
+            log_s, t = jnp.split(st, 2, axis=-1)
+            xa = (xa - t) * jnp.exp(-log_s)
+            x = jnp.concatenate([xa, xb], axis=-1)
+            x, _ = self.convinv[k](x, inverse=True)
+            if self._early[k]:
+                x = jnp.concatenate([early_parts.pop(), x], axis=-1)
+        return x
+
+    # -- WaveFlow path -------------------------------------------------------
+    def _forward_waveflow(self, x: jnp.ndarray, cond: jnp.ndarray):
+        cfg = self.cfg
+        log_s_sum = jnp.zeros((), jnp.float32)
+
+        for k in range(cfg.n_flows):
+            order = permute_height_order(cfg.n_group, "bipartize", k)
+            x = x[:, order, :]
+
+            def flow(x, cond, k=k):
+                st = self.wn[k](x[..., None], cond)     # [B, H, W, 2]
+                log_s, t = st[..., 0], st[..., 1]
+                y = x * jnp.exp(log_s) + t
+                return y, jnp.sum(log_s.astype(jnp.float32))
+
+            if cfg.memory_efficient:
+                flow = jax.checkpoint(flow)
+            x, ls = flow(x, cond)
+            log_s_sum = log_s_sum + ls
+        return x, log_s_sum, jnp.zeros((), jnp.float32)
+
+    def _inverse_waveflow(self, z: jnp.ndarray, cond: jnp.ndarray
+                          ) -> jnp.ndarray:
+        """AR-in-height inverse: x[h] = (z[h] - t(x[<h])) / s(x[<h]).
+
+        Round-1 implementation recomputes the causal WN per row (O(H^2) in
+        the 8-16 row height — still fully parallel over width/batch).
+        Conv-queue streaming (glow_ax.py:594-602) is the planned follow-up.
+        """
+        cfg = self.cfg
+        H = cfg.n_group
+        for k in reversed(range(cfg.n_flows)):
+            x = jnp.zeros_like(z)
+            for h in range(H):
+                st = self.wn[k](x[..., None], cond)     # [B, H, W, 2]
+                log_s, t = st[..., 0], st[..., 1]
+                row = (z[:, h] - t[:, h]) * jnp.exp(-log_s[:, h])
+                x = x.at[:, h].set(row)
+            order = permute_height_order(cfg.n_group, "bipartize", k)
+            inv_order = np.argsort(order)
+            z = x[:, inv_order, :]
+        return z
+
+    # -- public API ----------------------------------------------------------
+    def __call__(self, audio: jnp.ndarray, mel: jnp.ndarray):
+        """Training forward: (audio [B,T], mel [B,T_mel,M]) ->
+        dict(z, log_s_sum, logdet_w_sum, n_elements)."""
+        cond = self._cond(mel)
+        x = self._squeeze(audio).astype(self.cfg.dtype)
+        if self.waveflow:
+            W = x.shape[2]
+            cond = cond[:, :W]
+            z, log_s, logdet_w = self._forward_waveflow(x, cond)
+        else:
+            TG = x.shape[1]
+            cond = cond[:, :TG]
+            z, log_s, logdet_w = self._forward_waveglow(x, cond)
+        return {"z": z, "log_s_sum": log_s, "logdet_w_sum": logdet_w,
+                "n_elements": np.prod(x.shape)}
+
+    def inverse(self, z: jnp.ndarray, mel: jnp.ndarray) -> jnp.ndarray:
+        """Latent -> audio [B, T]."""
+        cond = self._cond(mel)
+        if self.waveflow:
+            cond = cond[:, : z.shape[2]]
+            x = self._inverse_waveflow(z, cond)
+        else:
+            cond = cond[:, : z.shape[1]]
+            x = self._inverse_waveglow(z, cond)
+        return self._unsqueeze(x)
+
+    def infer(self, mel: jnp.ndarray, key: jax.Array,
+              sigma: Optional[float] = None) -> jnp.ndarray:
+        """Sample z ~ N(0, sigma) and invert (efficient_model_ax.py:359-388)."""
+        cfg = self.cfg
+        sigma = cfg.sigma if sigma is None else sigma
+        B, T_mel, _ = mel.shape
+        up_prod = int(np.prod(cfg.upsample_strides))
+        if self.waveflow:
+            shape = (B, cfg.n_group, T_mel * up_prod)
+        else:
+            shape = (B, T_mel * up_prod, cfg.n_group)
+        z = sigma * jax.random.normal(key, shape, cfg.dtype)
+        return self.inverse(z, mel)
+
+
+def waveglow_loss(out: Dict[str, jnp.ndarray],
+                  sigma: float = 1.0) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-element normalized flow NLL (efficient_loss.py:24-44):
+    z^2/(2 sigma^2) - log_s_sum - logdet_w_sum, / n_elements."""
+    z = out["z"].astype(jnp.float32)
+    n = out["n_elements"]
+    nll = (jnp.sum(z * z) / (2.0 * sigma * sigma)
+           - out["log_s_sum"] - out["logdet_w_sum"]) / n
+    return nll, {"loss": nll,
+                 "z_mean_sq": jnp.mean(z * z),
+                 "log_s_mean": out["log_s_sum"] / n,
+                 "logdet_w_mean": out["logdet_w_sum"] / n}

@@ -1,0 +1,166 @@
+"""Checkpoint save / resume / warm-start.
+
+Capability rebuild of the reference checkpointing (SURVEY.md §5):
+- three checkpoint classes: periodic ``checkpoint_<iter>``,
+  ``best_val_model`` (audio quality), ``best_inf_attsc`` (inference
+  attention score) — hparams.py:15-19, train.py:783-797.
+- load modes: full resume, ``warm_start`` (with ignore_layers), and
+  ``warm_start_force`` — shape-filtered partial restore that silently
+  drops mismatched params (train.py:182-219).
+- host metadata bundled in: speaker lookups, hparams JSON, best-loss dicts.
+- manual save trigger: touching a ``save`` file in the run dir, polled by
+  the train loop (save_model.py:1-5, train.py:764).
+
+Format: flax msgpack serialization + a JSON sidecar for metadata.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state_tree: Any,
+                    metadata: Optional[Dict[str, Any]] = None) -> None:
+    """Serialize a pytree (params/opt_state/step/...) + JSON metadata."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.msgpack_serialize(_to_host(state_tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f, indent=1, default=str)
+
+
+def load_checkpoint(path: str) -> Any:
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    meta = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        kk = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, kk))
+        else:
+            out[kk] = v
+    return out
+
+
+def warm_start(params: Any, restored: Any,
+               ignore_layers: tuple = (),
+               force: bool = True) -> Any:
+    """Partial restore: copy restored leaves into ``params`` where the
+    path exists and shapes match (reference warm_start_force_model,
+    train.py:182-219). ``ignore_layers`` are path substrings to skip.
+    Returns (new_params, n_loaded, n_skipped)."""
+    flat_p = _flatten(params)
+    flat_r = _flatten(restored)
+    loaded, skipped = 0, 0
+    out = dict(flat_p)
+    for k, v in flat_p.items():
+        if any(ig in k for ig in ignore_layers):
+            skipped += 1
+            continue
+        if k in flat_r and tuple(np.shape(flat_r[k])) == tuple(np.shape(v)):
+            out[k] = np.asarray(flat_r[k]).astype(np.asarray(v).dtype)
+            loaded += 1
+        else:
+            if not force and k not in flat_r:
+                raise KeyError(f"missing param in checkpoint: {k}")
+            skipped += 1
+
+    # unflatten back
+    def unflat(flat):
+        tree: Dict[str, Any] = {}
+        for k, v in flat.items():
+            parts = k.split("/")
+            d = tree
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = v
+        return tree
+
+    return unflat(out), loaded, skipped
+
+
+class Checkpointer:
+    """Run-directory checkpoint manager with best-model tracking."""
+
+    def __init__(self, run_dir: str, keep_last: int = 3):
+        self.run_dir = run_dir
+        self.keep_last = keep_last
+        os.makedirs(run_dir, exist_ok=True)
+        self.best_val_loss = float("inf")
+        self.best_inf_attsc = float("-inf")
+
+    # -- periodic ----------------------------------------------------------
+    def save_periodic(self, step: int, state_tree, metadata=None) -> str:
+        path = os.path.join(self.run_dir, f"checkpoint_{step}")
+        save_checkpoint(path, state_tree, metadata)
+        self._gc()
+        return path
+
+    def _gc(self):
+        cks = sorted(
+            (f for f in os.listdir(self.run_dir)
+             if f.startswith("checkpoint_") and not f.endswith(".json")
+             and not f.endswith(".tmp")),
+            key=lambda f: int(f.split("_")[1]))
+        for f in cks[: -self.keep_last]:
+            for suffix in ("", ".json"):
+                p = os.path.join(self.run_dir, f + suffix)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    # -- best models ---------------------------------------------------------
+    def maybe_save_best_val(self, val_loss: float, state_tree,
+                            metadata=None) -> bool:
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            save_checkpoint(os.path.join(self.run_dir, "best_val_model"),
+                            state_tree, metadata)
+            return True
+        return False
+
+    def maybe_save_best_attsc(self, att_score: float, state_tree,
+                              metadata=None) -> bool:
+        if att_score > self.best_inf_attsc:
+            self.best_inf_attsc = att_score
+            save_checkpoint(os.path.join(self.run_dir, "best_inf_attsc"),
+                            state_tree, metadata)
+            return True
+        return False
+
+    # -- manual trigger (save_model.py) ---------------------------------------
+    def manual_save_requested(self) -> bool:
+        trigger = os.path.join(self.run_dir, "save")
+        if os.path.exists(trigger):
+            os.remove(trigger)
+            return True
+        return False
+
+    def latest(self) -> Optional[str]:
+        cks = [f for f in os.listdir(self.run_dir)
+               if f.startswith("checkpoint_") and not f.endswith(".json")
+               and not f.endswith(".tmp")]
+        if not cks:
+            return None
+        latest = max(cks, key=lambda f: int(f.split("_")[1]))
+        return os.path.join(self.run_dir, latest)
