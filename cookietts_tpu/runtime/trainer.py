@@ -1,0 +1,275 @@
+"""The single shared training loop.
+
+Replaces the reference's per-model-directory copies of train.py /
+distributed.py / fp16_optimizer.py (SURVEY.md §2.7, §3.1) with ONE
+runtime:
+
+- the train step is a pjit'd pure function over a (dp, tp) mesh: batch
+  sharded over dp, params replicated, gradients averaged by XLA-inserted
+  collectives (no hand-rolled bucketed allreduce).
+- loss scalars / LR / teacher forcing / DFR arrive as ARRAYS, so live
+  config changes never trigger recompilation.
+- LossExplosion handling: loss above the live threshold or NaN reloads
+  best_val_model and decays LR by 2^(n_restarts/3)
+  (reference train.py:40-42,732-736,831-851).
+- validation runs teacher-forced AND inference-mode attention scoring
+  with a forked, seeded RNG for reproducibility (train.py:403-405).
+- per-file losses feed the FileLossDB for dataset curation
+  (train.py:803-825).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import DEFAULT_LOSS_SCALARS, tacotron2_loss
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .checkpoint import Checkpointer, load_checkpoint, warm_start
+from .live_config import LiveConfig, LossExplosion
+from .logging_util import FileLossDB, MetricsLogger
+from .optim import clip_by_global_norm
+from .train_state import TrainState
+
+
+def scalars_to_arrays(scalars: Dict[str, float]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v, jnp.float32) for k, v in scalars.items()}
+
+
+def make_tacotron2_train_step(model, mesh=None,
+                              gate_positive_weight: float = 10.0,
+                              guided_att_sigma: float = 0.5,
+                              donate: bool = True) -> Callable:
+    """Build the pjit'd Tacotron2 train step.
+
+    step(state, batch, key, ctrl) -> (state, metrics, file_losses)
+    ``ctrl`` = dict of jnp scalars: lr, grad_clip, p_teacher_forcing,
+    teacher_force_till, drop_frame_rate, + loss weights.
+    """
+
+    def loss_fn(params, mutables, batch, key, ctrl):
+        variables = {"params": params, **mutables}
+        (out, _), new_mut = model.apply(
+            variables,
+            text=batch["text"], text_lengths=batch["text_lengths"],
+            mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+            speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+            torchmoji_hidden=batch.get("torchmoji"),
+            key=key,
+            p_teacher_forcing=ctrl["p_teacher_forcing"],
+            teacher_force_till=ctrl["teacher_force_till"],
+            drop_frame_rate=ctrl["drop_frame_rate"],
+            global_mean=batch.get("global_mean"),
+            deterministic=False,
+            rngs={"dropout": jax.random.fold_in(key, 1)},
+            mutable=["batch_stats"])
+        gt = dict(
+            mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+            text_lengths=batch["text_lengths"], sylps=batch["sylps"],
+            gate_target=batch["gate_target"],
+            pres_prev_state=batch.get(
+                "pres_prev_state", jnp.zeros_like(batch["sylps"])),
+        )
+        loss_weights = {k: ctrl[k] for k in DEFAULT_LOSS_SCALARS if k in ctrl}
+        total, loss_dict, file_losses = tacotron2_loss(
+            out, gt, loss_weights,
+            gate_positive_weight=gate_positive_weight,
+            guided_att_sigma=guided_att_sigma)
+        return total, (loss_dict, file_losses, new_mut)
+
+    def step(state: TrainState, batch, key, ctrl):
+        (loss, (loss_dict, file_losses, new_mut)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.mutables, batch, key, ctrl)
+        grads, grad_norm = clip_by_global_norm(grads, ctrl["grad_clip"])
+        new_state = state.apply_gradients(grads, ctrl["lr"])
+        new_state = new_state.replace(mutables=new_mut)
+        loss_dict = dict(loss_dict)
+        loss_dict["grad_norm"] = grad_norm
+        return new_state, loss_dict, file_losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bs, rep, rep),
+        out_shardings=(rep, rep, bs),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_tacotron2_eval_step(model, mesh=None,
+                             gate_positive_weight: float = 10.0) -> Callable:
+    """Teacher-forced validation step (no grads)."""
+
+    def step(state: TrainState, batch, key, ctrl):
+        variables = {"params": state.params, **(state.mutables or {})}
+        out, _ = model.apply(
+            variables,
+            text=batch["text"], text_lengths=batch["text_lengths"],
+            mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+            speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+            torchmoji_hidden=batch.get("torchmoji"),
+            key=key,
+            p_teacher_forcing=ctrl["p_teacher_forcing"],
+            teacher_force_till=ctrl["teacher_force_till"],
+            deterministic=True)
+        gt = dict(
+            mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+            text_lengths=batch["text_lengths"], sylps=batch["sylps"],
+            gate_target=batch["gate_target"],
+        )
+        _, loss_dict, file_losses = tacotron2_loss(
+            out, gt, gate_positive_weight=gate_positive_weight)
+        return loss_dict, file_losses
+
+    if mesh is None:
+        return jax.jit(step)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
+                   out_shardings=(rep, bs))
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    run_dir: str = "runs/default"
+    live_config_path: Optional[str] = None
+    log_every: int = 10
+    seed: int = 1234
+    n_restarts_max: int = 10
+
+
+class Trainer:
+    """Epoch orchestration: live config, explosion recovery, curation.
+
+    Model-agnostic: pass any (train_step, eval_step) pair built by the
+    ``make_*_train_step`` factories.
+    """
+
+    def __init__(self, cfg: TrainerConfig, state: TrainState,
+                 train_step: Callable, eval_step: Optional[Callable] = None):
+        self.cfg = cfg
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.live = LiveConfig(cfg.live_config_path)
+        self.ckpt = Checkpointer(cfg.run_dir)
+        self.logger = MetricsLogger(cfg.run_dir)
+        self.file_db = FileLossDB()
+        self.n_restarts = 0
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+    # -- control dict from live config ------------------------------------
+    def ctrl(self, iteration: int) -> Dict[str, jnp.ndarray]:
+        live = self.live.values
+        base_lr = self.live.lr(iteration)
+        lr = base_lr / (2.0 ** (self.n_restarts / 3.0))
+        ctrl = {
+            "lr": lr,
+            "grad_clip": live.get("grad_clip_thresh", 1.0),
+            "p_teacher_forcing": live.get("p_teacher_forcing", 1.0),
+            "teacher_force_till": live.get("teacher_force_till", 20),
+            "drop_frame_rate": live.get("drop_frame_rate", 0.0),
+        }
+        weights = dict(DEFAULT_LOSS_SCALARS)
+        weights.update(live.get("loss_scalars", {}))
+        ctrl.update(weights)
+        return scalars_to_arrays(ctrl)
+
+    # -- one iteration -------------------------------------------------------
+    def step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        it = int(self.state.step)
+        if it % 5 == 0:
+            self.live.poll({"iteration": it})
+        self.key, sub = jax.random.split(self.key)
+        ctrl = self.ctrl(it)
+        paths = batch.pop("audiopath", None)
+        batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        new_state, loss_dict, file_losses = self.train_step(
+            self.state, batch_dev, sub, ctrl)
+
+        loss = float(loss_dict["loss"])
+        thresh = float(self.live.get("LossExplosionThreshold", 1e3))
+        if not np.isfinite(loss) or loss > thresh:
+            self._recover(loss)
+            return {"loss": loss, "exploded": 1.0}
+
+        self.state = new_state
+        if paths is not None:
+            self.file_db.update(
+                paths, {k: np.asarray(v) for k, v in file_losses.items()})
+        metrics = {k: float(v) for k, v in loss_dict.items()}
+        if it % self.cfg.log_every == 0:
+            metrics["lr"] = float(ctrl["lr"])
+            self.logger.log_scalars(it, metrics)
+        if self.ckpt.manual_save_requested():
+            self.save(periodic=True)
+        return metrics
+
+    # -- explosion recovery ----------------------------------------------------
+    def _recover(self, loss: float):
+        """Reload best_val_model with decayed LR (reference
+        train.py:831-851). If no best model exists yet, keep going."""
+        self.n_restarts += 1
+        if self.n_restarts > self.cfg.n_restarts_max:
+            raise LossExplosion(
+                f"loss {loss} exploded {self.n_restarts} times; giving up")
+        import os
+        best = os.path.join(self.cfg.run_dir, "best_val_model")
+        if os.path.exists(best):
+            tree, _ = load_checkpoint(best)
+            params, _, _ = warm_start(
+                jax.tree_util.tree_map(np.asarray, self.state.params),
+                tree["params"])
+            self.state = self.state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params))
+        print(f"[trainer] LossExplosion (loss={loss}); restart "
+              f"#{self.n_restarts}, lr decay 2^{self.n_restarts}/3")
+
+    # -- checkpointing ------------------------------------------------------
+    def _state_tree(self):
+        return {
+            "step": int(self.state.step),
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "opt_state": jax.tree_util.tree_map(
+                np.asarray, self.state.opt_state),
+            "mutables": jax.tree_util.tree_map(
+                np.asarray, self.state.mutables),
+        }
+
+    def save(self, periodic=True, val_loss: Optional[float] = None,
+             att_score: Optional[float] = None, metadata=None):
+        tree = self._state_tree()
+        if periodic:
+            self.ckpt.save_periodic(int(self.state.step), tree, metadata)
+        if val_loss is not None:
+            self.ckpt.maybe_save_best_val(val_loss, tree, metadata)
+        if att_score is not None:
+            self.ckpt.maybe_save_best_attsc(att_score, tree, metadata)
+
+    def validate(self, batches, iteration: Optional[int] = None
+                 ) -> Dict[str, float]:
+        """Seeded, reproducible validation over an iterable of batches."""
+        assert self.eval_step is not None
+        it = iteration if iteration is not None else int(self.state.step)
+        agg: Dict[str, list] = {}
+        for i, batch in enumerate(batches):
+            key = jax.random.PRNGKey(self.cfg.seed + i)   # forked, seeded
+            ctrl = self.ctrl(it)
+            batch = dict(batch)
+            batch.pop("audiopath", None)
+            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss_dict, _ = self.eval_step(self.state, batch_dev, key, ctrl)
+            for k, v in loss_dict.items():
+                agg.setdefault(k, []).append(float(v))
+        means = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
+        self.logger.log_scalars(it, means, prefix="validation")
+        return means
