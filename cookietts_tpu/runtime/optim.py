@@ -133,7 +133,9 @@ def clip_by_global_norm(grads, max_norm: float | jnp.ndarray):
     finite = jnp.isfinite(norm)
     scale = jnp.where(finite, jnp.minimum(1.0, max_norm / (norm + 1e-6)), 0.0)
     clipped = jax.tree_util.tree_map(
-        lambda g: g * scale.astype(g.dtype), grads)
+        lambda g: jnp.where(finite, g * scale.astype(g.dtype),
+                            jnp.zeros_like(g)),
+        grads)
     return clipped, norm
 
 

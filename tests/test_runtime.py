@@ -1,0 +1,245 @@
+"""Runtime component tests: optimizers, checkpointing, live config,
+dataset collate/TBPTT, mesh helpers. Mostly host-side (fast)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cookietts_tpu.data.dataset import (
+    DataConfig, Segment, TBPTTSampler, bucket_size, collate)
+from cookietts_tpu.parallel.mesh import make_mesh, shard_batch
+from cookietts_tpu.runtime.checkpoint import (
+    Checkpointer, load_checkpoint, save_checkpoint, warm_start)
+from cookietts_tpu.runtime.live_config import (
+    LiveConfig, piecewise_warmup_decay_lr)
+from cookietts_tpu.runtime.logging_util import FileLossDB
+from cookietts_tpu.runtime.optim import (
+    adam, apply_updates, clip_by_global_norm, lamb)
+
+
+# -- optimizers -------------------------------------------------------------
+
+def _quadratic_losses(opt, n_steps=400, lr=0.1):
+    params = {"w": jnp.asarray([3.0, -2.0]), "b": jnp.asarray(5.0)}
+    state = opt.init(params)
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2) + p["b"] ** 2
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params, lr=lr)
+        return apply_updates(params, updates), state, loss
+
+    losses = []
+    for _ in range(n_steps):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    return losses
+
+
+def test_adam_converges():
+    losses = _quadratic_losses(adam())
+    assert losses[-1] < losses[0] * 1e-2
+
+
+def test_lamb_converges():
+    losses = _quadratic_losses(lamb(), lr=0.05)
+    assert losses[-1] < losses[0] * 1e-1
+
+
+def test_clip_by_global_norm():
+    grads = {"a": jnp.full((4,), 10.0)}
+    clipped, norm = clip_by_global_norm(grads, 1.0)
+    assert float(norm) == 20.0
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(clipped["a"])), 1.0, rtol=1e-4)
+    # NaN grads -> zero update (skip-step semantics)
+    bad = {"a": jnp.asarray([jnp.nan, 1.0])}
+    clipped, _ = clip_by_global_norm(bad, 1.0)
+    assert np.all(np.asarray(clipped["a"]) == 0.0)
+
+
+# -- checkpointing ------------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"params": {"dense": {"kernel": np.ones((3, 2), np.float32)}},
+            "step": np.int32(7)}
+    path = str(tmp_path / "ckpt_1")
+    save_checkpoint(path, tree, metadata={"speaker_ids": {"a": 0}})
+    restored, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(
+        restored["params"]["dense"]["kernel"], tree["params"]["dense"]["kernel"])
+    assert meta["speaker_ids"] == {"a": 0}
+
+
+def test_warm_start_shape_filter():
+    params = {"enc": {"kernel": np.zeros((3, 2), np.float32)},
+              "dec": {"kernel": np.zeros((4, 4), np.float32)}}
+    restored = {"enc": {"kernel": np.ones((3, 2), np.float32)},
+                "dec": {"kernel": np.ones((9, 9), np.float32)}}  # mismatch
+    out, loaded, skipped = warm_start(params, restored)
+    assert loaded == 1 and skipped == 1
+    assert np.all(out["enc"]["kernel"] == 1.0)
+    assert np.all(out["dec"]["kernel"] == 0.0)
+
+
+def test_warm_start_ignore_layers():
+    params = {"enc": {"kernel": np.zeros((2,), np.float32)}}
+    restored = {"enc": {"kernel": np.ones((2,), np.float32)}}
+    out, loaded, skipped = warm_start(params, restored,
+                                      ignore_layers=("enc",))
+    assert loaded == 0 and np.all(out["enc"]["kernel"] == 0.0)
+
+
+def test_checkpointer_best_tracking(tmp_path):
+    ck = Checkpointer(str(tmp_path), keep_last=2)
+    tree = {"x": np.zeros(1)}
+    for step in (10, 20, 30):
+        ck.save_periodic(step, tree)
+    names = sorted(os.listdir(str(tmp_path)))
+    assert "checkpoint_10" not in names and "checkpoint_30" in names
+    assert ck.maybe_save_best_val(1.0, tree)
+    assert not ck.maybe_save_best_val(2.0, tree)
+    assert ck.maybe_save_best_val(0.5, tree)
+    assert ck.maybe_save_best_attsc(0.7, tree)
+    assert not ck.maybe_save_best_attsc(0.6, tree)
+    assert ck.latest().endswith("checkpoint_30")
+
+
+def test_manual_save_trigger(tmp_path):
+    ck = Checkpointer(str(tmp_path))
+    assert not ck.manual_save_requested()
+    open(os.path.join(str(tmp_path), "save"), "w").close()
+    assert ck.manual_save_requested()
+    assert not ck.manual_save_requested()   # consumed
+
+
+# -- live config ---------------------------------------------------------------
+
+def test_live_config_reload(tmp_path):
+    p = str(tmp_path / "run_every_epoch.py")
+    with open(p, "w") as f:
+        f.write("A_ = 2e-3\ngrad_clip_thresh = 5.0\n")
+    lc = LiveConfig(p)
+    assert lc["A_"] == 2e-3 and lc["grad_clip_thresh"] == 5.0
+    # edit + mtime bump -> reload
+    with open(p, "w") as f:
+        f.write("A_ = 7e-4\n")
+    os.utime(p, (os.path.getmtime(p) + 5, os.path.getmtime(p) + 5))
+    assert lc.poll()
+    assert lc["A_"] == 7e-4
+    # broken file keeps previous values
+    with open(p, "w") as f:
+        f.write("A_ = this is not python")
+    os.utime(p, (os.path.getmtime(p) + 10, os.path.getmtime(p) + 10))
+    lc.poll()
+    assert lc["A_"] == 7e-4
+
+
+def test_lr_schedule_shapes():
+    cfg = {"A_": 1e-3, "B_": 1000.0, "C_": 0.0, "warmup_start": 0,
+           "warmup_end": 100, "warmup_start_lr": 1e-4, "decay_start": 200}
+    assert piecewise_warmup_decay_lr(0, cfg) == 1e-4
+    assert abs(piecewise_warmup_decay_lr(100, cfg) - 1e-3) < 1e-9
+    assert piecewise_warmup_decay_lr(150, cfg) == 1e-3
+    assert piecewise_warmup_decay_lr(1200, cfg) < 1e-3
+
+
+# -- file-loss DB ----------------------------------------------------------------
+
+def test_file_loss_db_smoothing_and_filter(tmp_path):
+    db = FileLossDB(smoothing=0.5)
+    db.update(["a.wav", "b.wav"],
+              {"att_score": np.asarray([0.9, 0.3]),
+               "spec_MSE": np.asarray([0.1, 0.2])})
+    db.update(["a.wav"], {"att_score": np.asarray([0.7])})
+    assert abs(db.db["a.wav"]["att_score"] - 0.8) < 1e-6
+    keep = db.filter_paths(min_att_score=0.5)
+    assert keep == ["a.wav"]
+    db.to_csv(str(tmp_path / "fl.csv"))
+    assert os.path.getsize(str(tmp_path / "fl.csv")) > 0
+
+
+# -- collate / TBPTT ----------------------------------------------------------------
+
+def _items(lengths, n_mel=8):
+    rng = np.random.default_rng(0)
+    items = []
+    for i, L in enumerate(lengths):
+        items.append({
+            "audiopath": f"f{i}.wav",
+            "text": rng.integers(1, 30, (5 + i,)).astype(np.int32),
+            "mel": rng.standard_normal((L, n_mel)).astype(np.float32),
+            "speaker_id": i, "sylps": np.float32(4.0),
+        })
+    return items
+
+
+def test_bucket_size():
+    assert bucket_size(3, (32, 64)) == 32
+    assert bucket_size(33, (32, 64)) == 64
+    assert bucket_size(1000, (32, 64)) == 64
+
+
+def test_collate_static_shapes_and_gate():
+    cfg = DataConfig(text_buckets=(8, 16), mel_buckets=(16, 32))
+    items = _items([10, 14])
+    out = collate(items, cfg)
+    assert out["text"].shape == (2, 8)
+    assert out["mels"].shape == (2, 16, 8)
+    # gate: 1.0 from last valid frame onward
+    assert out["gate_target"][0, 9] == 1.0
+    assert out["gate_target"][0, 8] == 0.0
+    assert out["gate_target"][0, 15] == 1.0
+
+
+def test_collate_tbptt_segments():
+    cfg = DataConfig(text_buckets=(8,), mel_buckets=(8,),
+                     max_segment_frames=8)
+    items = _items([20, 20])
+    segs = [Segment(0, 0, 3), Segment(1, 2, 3)]
+    out = collate(items, cfg, segments=segs)
+    # first item: segment 0 of 3 -> continuation follows, no gate
+    assert out["pres_prev_state"][0] == 0.0
+    assert out["cont_next_iter"][0] == 1.0
+    assert np.all(out["gate_target"][0] == 0.0)
+    # second item: final segment (frames 16:20 -> len 4), gate fires
+    assert out["pres_prev_state"][1] == 1.0
+    assert out["cont_next_iter"][1] == 0.0
+    assert out["mel_lengths"][1] == 4
+    assert out["gate_target"][1, 3] == 1.0
+
+
+def test_tbptt_sampler_continuity():
+    lengths = [25, 8, 17, 9, 30]
+    sampler = TBPTTSampler(lengths, batch_size=2, max_segment_frames=10,
+                           shuffle=False)
+    batches = list(iter(sampler))
+    # every lane must run segments of one file consecutively, in order
+    lane_hist = [[], []]
+    for batch in batches:
+        for lane, seg in enumerate(batch):
+            lane_hist[lane].append(seg)
+    for hist in lane_hist:
+        for prev, cur in zip(hist, hist[1:]):
+            if cur.file_idx == prev.file_idx:
+                assert cur.seg_idx == prev.seg_idx + 1
+            else:
+                assert prev.seg_idx == prev.n_segs - 1
+                assert cur.seg_idx == 0
+    # all segments of file 0 (3 segs of 25/10) appear exactly once
+    seen = [(s.file_idx, s.seg_idx) for b in batches for s in b]
+    assert len(seen) == len(set(seen))
+
+
+# -- mesh ----------------------------------------------------------------------
+
+def test_mesh_and_shard_batch():
+    mesh = make_mesh(dp=-1, tp=1)
+    assert mesh.devices.size == len(jax.devices())
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+    sharded = shard_batch(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
