@@ -482,6 +482,9 @@ class Tacotron2(nn.Module):
                       key: Optional[jax.Array], deterministic: bool):
         cfg = self.cfg
         B, T_txt = text.shape
+        # clamp ids: under jit an out-of-range take fills NaN, which would
+        # silently poison the whole decode
+        text = jnp.clip(text, 0, cfg.n_symbols - 1)
         embedded = self.embedding(text)
         enc_spk = (self.encoder_speaker_embedding(speaker_id)
                    if cfg.encoder_speaker_embed_dim > 0 else None)

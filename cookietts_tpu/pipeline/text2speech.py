@@ -1,0 +1,314 @@
+"""T2S — the text-to-speech inference worker.
+
+Capability rebuild of CookieTTS/_5_infer/t2s_server/text2speech.py:
+
+- :func:`parse_text_into_segments` — quote/sentence-aware splitting of
+  arbitrary-length input into synthesizable segments (:40-149).
+- speaker fuzzy matching via difflib (:327-330) and per-segment speaker
+  interleave modes (:459-474).
+- **best-of-N rejection sampling** (:546-634): batch-generate candidates,
+  score with the alignment ``weighted_score``, keep the best per segment,
+  retry below-target segments until ``target_score`` or ``max_attempts``.
+- dynamic max decoder steps from text length (:409-412,457).
+- batched vocoding (:658-666) and in-process concat of the output audio
+  (replaces the reference's sox subprocess, :707-746).
+
+The torch/Flask machinery is gone: generation is one jitted batched scan,
+scoring is jitted, and the host loop only does control flow.
+"""
+from __future__ import annotations
+
+import dataclasses
+import difflib
+import re
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.tacotron2 import Tacotron2
+from ..ops.metrics import alignment_metric, weighted_score
+from ..text import text_to_sequence
+
+
+# -- text segmentation (reference :40-149) -----------------------------------
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?;:])\s+")
+
+
+def parse_text_into_segments(text: str, split_at_quotes: bool = True,
+                             target_segment_length: int = 120,
+                             max_segment_length: int = 256) -> List[str]:
+    """Split input into segments at quote and sentence boundaries.
+
+    Quoted spans are kept intact as their own segments when
+    ``split_at_quotes`` (dialogue keeps one voice); long stretches are
+    re-packed into chunks near ``target_segment_length`` chars without
+    crossing ``max_segment_length``.
+    """
+    text = text.replace("\n", " ").strip()
+    if not text:
+        return []
+
+    # split out quoted spans first
+    spans: List[str] = []
+    if split_at_quotes and '"' in text:
+        parts = text.split('"')
+        for i, part in enumerate(parts):
+            part = part.strip()
+            if not part:
+                continue
+            spans.append(f'"{part}"' if i % 2 == 1 else part)
+    else:
+        spans = [text]
+
+    # sentence-split each span, then greedily pack to target length
+    segments: List[str] = []
+    for span in spans:
+        sentences = [s.strip() for s in _SENT_SPLIT.split(span) if s.strip()]
+        cur = ""
+        for s in sentences:
+            while len(s) > max_segment_length:   # hard-split huge sentences
+                cut = s.rfind(" ", 0, max_segment_length)
+                cut = cut if cut > 0 else max_segment_length
+                if cur:
+                    segments.append(cur)
+                    cur = ""
+                segments.append(s[:cut].strip())
+                s = s[cut:].strip()
+            if cur and len(cur) + 1 + len(s) > target_segment_length:
+                segments.append(cur)
+                cur = s
+            else:
+                cur = f"{cur} {s}".strip()
+        if cur:
+            segments.append(cur)
+    return segments
+
+
+def fuzzy_match_speaker(name: str, known: Sequence[str]) -> str:
+    """Closest known speaker name (reference :327-330 difflib)."""
+    matches = difflib.get_close_matches(name, known, n=1, cutoff=0.0)
+    if not matches:
+        raise KeyError(f"unknown speaker {name!r}")
+    return matches[0]
+
+
+def interleave_speakers(n_segments: int, speakers: Sequence[str],
+                        mode: str = "cycle next",
+                        rng: Optional[np.random.Generator] = None
+                        ) -> List[str]:
+    """Assign a speaker to each segment (reference :459-474 modes)."""
+    rng = rng or np.random.default_rng(0)
+    if mode == "cycle next":
+        return [speakers[i % len(speakers)] for i in range(n_segments)]
+    if mode == "cycle all":
+        out, i = [], 0
+        for _ in range(n_segments):
+            out.append(speakers[i])
+            i = (i + 1) % len(speakers)
+        return out
+    if mode == "random":
+        return [speakers[int(rng.integers(len(speakers)))]
+                for _ in range(n_segments)]
+    # default: first speaker everywhere
+    return [speakers[0] for _ in range(n_segments)]
+
+
+@dataclasses.dataclass
+class T2SConfig:
+    target_score: float = 0.75     # t2s_config.json default
+    max_attempts: int = 64
+    batch_size: int = 32           # candidates per generation round
+    max_text_len: int = 256        # padded text length (static shape)
+    frames_per_char: float = 10.0  # dynamic max decoder steps scale
+    max_decoder_steps: int = 3000
+    vocoder_batch_size: int = 16
+    gate_threshold: float = 0.5
+    gate_delay: int = 10
+    text_cleaners: Tuple[str, ...] = ("english_cleaners",)
+    step_buckets: Tuple[int, ...] = (256, 512, 1024, 2048)
+    # segmentation (reference parse_text_into_segments params)
+    split_at_quotes: bool = True
+    target_segment_length: int = 120
+    max_segment_length: int = 256
+
+
+class T2S:
+    """Programmatic TTS API (reference T2S class, text2speech.py:151-776).
+
+    Construction is dependency-injected for testability:
+        T2S(cfg, tts_model, tts_variables, speaker_ids={name: id},
+            vocoder_fn=...)   # vocoder_fn(mel [B,T,M]) -> audio [B,T*hop]
+    """
+
+    def __init__(self, cfg: T2SConfig, tts_model: Tacotron2,
+                 tts_variables: Any, speaker_ids: Dict[str, int],
+                 vocoder_fn: Optional[Callable] = None,
+                 torchmoji_fn: Optional[Callable[[str], np.ndarray]] = None,
+                 sample_rate: int = 44100, hop_length: int = 512):
+        self.cfg = cfg
+        self.model = tts_model
+        self.variables = tts_variables
+        self.speaker_ids = dict(speaker_ids)
+        self.vocoder_fn = vocoder_fn
+        self.torchmoji_fn = torchmoji_fn
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self._infer_cache: Dict[int, Callable] = {}
+
+    # -- jitted generation+scoring for a fixed max_steps --------------------
+    def _infer_fn(self, max_steps: int) -> Callable:
+        if max_steps in self._infer_cache:
+            return self._infer_cache[max_steps]
+
+        def run(variables, text, text_lengths, speaker_id, torchmoji, key):
+            out = self.model.apply(
+                variables, text, text_lengths, speaker_id, torchmoji,
+                key=key, max_decoder_steps=max_steps,
+                method=Tacotron2.inference)
+            atd = alignment_metric(out["alignments"], text_lengths,
+                                   out["mel_lengths"])
+            scores = weighted_score(atd, text_lengths, out["mel_lengths"])
+            return (out["mel_outputs_postnet"], out["mel_lengths"],
+                    scores)
+
+        fn = jax.jit(run)
+        self._infer_cache[max_steps] = fn
+        return fn
+
+    def _round_steps(self, n: int) -> int:
+        """Round max decoder steps up to a small set of static shapes."""
+        for s in self.cfg.step_buckets:
+            if n <= s:
+                return s
+        return self.cfg.max_decoder_steps
+
+    # -- main entry ------------------------------------------------------------
+    def infer(self, text: str, speaker: Sequence[str] | str = (),
+              use_arpabet: bool = False,
+              speaker_mode: str = "cycle next",
+              target_score: Optional[float] = None,
+              max_attempts: Optional[int] = None,
+              batch_size: Optional[int] = None,
+              seed: int = 0) -> Dict[str, Any]:
+        """Synthesize ``text``. Returns dict with mels per segment, scores,
+        attempts, timing stats, and (if a vocoder is attached) the audio.
+        """
+        cfg = self.cfg
+        target = target_score if target_score is not None else cfg.target_score
+        max_att = max_attempts or cfg.max_attempts
+        bsz = batch_size or cfg.batch_size
+        t_start = time.time()
+
+        if isinstance(speaker, str):
+            speaker = [speaker]
+        if not speaker:
+            speaker = [next(iter(self.speaker_ids))]
+        known = list(self.speaker_ids)
+        speaker = [fuzzy_match_speaker(s, known) for s in speaker]
+
+        segments = parse_text_into_segments(
+            text, split_at_quotes=cfg.split_at_quotes,
+            target_segment_length=cfg.target_segment_length,
+            max_segment_length=cfg.max_segment_length)
+        if not segments:
+            return {"segments": [], "mels": [], "scores": [],
+                    "audio": np.zeros(0, np.float32)}
+        seg_speakers = interleave_speakers(len(segments), speaker,
+                                           speaker_mode,
+                                           np.random.default_rng(seed))
+
+        # encode all segments (host)
+        seqs = [np.asarray(text_to_sequence(s, cfg.text_cleaners), np.int32)
+                for s in segments]
+        tm = None
+        if self.torchmoji_fn is not None:
+            tm = [self.torchmoji_fn(s).astype(np.float32) for s in segments]
+
+        best_mels: List[Optional[np.ndarray]] = [None] * len(segments)
+        best_scores = np.full(len(segments), -np.inf)
+        best_lengths = np.zeros(len(segments), np.int64)
+        attempts = np.zeros(len(segments), np.int64)
+        key = jax.random.PRNGKey(seed)
+
+        pending = list(range(len(segments)))
+        while pending:
+            # fill one candidate batch: spread attempts across pending segs
+            batch_idx = (pending * ((bsz // len(pending)) + 1))[:bsz]
+            t_max = max(len(seqs[i]) for i in batch_idx)
+            t_pad = min(-(-t_max // 32) * 32, cfg.max_text_len)
+            text_arr = np.zeros((bsz, t_pad), np.int32)
+            lens = np.zeros((bsz,), np.int32)
+            spk = np.zeros((bsz,), np.int32)
+            tm_arr = np.zeros(
+                (bsz, self.model.cfg.torchmoji_dim), np.float32)
+            for row, i in enumerate(batch_idx):
+                n = min(len(seqs[i]), t_pad)
+                text_arr[row, :n] = seqs[i][:n]
+                lens[row] = n
+                spk[row] = self.speaker_ids[seg_speakers[i]]
+                if tm is not None:
+                    tm_arr[row] = tm[i]
+            max_steps = self._round_steps(
+                int(t_max * cfg.frames_per_char) + cfg.gate_delay)
+
+            key, sub = jax.random.split(key)
+            fn = self._infer_fn(max_steps)
+            mels, mel_lengths, scores = fn(
+                self.variables, jnp.asarray(text_arr), jnp.asarray(lens),
+                jnp.asarray(spk), jnp.asarray(tm_arr), sub)
+            mels = np.asarray(mels)
+            mel_lengths = np.asarray(mel_lengths)
+            scores = np.asarray(scores)
+
+            for row, i in enumerate(batch_idx):
+                attempts[i] += 1
+                if scores[row] > best_scores[i]:
+                    best_scores[i] = scores[row]
+                    best_lengths[i] = mel_lengths[row]
+                    best_mels[i] = mels[row, : mel_lengths[row]]
+            pending = [i for i in pending
+                       if best_scores[i] < target and attempts[i] < max_att]
+
+        gen_time = time.time() - t_start
+
+        # vocode in batches (reference :658-666)
+        audio = np.zeros(0, np.float32)
+        if self.vocoder_fn is not None:
+            pieces: List[np.ndarray] = []
+            vb = cfg.vocoder_batch_size
+            n_mel = best_mels[0].shape[1]
+            for i0 in range(0, len(best_mels), vb):
+                chunk = best_mels[i0:i0 + vb]
+                t_max = max(m.shape[0] for m in chunk)
+                t_pad = -(-t_max // 32) * 32
+                mel_in = np.full((len(chunk), t_pad, n_mel), -11.52,
+                                 np.float32)
+                for r, m in enumerate(chunk):
+                    mel_in[r, : m.shape[0]] = m
+                wav = np.asarray(self.vocoder_fn(jnp.asarray(mel_in)))
+                for r, m in enumerate(chunk):
+                    pieces.append(wav[r, : m.shape[0] * self.hop_length])
+            audio = np.concatenate(pieces) if pieces else audio
+
+        total = time.time() - t_start
+        audio_seconds = float(best_lengths.sum() * self.hop_length
+                              / self.sample_rate)
+        return {
+            "segments": segments,
+            "speakers": seg_speakers,
+            "mels": best_mels,
+            "mel_lengths": best_lengths,
+            "scores": best_scores,
+            "attempts": attempts,
+            "failure_rate": float(np.mean(best_scores < 0.6)),
+            "audio": audio,
+            "audio_seconds": audio_seconds,
+            "gen_time": gen_time,
+            "total_time": total,
+            "xrt": audio_seconds / max(total, 1e-6),
+        }

@@ -1,0 +1,138 @@
+"""Pipeline tests: text segmentation, speaker matching, T2S end-to-end
+(tiny model, no vocoder), GTA durations, server handler."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cookietts_tpu.pipeline.gta import (
+    durations_from_alignment, extreme_gta_offsets)
+from cookietts_tpu.pipeline.text2speech import (
+    T2S, T2SConfig, fuzzy_match_speaker, interleave_speakers,
+    parse_text_into_segments)
+
+
+def test_parse_segments_sentences():
+    segs = parse_text_into_segments(
+        "Hello world. This is a test! Short.", target_segment_length=20)
+    assert segs == ["Hello world.", "This is a test!", "Short."]
+
+
+def test_parse_segments_quotes_kept_together():
+    segs = parse_text_into_segments(
+        'She said "Come here. Now." and left.', target_segment_length=200)
+    assert any(s.startswith('"') and s.endswith('"') for s in segs)
+
+
+def test_parse_segments_long_packing():
+    text = " ".join(["word"] * 300) + "."
+    segs = parse_text_into_segments(text, target_segment_length=100,
+                                    max_segment_length=120)
+    assert all(len(s) <= 120 for s in segs)
+    assert sum(len(s.split()) for s in segs) == 300
+
+
+def test_parse_segments_empty():
+    assert parse_text_into_segments("") == []
+
+
+def test_fuzzy_match():
+    known = ["Twilight Sparkle", "Rainbow Dash", "Nancy"]
+    assert fuzzy_match_speaker("twilight", known) == "Twilight Sparkle"
+    assert fuzzy_match_speaker("rainbow dsh", known) == "Rainbow Dash"
+
+
+def test_interleave_modes():
+    assert interleave_speakers(4, ["a", "b"], "cycle next") == \
+        ["a", "b", "a", "b"]
+    r = interleave_speakers(10, ["a", "b"], "random",
+                            np.random.default_rng(0))
+    assert set(r) <= {"a", "b"}
+
+
+def test_gta_durations():
+    B, T_dec, T_enc = 1, 6, 3
+    a = np.zeros((B, T_dec, T_enc))
+    a[0, :, 0] = 1.0
+    a[0, 3:, 1] = 2.0   # frames 3.. attend char 1
+    durs = durations_from_alignment(
+        a, np.asarray([3]), np.asarray([6]))
+    np.testing.assert_array_equal(durs[0], [3, 3, 0])
+
+
+def test_extreme_gta_offsets():
+    assert extreme_gta_offsets(512, 128) == [0, 128, 256, 384]
+    with pytest.raises(AssertionError):
+        extreme_gta_offsets(512, 100)
+
+
+@pytest.fixture(scope="module")
+def tiny_t2s():
+    from tests.test_tacotron2 import tiny_cfg
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.text import N_SYMBOLS
+    cfg = tiny_cfg(max_decoder_steps=64, n_symbols=N_SYMBOLS)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T_txt, T_mel = 2, 12, 16
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T_txt)),
+                         jnp.int32),
+        text_lengths=jnp.asarray([T_txt, T_txt - 2], jnp.int32),
+        mels=jnp.asarray(rng.standard_normal(
+            (B, T_mel, cfg.n_mel_channels)), jnp.float32),
+        mel_lengths=jnp.asarray([T_mel, T_mel - 3], jnp.int32),
+        speaker_id=jnp.asarray([0, 1], jnp.int32),
+        sylps=jnp.full((B,), 4.0),
+        torchmoji_hidden=jnp.asarray(
+            rng.standard_normal((B, cfg.torchmoji_dim)), jnp.float32))
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    t2s_cfg = T2SConfig(batch_size=4, max_attempts=2, step_buckets=(48,),
+                        max_decoder_steps=48, target_score=0.99,
+                        target_segment_length=16)
+    return T2S(t2s_cfg, model, variables,
+               speaker_ids={"Alice": 0, "Bob": 1})
+
+
+def test_t2s_infer_end_to_end(tiny_t2s):
+    result = tiny_t2s.infer("Hello there. How are you?",
+                            speaker=["alice", "bob"], seed=3)
+    assert len(result["segments"]) == 2
+    assert result["speakers"] == ["Alice", "Bob"]
+    assert all(m is not None and m.ndim == 2 for m in result["mels"])
+    assert np.all(result["attempts"] >= 1)
+    assert np.all(np.isfinite(result["scores"]))
+    assert result["xrt"] > 0
+
+
+def test_server_stats_endpoint(tiny_t2s):
+    import tornado.httpserver
+    import tornado.testing
+    from cookietts_tpu.pipeline.server import make_app
+
+    class ServerTest(tornado.testing.AsyncHTTPTestCase):
+        def get_app(self):
+            return make_app(tiny_t2s, default_speaker="Alice")
+
+        def runTest(self):
+            resp = self.fetch("/")
+            assert resp.code == 200 and b"cookietts_tpu" in resp.body
+            resp = self.fetch(
+                "/tts", method="POST",
+                body="input_text=Hi there.&stats_only=1&batch_size=4"
+                     "&max_attempts=1&target_score=0.1")
+            assert resp.code == 200, resp.body
+            stats = json.loads(resp.body)
+            assert stats["segments"] == ["Hi there."]
+            assert "xrt" in stats
+
+    test = ServerTest()
+    test.setUp()
+    try:
+        test.runTest()
+    finally:
+        test.tearDown()
