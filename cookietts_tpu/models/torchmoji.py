@@ -80,9 +80,11 @@ class TorchMoji(nn.Module):
     return_attention: bool = False
 
     def _bilstm(self, x, lengths, name):
-        fwd = nn.RNN(HardSigmoidLSTMCell(HIDDEN), name=f"{name}_fwd")
-        bwd = nn.RNN(HardSigmoidLSTMCell(HIDDEN), reverse=True,
-                     keep_order=True, name=f"{name}_bwd")
+        # cells are named explicitly so converted torch weights land on
+        # stable paths ({name}_fwd / {name}_bwd)
+        fwd = nn.RNN(HardSigmoidLSTMCell(HIDDEN, name=f"{name}_fwd"))
+        bwd = nn.RNN(HardSigmoidLSTMCell(HIDDEN, name=f"{name}_bwd"),
+                     reverse=True, keep_order=True)
         return jnp.concatenate(
             [fwd(x, seq_lengths=lengths), bwd(x, seq_lengths=lengths)],
             axis=-1)
@@ -167,7 +169,8 @@ class TorchMojiEncoder:
         self.vocab = vocabulary
         self.variables = variables
         self.maxlen = maxlen
-        self.model = TorchMoji()
+        nb_tokens = variables["params"]["embed"]["embedding"].shape[0]
+        self.model = TorchMoji(nb_tokens=nb_tokens)
         self._fn = jax.jit(self.model.apply)
 
     def __call__(self, text: str) -> np.ndarray:
@@ -194,8 +197,8 @@ def convert_torch_checkpoint(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         b = (np.asarray(state_dict[f"{prefix}.bias_ih_l0{sfx}"], np.float32)
              + np.asarray(state_dict[f"{prefix}.bias_hh_l0{sfx}"],
                           np.float32))
-        return {"cell": {"ih": {"kernel": w_ih, "bias": b},
-                         "hh": {"kernel": w_hh}}}
+        return {"ih": {"kernel": w_ih, "bias": b},
+                "hh": {"kernel": w_hh}}
 
     params = {
         "embed": {"embedding": np.asarray(state_dict["embed.weight"],
