@@ -273,3 +273,72 @@ class Trainer:
         means = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
         self.logger.log_scalars(it, means, prefix="validation")
         return means
+
+
+# -- vocoder (WaveGlow/WaveFlow) steps ----------------------------------------
+
+def make_waveglow_train_step(model, mesh=None, sigma: float = 1.0,
+                             donate: bool = True) -> Callable:
+    """Flow-NLL train step (reference _4_mtw/waveglow/train.py:522-616).
+
+    step(state, batch{audio, mels}, key, ctrl{lr, grad_clip}) ->
+    (state, metrics, per_item_z_sq)
+    """
+    from ..models.waveglow import waveglow_loss
+
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch["audio"], batch["mels"])
+        loss, loss_dict = waveglow_loss(out, sigma=sigma)
+        return loss, loss_dict
+
+    def step(state: TrainState, batch, key, ctrl):
+        del key
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        grads, grad_norm = clip_by_global_norm(grads, ctrl["grad_clip"])
+        new_state = state.apply_gradients(grads, ctrl["lr"])
+        loss_dict = dict(loss_dict)
+        loss_dict["grad_norm"] = grad_norm
+        return new_state, loss_dict
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_waveglow_val_step(model, stft_windows=((1200, 300, 1200),
+                                                (2400, 600, 2400)),
+                           sigma: float = 1.0) -> Callable:
+    """Validation: invert the flow from sampled z and compare multi-window
+    STFT magnitudes to ground truth (reference train.py:184-341).
+
+    Returns step(state, batch, key) -> dict(val_MSE, val_MAE).
+    Call ``elapsed/audio_seconds`` host-side for the RTF scalar the
+    reference also logs.
+    """
+    from ..audio.stft import STFT
+    from ..models.waveglow import WaveGlow
+
+    banks = [STFT(f, h, w) for (f, h, w) in stft_windows]
+
+    def step(state: TrainState, batch, key):
+        variables = {"params": state.params}
+        gen = model.apply(variables, batch["mels"], key, sigma,
+                          method=WaveGlow.infer)
+        gt = batch["audio"][:, : gen.shape[1]]
+        gen = gen[:, : gt.shape[1]].astype(jnp.float32)
+        mse = jnp.zeros((), jnp.float32)
+        mae = jnp.zeros((), jnp.float32)
+        for bank in banks:
+            mag_gen, _ = bank.transform(gen, return_phase=False)
+            mag_gt, _ = bank.transform(gt, return_phase=False)
+            mse = mse + jnp.mean((mag_gen - mag_gt) ** 2)
+            mae = mae + jnp.mean(jnp.abs(mag_gen - mag_gt))
+        n = float(len(banks))
+        return {"val_MSE": mse / n, "val_MAE": mae / n}
+
+    return jax.jit(step)
