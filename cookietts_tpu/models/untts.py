@@ -1,0 +1,335 @@
+"""UnTTS — non-autoregressive duration-based flow TTS.
+
+Capability rebuild of CookieTTS/_2_ttm/untts/ (FastPitch-style
+FFTransformer blocks `untts/fastpitch/transformer.py:283+`, the
+`TemporalPredictor` duration/f0/energy predictors
+`fastpitch/length_predictor.py:23`, and the conditional decoder flow
+`untts/waveglow/{glow,varglow}.py`), re-composed TPU-first:
+
+- :class:`FFTBlock` — masked multi-head self-attention + 1-D conv FFN
+  (all big matmuls, no recurrence — ideal MXU shape).
+- :class:`TemporalPredictor` — conv+LN stack -> per-char scalar.
+- :func:`length_regulate` — duration expansion as ONE [T, N] interval
+  -matrix matmul (replaces the reference's per-item repeat_interleave:
+  static shapes, batched, differentiable w.r.t. char features).
+- :class:`MelFlowDecoder` — conditional normalizing flow over mel frames
+  (invertible 1x1 channel mixing + WN affine couplings conditioned on the
+  length-regulated text), reusing the WaveGlow machinery. Training is
+  exact max-likelihood (z NLL); inference is the closed-form inverse —
+  the whole utterance is generated in ONE parallel pass.
+
+Default mel flow grouping keeps n_mel=80 channels per step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.masking import get_mask_from_lengths
+from .waveglow import WN, Invertible1x1Conv
+
+
+@dataclasses.dataclass(frozen=True)
+class UnTTSConfig:
+    n_symbols: int = 256
+    symbols_embedding_dim: int = 384
+    n_speakers: int = 512
+    speaker_embedding_dim: int = 128
+    n_mel_channels: int = 80
+    # encoder FFT stack
+    enc_layers: int = 4
+    enc_heads: int = 2
+    enc_ffn_dim: int = 1024
+    enc_kernel_size: int = 3
+    dropout: float = 0.1
+    # predictors
+    predictor_kernel_size: int = 3
+    predictor_filter_size: int = 256
+    predictor_layers: int = 2
+    predict_f0: bool = True
+    predict_energy: bool = True
+    # decoder flow
+    dec_n_flows: int = 6
+    dec_n_layers: int = 3
+    dec_n_channels: int = 192
+    dec_kernel_size: int = 3
+    max_frames_per_char: float = 40.0
+    sigma: float = 1.0
+    dtype: Any = jnp.float32
+
+
+class FFTBlock(nn.Module):
+    """Masked self-attention + conv FFN (untts fastpitch transformer)."""
+    dim: int
+    heads: int
+    ffn_dim: int
+    kernel_size: int = 3
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x [B, N, D]; mask [B, N] bool."""
+        attn_mask = mask[:, None, None, :]          # [B, 1, 1, N]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype,
+            dropout_rate=self.dropout, deterministic=deterministic,
+            name="mha")(x, x, mask=attn_mask)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + h)
+        x = x * mask[:, :, None]
+        h = nn.Conv(self.ffn_dim, (self.kernel_size,), padding="SAME",
+                    dtype=self.dtype, name="ffn1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.dim, (self.kernel_size,), padding="SAME",
+                    dtype=self.dtype, name="ffn2")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
+        return x * mask[:, :, None]
+
+
+class TemporalPredictor(nn.Module):
+    """Per-position scalar predictor (duration / f0 / energy).
+
+    Reference untts/fastpitch/length_predictor.py:23.
+    """
+    filter_size: int = 256
+    kernel_size: int = 3
+    n_layers: int = 2
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        h = x * mask[:, :, None]
+        for i in range(self.n_layers):
+            h = nn.Conv(self.filter_size, (self.kernel_size,),
+                        padding="SAME", dtype=self.dtype,
+                        name=f"conv{i}")(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        out = nn.Dense(1, dtype=self.dtype, name="fc")(h)[..., 0]
+        return out * mask
+
+
+def length_regulate(char_feats: jnp.ndarray, durations: jnp.ndarray,
+                    t_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand [B, N, D] char features to [B, t_out, D] frames.
+
+    Frame t copies char i iff cumsum(dur)[i-1] <= t < cumsum(dur)[i];
+    built as an interval matrix and applied as a matmul (MXU, static
+    shapes). Returns (frames, frame_mask [B, t_out]).
+    """
+    ends = jnp.cumsum(durations, axis=1)                      # [B, N]
+    starts = ends - durations
+    t = jnp.arange(t_out, dtype=durations.dtype)[None, :, None]  # [1, T, 1]
+    A = ((t >= starts[:, None, :]) & (t < ends[:, None, :]))  # [B, T, N]
+    frames = jnp.einsum("btn,bnd->btd", A.astype(char_feats.dtype),
+                        char_feats)
+    frame_mask = t[..., 0] < ends[:, -1:]
+    return frames, frame_mask
+
+
+class MelFlowDecoder(nn.Module):
+    """Conditional flow over mel frames [B, T, n_mel]."""
+    cfg: UnTTSConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.convinv = [Invertible1x1Conv(cfg.n_mel_channels,
+                                          dtype=cfg.dtype,
+                                          name=f"convinv{k}")
+                        for k in range(cfg.dec_n_flows)]
+        half = cfg.n_mel_channels // 2
+        self.wn = [WN(cfg.n_mel_channels - half, cfg.dec_n_layers,
+                      cfg.dec_n_channels, cfg.dec_kernel_size,
+                      dtype=cfg.dtype, name=f"wn{k}")
+                   for k in range(cfg.dec_n_flows)]
+        self._half = half
+
+    def forward(self, mel: jnp.ndarray, cond: jnp.ndarray,
+                frame_mask: jnp.ndarray):
+        """mel -> (z, log_s_sum, logdet_w_sum); masked frames excluded."""
+        cfg = self.cfg
+        x = mel
+        m = frame_mask[:, :, None].astype(jnp.float32)
+        n_valid = jnp.sum(m) * cfg.n_mel_channels
+        log_s_sum = jnp.zeros((), jnp.float32)
+        logdet_w_sum = jnp.zeros((), jnp.float32)
+        for k in range(cfg.dec_n_flows):
+            x, logdet_w = self.convinv[k](x)
+            half = self._half
+            xa, xb = x[..., :half], x[..., half:]
+            st = self.wn[k](xb, cond)
+            log_s, t = jnp.split(st, 2, axis=-1)
+            xa = xa * jnp.exp(log_s) + t
+            x = jnp.concatenate([xa, xb], axis=-1)
+            log_s_sum = log_s_sum + jnp.sum(
+                log_s.astype(jnp.float32) * m)
+            logdet_w_sum = logdet_w_sum + \
+                logdet_w.astype(jnp.float32) * jnp.sum(m)
+        return x, log_s_sum, logdet_w_sum, n_valid
+
+    def inverse(self, z: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = z
+        for k in reversed(range(cfg.dec_n_flows)):
+            half = self._half
+            xa, xb = x[..., :half], x[..., half:]
+            st = self.wn[k](xb, cond)
+            log_s, t = jnp.split(st, 2, axis=-1)
+            xa = (xa - t) * jnp.exp(-log_s)
+            x = jnp.concatenate([xa, xb], axis=-1)
+            x, _ = self.convinv[k](x, inverse=True)
+        return x
+
+
+class UnTTS(nn.Module):
+    """NAR flow TTS. __call__ = training forward; inference = generate."""
+    cfg: UnTTSConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embedding = nn.Embed(cfg.n_symbols, cfg.symbols_embedding_dim,
+                                  dtype=cfg.dtype, name="embedding")
+        self.speaker_embedding = nn.Embed(
+            cfg.n_speakers, cfg.speaker_embedding_dim, dtype=cfg.dtype,
+            name="speaker_embedding")
+        self.enc_blocks = [
+            FFTBlock(cfg.symbols_embedding_dim, cfg.enc_heads,
+                     cfg.enc_ffn_dim, cfg.enc_kernel_size, cfg.dropout,
+                     cfg.dtype, name=f"enc{i}")
+            for i in range(cfg.enc_layers)]
+        self.duration_predictor = TemporalPredictor(
+            cfg.predictor_filter_size, cfg.predictor_kernel_size,
+            cfg.predictor_layers, cfg.dropout, cfg.dtype,
+            name="duration_predictor")
+        if cfg.predict_f0:
+            self.f0_predictor = TemporalPredictor(
+                cfg.predictor_filter_size, cfg.predictor_kernel_size,
+                cfg.predictor_layers, cfg.dropout, cfg.dtype,
+                name="f0_predictor")
+        if cfg.predict_energy:
+            self.energy_predictor = TemporalPredictor(
+                cfg.predictor_filter_size, cfg.predictor_kernel_size,
+                cfg.predictor_layers, cfg.dropout, cfg.dtype,
+                name="energy_predictor")
+        self.cond_proj = nn.Dense(cfg.dec_n_channels, dtype=cfg.dtype,
+                                  name="cond_proj")
+        self.decoder = MelFlowDecoder(cfg, name="decoder")
+
+    def _encode(self, text, text_lengths, speaker_id, deterministic):
+        cfg = self.cfg
+        N = text.shape[1]
+        mask = get_mask_from_lengths(text_lengths, N)
+        x = self.embedding(jnp.clip(text, 0, cfg.n_symbols - 1))
+        for blk in self.enc_blocks:
+            x = blk(x, mask, deterministic=deterministic)
+        spk = self.speaker_embedding(speaker_id)              # [B, S]
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(spk[:, None, :],
+                                 (x.shape[0], N, spk.shape[-1]))], axis=-1)
+        return x, mask
+
+    def __call__(self, text, text_lengths, mels, mel_lengths, speaker_id,
+                 durations, f0: Optional[jnp.ndarray] = None,
+                 energy: Optional[jnp.ndarray] = None,
+                 deterministic: bool = False):
+        """Training forward with ground-truth (MFA) char durations.
+
+        durations: [B, N] int frames per char (from alignments).
+        Returns dict: z/log_s/logdet for the flow NLL + predictor outputs.
+        """
+        cfg = self.cfg
+        enc, char_mask = self._encode(text, text_lengths, speaker_id,
+                                      deterministic)
+        log_dur_pred = self.duration_predictor(enc, char_mask,
+                                               deterministic)
+        out: Dict[str, jnp.ndarray] = {
+            "log_dur_pred": log_dur_pred,
+            "char_mask": char_mask,
+        }
+        pred_in = enc
+        if cfg.predict_f0:
+            out["f0_pred"] = self.f0_predictor(pred_in, char_mask,
+                                               deterministic)
+        if cfg.predict_energy:
+            out["energy_pred"] = self.energy_predictor(pred_in, char_mask,
+                                                       deterministic)
+
+        T = mels.shape[1]
+        frames, _ = length_regulate(enc, durations, T)
+        frame_mask = get_mask_from_lengths(mel_lengths, T)
+        cond = self.cond_proj(frames)
+        z, log_s, logdet_w, n_valid = self.decoder.forward(
+            mels, cond, frame_mask)
+        out.update({"z": z, "log_s_sum": log_s, "logdet_w_sum": logdet_w,
+                    "n_elements": n_valid, "frame_mask": frame_mask})
+        return out
+
+    def inference(self, text, text_lengths, speaker_id,
+                  key: Optional[jax.Array] = None,
+                  max_frames: int = 2048,
+                  duration_scale: float = 1.0,
+                  sigma: Optional[float] = None):
+        """Parallel generation: predict durations -> expand -> invert flow."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sigma = cfg.sigma if sigma is None else sigma
+        enc, char_mask = self._encode(text, text_lengths, speaker_id, True)
+        log_dur = self.duration_predictor(enc, char_mask, True)
+        dur = jnp.round(jnp.exp(log_dur) * duration_scale)
+        dur = jnp.clip(dur, 0.0, cfg.max_frames_per_char) * char_mask
+        dur = dur.astype(jnp.int32)
+        frames, frame_mask = length_regulate(enc, dur, max_frames)
+        cond = self.cond_proj(frames)
+        z = sigma * jax.random.normal(
+            key, (text.shape[0], max_frames, cfg.n_mel_channels), cfg.dtype)
+        mel = self.decoder.inverse(z, cond)
+        mel_lengths = jnp.minimum(jnp.sum(dur, axis=1), max_frames)
+        return {"mel_outputs": mel * frame_mask[:, :, None],
+                "mel_lengths": mel_lengths,
+                "durations": dur}
+
+
+def untts_loss(out: Dict[str, jnp.ndarray], gt: Dict[str, jnp.ndarray],
+               sigma: float = 1.0,
+               dur_weight: float = 0.1, f0_weight: float = 0.1,
+               energy_weight: float = 0.1
+               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Flow NLL + log-duration MSE + masked f0/energy MSE."""
+    z = out["z"].astype(jnp.float32)
+    m = out["frame_mask"][:, :, None].astype(jnp.float32)
+    n = jnp.maximum(out["n_elements"], 1.0)
+    nll = (jnp.sum(z * z * m) / (2.0 * sigma * sigma)
+           - out["log_s_sum"] - out["logdet_w_sum"]) / n
+    loss_dict = {"flow_nll": nll}
+
+    cmask = out["char_mask"].astype(jnp.float32)
+    n_char = jnp.maximum(jnp.sum(cmask), 1.0)
+    log_dur_gt = jnp.log(jnp.maximum(
+        gt["durations"].astype(jnp.float32), 1e-1))
+    dur_mse = jnp.sum(((out["log_dur_pred"] - log_dur_gt) ** 2) * cmask) \
+        / n_char
+    loss_dict["dur_MSE"] = dur_mse
+    total = nll + dur_weight * dur_mse
+
+    if "f0_pred" in out and "f0" in gt:
+        f0_mse = jnp.sum(((out["f0_pred"] - gt["f0"]) ** 2) * cmask) / n_char
+        loss_dict["f0_MSE"] = f0_mse
+        total = total + f0_weight * f0_mse
+    if "energy_pred" in out and "energy" in gt:
+        e_mse = jnp.sum(((out["energy_pred"] - gt["energy"]) ** 2) * cmask) \
+            / n_char
+        loss_dict["energy_MSE"] = e_mse
+        total = total + energy_weight * e_mse
+    loss_dict["loss"] = total
+    return total, loss_dict

@@ -1,0 +1,128 @@
+"""UnTTS NAR flow TTS tests: length regulator, flow invertibility,
+training loss, parallel inference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cookietts_tpu.models.untts import (
+    UnTTS, UnTTSConfig, length_regulate, untts_loss)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        n_symbols=40, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=12,
+        enc_layers=1, enc_heads=2, enc_ffn_dim=24,
+        predictor_filter_size=8, predictor_layers=1,
+        dec_n_flows=2, dec_n_layers=1, dec_n_channels=16,
+    )
+    base.update(kw)
+    return UnTTSConfig(**base)
+
+
+def test_length_regulate():
+    feats = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 3, 2))
+    dur = jnp.asarray([[2, 1, 3]], jnp.int32)
+    frames, mask = length_regulate(feats, dur, t_out=8)
+    expect = np.array([[0, 1], [0, 1], [2, 3], [4, 5], [4, 5], [4, 5],
+                       [0, 0], [0, 0]], np.float32)
+    np.testing.assert_allclose(np.asarray(frames)[0], expect)
+    assert np.asarray(mask)[0].tolist() == [True] * 6 + [False] * 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = UnTTS(cfg)
+    rng = np.random.default_rng(0)
+    B, N, T = 2, 7, 20
+    durations = rng.integers(1, 4, (B, N)).astype(np.int32)
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg.n_symbols, (B, N)), jnp.int32),
+        text_lengths=jnp.asarray([N, N - 2], jnp.int32),
+        mels=jnp.asarray(rng.standard_normal((B, T, cfg.n_mel_channels)),
+                         jnp.float32),
+        mel_lengths=jnp.asarray(
+            np.minimum(durations.sum(1), T), jnp.int32),
+        speaker_id=jnp.asarray([0, 1], jnp.int32),
+        durations=jnp.asarray(durations),
+        f0=jnp.asarray(rng.standard_normal((B, N)), jnp.float32),
+        energy=jnp.asarray(rng.standard_normal((B, N)), jnp.float32),
+    )
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, deterministic=False)
+    return cfg, model, variables, batch
+
+
+def test_forward_and_loss(setup):
+    cfg, model, variables, batch = setup
+
+    @jax.jit
+    def run(v):
+        out = model.apply(v, **batch, deterministic=True)
+        gt = {"durations": batch["durations"], "f0": batch["f0"],
+              "energy": batch["energy"]}
+        total, loss_dict = untts_loss(out, gt)
+        return out, total, loss_dict
+
+    out, total, loss_dict = run(variables)
+    assert out["z"].shape == batch["mels"].shape
+    assert np.isfinite(float(total))
+    for k in ("flow_nll", "dur_MSE", "f0_MSE", "energy_MSE"):
+        assert np.isfinite(float(loss_dict[k])), k
+
+
+def test_decoder_invertibility(setup):
+    cfg, model, variables, batch = setup
+
+    @jax.jit
+    def roundtrip(v):
+        out = model.apply(v, **batch, deterministic=True)
+        # rebuild cond exactly as the training path does
+        enc, _ = model.apply(v, batch["text"], batch["text_lengths"],
+                             batch["speaker_id"], True,
+                             method=UnTTS._encode)
+        T = batch["mels"].shape[1]
+        from cookietts_tpu.models.untts import length_regulate
+        frames, _ = length_regulate(enc, batch["durations"], T)
+        cond = model.apply(v, frames,
+                           method=lambda m, f: m.cond_proj(f))
+        from cookietts_tpu.models.untts import MelFlowDecoder
+        rec = model.apply(v, out["z"], cond,
+                          method=lambda m, z, c: m.decoder.inverse(z, c))
+        return out, rec
+
+    out, rec = roundtrip(variables)
+    mask = np.asarray(out["frame_mask"])[:, :, None]
+    err = np.abs(np.asarray(rec) - np.asarray(batch["mels"])) * mask
+    assert err.max() < 2e-3, err.max()
+
+
+def test_parallel_inference(setup):
+    cfg, model, variables, batch = setup
+
+    infer = jax.jit(lambda v, key: model.apply(
+        v, batch["text"], batch["text_lengths"], batch["speaker_id"],
+        key=key, max_frames=64, method=UnTTS.inference))
+    out = infer(variables, jax.random.PRNGKey(5))
+    assert out["mel_outputs"].shape == (2, 64, cfg.n_mel_channels)
+    assert np.all(np.isfinite(np.asarray(out["mel_outputs"])))
+    lens = np.asarray(out["mel_lengths"])
+    assert np.all(lens >= 0) and np.all(lens <= 64)
+
+
+def test_duration_scale_changes_length(setup):
+    cfg, model, variables, batch = setup
+
+    def run(scale):
+        out = model.apply(
+            variables, batch["text"], batch["text_lengths"],
+            batch["speaker_id"], key=jax.random.PRNGKey(1), max_frames=64,
+            duration_scale=scale, method=UnTTS.inference)
+        return np.asarray(out["mel_lengths"])
+    # use apply unjitted once each (compile cache shared via jit omitted)
+    short = run(0.5)
+    long = run(2.0)
+    assert np.all(long >= short)
