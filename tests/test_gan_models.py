@@ -1,0 +1,123 @@
+"""HiFi-GAN, GANTTS, and Denoiser tests (tiny dims)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cookietts_tpu.models.hifigan import (
+    Generator, HiFiGANConfig, MultiPeriodDiscriminator,
+    MultiScaleDiscriminator, discriminator_loss, feature_loss,
+    generator_loss, mel_l1_loss)
+
+
+def hifi_cfg():
+    return HiFiGANConfig(
+        n_mel_channels=16,
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, mpd_periods=(2, 3), msd_scales=2)
+
+
+@pytest.fixture(scope="module")
+def hifi():
+    cfg = hifi_cfg()
+    gen = Generator(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel)
+    return cfg, gen, gvars, mel
+
+
+def test_hifigan_generator_shape(hifi):
+    cfg, gen, gvars, mel = hifi
+    audio = jax.jit(gen.apply)(gvars, mel)
+    assert audio.shape == (2, 12 * 16)          # T_mel * prod(rates)
+    a = np.asarray(audio)
+    assert np.all(np.isfinite(a)) and np.abs(a).max() <= 1.0
+
+
+def test_hifigan_discriminators_and_losses(hifi):
+    cfg, gen, gvars, mel = hifi
+    real = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 12 * 16)), jnp.float32) * 0.1
+    fake = jax.jit(gen.apply)(gvars, mel)
+
+    mpd = MultiPeriodDiscriminator(cfg)
+    dvars = jax.jit(mpd.init)(jax.random.PRNGKey(1), real, fake)
+    rl, fl, rf, ff = jax.jit(mpd.apply)(dvars, real, fake)
+    assert len(rl) == 2 and len(rf[0]) == 6
+
+    msd = MultiScaleDiscriminator(cfg)
+    svars = jax.jit(msd.init)(jax.random.PRNGKey(2), real, fake)
+    rl2, fl2, rf2, ff2 = jax.jit(msd.apply)(svars, real, fake)
+    assert len(rl2) == 2
+
+    d_loss = discriminator_loss(rl + rl2, fl + fl2)
+    g_loss = generator_loss(fl + fl2)
+    f_loss = feature_loss(rf + rf2, ff + ff2)
+    m_loss = mel_l1_loss(mel, mel + 0.1)
+    for v in (d_loss, g_loss, f_loss, m_loss):
+        assert np.isfinite(float(v))
+    np.testing.assert_allclose(float(m_loss), 0.1, rtol=1e-4)
+
+
+def test_gantts_generator_and_discriminator():
+    from cookietts_tpu.models.gantts import (
+        GANTTSConfig, GANTTSDiscriminator, GANTTSGenerator)
+    cfg = GANTTSConfig(
+        n_symbols=40, symbols_embedding_dim=16, speaker_embedding_dim=8,
+        n_mel_channels=12, z_dim=8, enc_layers=1, enc_heads=2,
+        enc_ffn_dim=24, g_channels=(16, 16), d_channels=(8, 8),
+        d_windows=(8, 16))
+    rng = np.random.default_rng(0)
+    B, N = 2, 6
+    text = jnp.asarray(rng.integers(1, 40, (B, N)), jnp.int32)
+    lens = jnp.asarray([6, 4], jnp.int32)
+    spk = jnp.asarray([0, 1], jnp.int32)
+    dur = jnp.asarray(rng.integers(1, 5, (B, N)), jnp.int32)
+
+    gen = GANTTSGenerator(cfg)
+    gvars = jax.jit(gen.init, static_argnames=("t_out", "deterministic"))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, lens, spk, dur, t_out=32, deterministic=True)
+    mel, mask = jax.jit(
+        gen.apply, static_argnames=("t_out", "deterministic"))(
+        gvars, text, lens, spk, dur, t_out=32, deterministic=True)
+    assert mel.shape == (B, 32, 12)
+    # frames past total duration are zeroed
+    total0 = int(np.asarray(dur)[0].sum())
+    assert np.all(np.asarray(mel)[0, min(total0, 32):] == 0.0)
+
+    disc = GANTTSDiscriminator(cfg)
+    dvars = jax.jit(disc.init)(jax.random.PRNGKey(2), mel)
+    logits = jax.jit(disc.apply)(dvars, mel)
+    assert len(logits) == 2
+    assert all(l.shape == (B,) for l in logits)
+
+
+def test_denoiser_reduces_bias():
+    from cookietts_tpu.models.denoiser import Denoiser
+    sr = 4000
+    rng = np.random.default_rng(0)
+    # fake vocoder with a constant 200 Hz tonal bias
+    def infer_fn(mel, key):
+        t = np.arange(mel.shape[1] * 10) / sr
+        bias = 0.2 * np.sin(2 * np.pi * 200 * t)
+        return jnp.asarray(bias[None], jnp.float32)
+
+    den = Denoiser(infer_fn, sampling_rate=sr, n_mel_channels=8,
+                   n_frames=20)
+    t = np.arange(8000) / sr
+    audio = (0.2 * np.sin(2 * np.pi * 200 * t)      # the bias tone
+             + 0.3 * np.sin(2 * np.pi * 700 * t))   # the "real" signal
+    out = np.asarray(den(jnp.asarray(audio[None], jnp.float32),
+                         strength=1.0))[0]
+
+    def band_power(x, f):
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), 1 / sr)
+        return spec[np.argmin(np.abs(freqs - f))]
+
+    n = min(len(out), len(audio))
+    assert band_power(out[:n], 200) < band_power(audio[:n], 200) * 0.5
+    assert band_power(out[:n], 700) > band_power(audio[:n], 700) * 0.6
