@@ -342,3 +342,67 @@ def make_waveglow_val_step(model, stft_windows=((1200, 300, 1200),
         return {"val_MSE": mse / n, "val_MAE": mae / n}
 
     return jax.jit(step)
+
+
+# -- HiFi-GAN steps ----------------------------------------------------------
+
+def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
+                             mel_weight: float = 45.0,
+                             fm_weight: float = 2.0) -> Tuple[Callable, Callable]:
+    """Build (d_step, g_step) for HiFi-GAN adversarial training.
+
+    Reference _4_mtw/hifigan/train.py:26-283: AdamW both sides, mel L1
+    weight 45, feature-matching on both discriminators.
+
+    d_step(d_state(mpd,msd tuple), g_state, batch) and
+    g_step(g_state, d_state, batch) where batch = {mels, audio}.
+    mel_fn(audio [B, T]) -> mel [B, T_mel, M] (jittable; used for the mel
+    reconstruction loss on generated audio).
+    """
+    from ..models.hifigan import (discriminator_loss, feature_loss,
+                                  generator_loss, mel_l1_loss)
+
+    def d_loss_fn(d_params, g_params, batch):
+        mpd_params, msd_params = d_params
+        fake = gen.apply({"params": g_params}, batch["mels"])
+        fake = jax.lax.stop_gradient(fake)
+        real = batch["audio"][:, : fake.shape[1]]
+        rl, fl, _, _ = mpd.apply({"params": mpd_params}, real, fake)
+        rl2, fl2, _, _ = msd.apply({"params": msd_params}, real, fake)
+        loss = discriminator_loss(rl + rl2, fl + fl2)
+        return loss, {"d_loss": loss}
+
+    def g_loss_fn(g_params, d_params, batch):
+        mpd_params, msd_params = d_params
+        fake = gen.apply({"params": g_params}, batch["mels"])
+        real = batch["audio"][:, : fake.shape[1]]
+        rl, fl, rf, ff = mpd.apply({"params": mpd_params}, real, fake)
+        rl2, fl2, rf2, ff2 = msd.apply({"params": msd_params}, real, fake)
+        adv = generator_loss(fl + fl2)
+        fm = feature_loss(rf + rf2, ff + ff2)
+        mel_rec = mel_l1_loss(mel_fn(real), mel_fn(fake))
+        loss = adv + fm_weight * fm + mel_weight * mel_rec
+        return loss, {"g_adv": adv, "g_fm": fm, "g_mel_l1": mel_rec,
+                      "g_loss": loss}
+
+    @jax.jit
+    def d_step(d_state, g_state, batch, ctrl):
+        (loss, metrics), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params, g_state.params, batch)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        d_state = d_state.apply_gradients(grads, ctrl["lr"])
+        metrics = dict(metrics)
+        metrics["d_grad_norm"] = gn
+        return d_state, metrics
+
+    @jax.jit
+    def g_step(g_state, d_state, batch, ctrl):
+        (loss, metrics), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params, d_state.params, batch)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        g_state = g_state.apply_gradients(grads, ctrl["lr"])
+        metrics = dict(metrics)
+        metrics["g_grad_norm"] = gn
+        return g_state, metrics
+
+    return d_step, g_step

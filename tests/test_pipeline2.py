@@ -1,0 +1,218 @@
+"""Tests for preprocess/filelist/extract/mfa-parse/plotting +
+HiFiGAN train steps + HiFiGAN-denoiser pieces."""
+import os
+import tarfile
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cookietts_tpu.data import audio_io
+from cookietts_tpu.data.extract import extract, is_archive
+from cookietts_tpu.data.filelist import (
+    generate_filelist_from_datasets, load_filelist, write_filelists)
+from cookietts_tpu.data.mfa import (
+    durations_from_textgrid, oov_words, parse_textgrid)
+from cookietts_tpu.pipeline.preprocess import (
+    PreprocessConfig, extract_archives_recursively,
+    process_audio_multiprocess, run_preprocess)
+
+
+def _make_lj_dataset(root, n=4, sr=22050, dur_s=1.2):
+    os.makedirs(os.path.join(root, "wavs"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        t = np.arange(int(sr * dur_s)) / sr
+        audio = (0.2 * np.sin(2 * np.pi * 200 * (i + 1) * t)
+                 + 0.005 * rng.standard_normal(len(t))).astype(np.float32)
+        p = os.path.join(root, "wavs", f"LJ-{i:04d}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"wavs/LJ-{i:04d}.wav|Transcript number {i} here.|x")
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_extract_zip_and_tar(tmp_path):
+    src = tmp_path / "data.txt"
+    src.write_text("hello")
+    zpath = str(tmp_path / "a.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(str(src), "data.txt")
+    tpath = str(tmp_path / "b.tar.gz")
+    with tarfile.open(tpath, "w:gz") as t:
+        t.add(str(src), "data2.txt")
+    out = str(tmp_path / "out")
+    assert is_archive(zpath) and is_archive(tpath)
+    extract(zpath, out)
+    extract(tpath, out)
+    assert (tmp_path / "out" / "data.txt").exists()
+    assert (tmp_path / "out" / "data2.txt").exists()
+
+
+def test_preprocess_end_to_end(tmp_path):
+    root = str(tmp_path / "LJ")
+    _make_lj_dataset(root)
+    cfg = PreprocessConfig(dataset_dirs=(root,), target_sr=16000,
+                           highpass_hz=(40.0,), trim_passes=1,
+                           min_duration=0.2,
+                           out_dir=str(tmp_path / "out"))
+    result = run_preprocess(cfg)
+    # audio got resampled
+    a, sr = audio_io.load_wav(os.path.join(root, "wavs", "LJ-0000.wav"))
+    assert sr == 16000
+    # filelists written and parseable
+    train = load_filelist(str(tmp_path / "out" / "filelist_train.txt"))
+    val = load_filelist(str(tmp_path / "out" / "filelist_validation.txt"))
+    assert len(train) + len(val) == 4
+    assert all("Transcript" in e["quote"] for e in train + val)
+    assert os.path.exists(str(tmp_path / "out" / "speaker_info.txt"))
+    assert os.path.exists(str(tmp_path / "out" / "meta_dump.json"))
+
+
+def test_filelist_speaker_ids(tmp_path):
+    root = str(tmp_path / "LJ2")
+    _make_lj_dataset(root)
+    result = generate_filelist_from_datasets(
+        [root], min_duration=0.2, val_fraction=0.25)
+    assert result["speaker_ids"] == {"LJ2": 0}
+    assert all(m["speaker_id"] == 0
+               for m in result["train"] + result["validation"])
+    assert len(result["validation"]) >= 1
+
+
+_TEXTGRID = '''File type = "ooTextFile"
+Object class = "TextGrid"
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.5
+            text = "hello"
+        intervals [2]:
+            xmin = 0.5
+            xmax = 1.0
+            text = "world"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.25
+            text = "HH"
+        intervals [2]:
+            xmin = 0.25
+            xmax = 1.0
+            text = "AH0"
+'''
+
+
+def test_parse_textgrid_and_durations(tmp_path):
+    p = str(tmp_path / "x.TextGrid")
+    with open(p, "w") as f:
+        f.write(_TEXTGRID)
+    tiers = parse_textgrid(p)
+    assert [t[2] for t in tiers["words"]] == ["hello", "world"]
+    durs = durations_from_textgrid(tiers, "phones", hop_seconds=0.05)
+    assert durs == [5, 15]
+
+
+def test_oov_words():
+    lex = {"HELLO": "HH AH L OW"}
+    assert oov_words(["Hello zorp"], lex) == ["zorp"]
+
+
+def test_plotting_images():
+    from cookietts_tpu.runtime.plotting import (
+        plot_alignment, plot_gate, plot_spectrogram)
+    a = np.random.default_rng(0).random((20, 10))
+    img = plot_alignment(a, info="test")
+    assert img.ndim == 3 and img.shape[2] == 3
+    img2 = plot_spectrogram(np.random.default_rng(1).random((30, 8)))
+    assert img2.ndim == 3
+    img3 = plot_gate(np.zeros(20), np.linspace(-3, 3, 20))
+    assert img3.ndim == 3
+
+
+def test_hifigan_train_steps():
+    from cookietts_tpu.models.hifigan import (
+        Generator, HiFiGANConfig, MultiPeriodDiscriminator,
+        MultiScaleDiscriminator)
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (
+        make_hifigan_train_steps, scalars_to_arrays)
+
+    cfg = HiFiGANConfig(
+        n_mel_channels=8, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1,),), upsample_rates=(4,),
+        upsample_kernel_sizes=(8,), upsample_initial_channel=16,
+        mpd_periods=(2,), msd_scales=1)
+    gen = Generator(cfg)
+    mpd = MultiPeriodDiscriminator(cfg)
+    msd = MultiScaleDiscriminator(cfg)
+
+    rng = np.random.default_rng(0)
+    mels = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((2, 64)) * 0.1, jnp.float32)
+    batch = {"mels": mels, "audio": audio}
+
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mels)
+    fake = gen.apply(gvars, mels)
+    mpd_vars = jax.jit(mpd.init)(jax.random.PRNGKey(1), audio, fake)
+    msd_vars = jax.jit(msd.init)(jax.random.PRNGKey(2), audio, fake)
+
+    g_state = TrainState.create(gen.apply, gvars["params"], adam())
+    d_state = TrainState.create(
+        None, (mpd_vars["params"], msd_vars["params"]), adam())
+
+    def mel_fn(a):   # toy mel: framed abs-mean, keeps the loss jittable
+        return jnp.abs(a).reshape(a.shape[0], 16, 4).mean(-1, keepdims=True)
+
+    d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn)
+    ctrl = scalars_to_arrays({"lr": 2e-4, "grad_clip": 100.0})
+    d_state, d_metrics = d_step(d_state, g_state, batch, ctrl)
+    g_state, g_metrics = g_step(g_state, d_state, batch, ctrl)
+    for k in ("d_loss",):
+        assert np.isfinite(float(d_metrics[k]))
+    for k in ("g_adv", "g_fm", "g_mel_l1", "g_loss"):
+        assert np.isfinite(float(g_metrics[k]))
+
+
+def test_hifigan_denoiser():
+    from cookietts_tpu.models.hifigan_denoiser import (
+        DenoiserWN, HiFiGANDenoiserConfig, MultiResSpect,
+        SpectDiscriminator, WaveDiscriminator, denoiser_loss)
+    cfg = HiFiGANDenoiserConfig(
+        n_layers=2, n_channels=8, window_lengths=(64, 128),
+        hop_lengths=(16, 32), dw_channels=(4, 8), ds_channels=(4,))
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(0.3 * np.sin(
+        2 * np.pi * 100 * np.arange(512) / 4000)[None], jnp.float32)
+    noisy = clean + 0.05 * jnp.asarray(
+        rng.standard_normal((1, 512)), jnp.float32)
+
+    model = DenoiserWN(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), noisy)
+    out = jax.jit(model.apply)(variables, noisy)
+    assert out.shape == noisy.shape
+    # zero-init end layer => identity at init
+    np.testing.assert_allclose(np.asarray(out), np.asarray(noisy),
+                               atol=1e-6)
+
+    mrs = MultiResSpect(cfg.window_lengths, cfg.hop_lengths)
+    dw = WaveDiscriminator(cfg)
+    ds = SpectDiscriminator(cfg)
+    dw_vars = jax.jit(dw.init)(jax.random.PRNGKey(1), out)
+    spect = mrs(out)[0]
+    ds_vars = jax.jit(ds.init)(jax.random.PRNGKey(2), spect)
+    dw_logit = dw.apply(dw_vars, out)
+    ds_logit = ds.apply(ds_vars, spect)
+    total, ld = denoiser_loss(mrs, out, clean, stage=2,
+                              dw_fake=dw_logit, ds_fake=ds_logit)
+    assert np.isfinite(float(total))
+    assert "adv" in ld and "spec_L1" in ld
