@@ -1,0 +1,225 @@
+"""Command-line interface.
+
+One CLI replaces the reference's per-stage scripts
+(start_download.py / start_preprocess.py / per-model train.py / GTA.py /
+t2s_server app.py):
+
+    python -m cookietts_tpu download   -c config.json
+    python -m cookietts_tpu preprocess -c config.json
+    python -m cookietts_tpu train      --model tacotron2 --filelist f.txt \
+        [--hparams "a=1,b=[2,3]"] [--warm_start ckpt] [--run_dir runs/x]
+    python -m cookietts_tpu gta        --checkpoint ckpt --filelist f.txt
+    python -m cookietts_tpu server     --checkpoint ckpt [--port 5000]
+    python -m cookietts_tpu bench
+
+The ``--hparams`` override string uses the same ``k=v,k2=[..]`` grammar as
+the reference (utils_hparam.py:32-40) via config.parse_override_string.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--hparams", default="",
+                   help='override string, e.g. "batch_size=32,lr=1e-4"')
+    p.add_argument("--run_dir", default="runs/default")
+
+
+def cmd_download(args):
+    from .pipeline.download import run_downloads
+    run_downloads(args.config)
+
+
+def cmd_preprocess(args):
+    from .config import load_json_config
+    from .pipeline.preprocess import PreprocessConfig, run_preprocess
+    conf = load_json_config(args.config) if args.config else {}
+    cfg = PreprocessConfig(**conf)
+    run_preprocess(cfg)
+
+
+def _build_tacotron2(overrides):
+    import jax
+    from .models.tacotron2 import Tacotron2, Tacotron2Config
+    from .text import N_SYMBOLS
+    cfg_kwargs = {"n_symbols": N_SYMBOLS}
+    valid = set(Tacotron2Config.__dataclass_fields__)
+    cfg_kwargs.update({k: v for k, v in overrides.items() if k in valid})
+    cfg = Tacotron2Config(**cfg_kwargs)
+    return Tacotron2(cfg), cfg
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import parse_override_string
+    from .data.dataset import DataConfig, TTSDataset, TBPTTSampler, collate
+    from .data.filelist import load_filelist
+    from .parallel.mesh import make_mesh, shard_batch
+    from .runtime.optim import adam, lamb
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import (
+        Trainer, TrainerConfig, make_tacotron2_eval_step,
+        make_tacotron2_train_step)
+
+    overrides = parse_override_string(args.hparams) if args.hparams else {}
+    batch_size = int(overrides.get("batch_size", 8))
+    n_iters = int(overrides.get("n_iters", args.iters))
+
+    entries = load_filelist(args.filelist)
+    dcfg_valid = set(DataConfig.__dataclass_fields__)
+    dcfg = DataConfig(**{k: v for k, v in overrides.items()
+                         if k in dcfg_valid})
+    dataset = TTSDataset(entries, dcfg)
+
+    if args.model == "tacotron2":
+        model, mcfg = _build_tacotron2(overrides)
+    else:
+        raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
+                         "use the runtime factories directly")
+
+    # init from one real batch
+    items = [dataset[i % len(dataset)] for i in range(batch_size)]
+    batch = collate(items, dcfg)
+    dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopath"}
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=dev["text"], text_lengths=dev["text_lengths"],
+        mels=dev["mels"], mel_lengths=dev["mel_lengths"],
+        speaker_id=dev["speaker_id"], sylps=dev["sylps"],
+        key=jax.random.PRNGKey(2), deterministic=False)
+    params = variables["params"]
+    mutables = {k: v for k, v in variables.items() if k != "params"}
+    if args.warm_start:
+        from .runtime.checkpoint import load_checkpoint, warm_start
+        tree, _ = load_checkpoint(args.warm_start)
+        params, n_l, n_s = warm_start(
+            jax.tree_util.tree_map(np.asarray, params), tree["params"])
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        print(f"warm start: {n_l} loaded, {n_s} skipped")
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    state = TrainState.create(model.apply, params, adam(), mutables)
+    train_step = make_tacotron2_train_step(model, mesh=mesh)
+    eval_step = make_tacotron2_eval_step(model, mesh=mesh)
+    trainer = Trainer(TrainerConfig(
+        run_dir=args.run_dir,
+        live_config_path=args.live_config), state, train_step, eval_step)
+
+    sampler = TBPTTSampler(
+        [dataset[i].get("mel_length", dcfg.max_segment_frames)
+         for i in range(min(len(dataset), 512))],
+        batch_size, dcfg.max_segment_frames)
+    it = 0
+    for segs in sampler:
+        items = [dataset[s.file_idx] for s in segs]
+        batch = collate(items, dcfg, segments=segs)
+        if mesh is not None:
+            batch = {k: (shard_batch(jnp.asarray(v), mesh)
+                         if k != "audiopath" else v)
+                     for k, v in batch.items()}
+        metrics = trainer.step(batch)
+        if it % 10 == 0:
+            print(f"iter {it}: loss={metrics.get('loss', float('nan')):.4f}")
+        it += 1
+        if it >= n_iters:
+            break
+    trainer.save(periodic=True)
+    print(f"done: {it} iters, checkpoints in {args.run_dir}")
+
+
+def cmd_gta(args):
+    import jax
+    import jax.numpy as jnp
+    from .data.dataset import DataConfig, TTSDataset, collate
+    from .data.filelist import load_filelist
+    from .pipeline.gta import GTAGenerator, extreme_gta_offsets
+    from .runtime.checkpoint import load_checkpoint
+
+    entries = load_filelist(args.filelist)
+    dcfg = DataConfig()
+    dataset = TTSDataset(entries, dcfg)
+    tree, meta = load_checkpoint(args.checkpoint)
+    model, _ = _build_tacotron2({})
+    variables = {"params": tree["params"], **tree.get("mutables", {})}
+    gen = GTAGenerator(model, variables, args.outdir,
+                       hop_length=dcfg.hop_length)
+    offsets = (extreme_gta_offsets(dcfg.hop_length, args.extreme_gta)
+               if args.extreme_gta else [0])
+    lines = []
+    B = args.batch_size
+    for offset in offsets:
+        for i0 in range(0, len(dataset), B):
+            items = [dataset[i] for i in range(i0, min(i0 + B,
+                                                       len(dataset)))]
+            batch = collate(items, dcfg)
+            paths = batch.pop("audiopath")
+            lines += gen.process_batch(batch, paths, offset=offset)
+    print(gen.write_map(lines))
+
+
+def cmd_server(args):
+    raise SystemExit(
+        "server: load a checkpoint into T2S and call "
+        "cookietts_tpu.pipeline.server.serve(t2s, port) — see "
+        "tests/test_pipeline.py for the wiring")
+
+
+def cmd_bench(args):
+    import runpy
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+        run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("cookietts_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("download")
+    d.add_argument("-c", "--config", required=True)
+    d.set_defaults(fn=cmd_download)
+
+    pr = sub.add_parser("preprocess")
+    pr.add_argument("-c", "--config", default=None)
+    pr.set_defaults(fn=cmd_preprocess)
+
+    t = sub.add_parser("train")
+    t.add_argument("--model", default="tacotron2",
+                   choices=["tacotron2", "waveglow", "hifigan", "untts"])
+    t.add_argument("--filelist", required=True)
+    t.add_argument("--warm_start", default=None)
+    t.add_argument("--live_config", default=None)
+    t.add_argument("--iters", type=int, default=1000)
+    _add_common(t)
+    t.set_defaults(fn=cmd_train)
+
+    g = sub.add_parser("gta")
+    g.add_argument("--checkpoint", required=True)
+    g.add_argument("--filelist", required=True)
+    g.add_argument("-o", "--outdir", default="gta_out")
+    g.add_argument("--batch_size", type=int, default=8)
+    g.add_argument("--extremeGTA", dest="extreme_gta", type=int, default=0)
+    g.set_defaults(fn=cmd_gta)
+
+    s = sub.add_parser("server")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--port", type=int, default=5000)
+    s.set_defaults(fn=cmd_server)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
