@@ -30,6 +30,10 @@ DEFAULT_LOSS_SCALARS: Dict[str, float] = {
     "sylps_MSE_weight": 0.01,
     "sylps_MAE_weight": 0.00,
     "diag_att_weight": 0.05,
+    # ssvae head terms (only applied when the model emits the keys)
+    "em_kld_weight": 0.002,
+    "sup_em_nll_weight": 1.0,
+    "aux_em_MSE_weight": 0.1,
 }
 
 
@@ -153,12 +157,42 @@ def tacotron2_loss(pred: Dict[str, jnp.ndarray], gt: Dict[str, jnp.ndarray],
         pred["alignments"], text_lengths, mel_lengths,
         sigma=guided_att_sigma, item_weights=item_w)
 
+    # ssvae heads (tacotron2_ssvae): emotion VAE KLD, supervised class
+    # NLL, and aux-net latent matching (text-only net chases the
+    # audio-conditioned net's latents)
+    if "em_zu_mu" in pred:
+        em_mu = pred["em_zu_mu"].astype(jnp.float32)
+        em_logvar = pred["em_zu_logvar"].astype(jnp.float32)
+        loss_dict["em_kld"] = -0.5 * jnp.sum(
+            1.0 + em_logvar - jnp.exp(em_logvar) - em_mu**2) / B
+        if "emotion_onehot" in gt and "emotion_id" in gt:
+            known = (gt["emotion_id"]
+                     != pred["em_zs"].shape[-1]).astype(jnp.float32)
+            nll = -jnp.sum(pred["em_zs"].astype(jnp.float32)
+                           * gt["emotion_onehot"].astype(jnp.float32),
+                           axis=-1)
+            loss_dict["sup_em_nll"] = jnp.sum(nll * known) / jnp.maximum(
+                jnp.sum(known), 1.0)
+        if "aux_zs" in pred:
+            tgt_zs = jax.lax.stop_gradient(
+                jnp.exp(pred["em_zs"].astype(jnp.float32)))
+            tgt_mu = jax.lax.stop_gradient(em_mu)
+            tgt_lv = jax.lax.stop_gradient(em_logvar)
+            loss_dict["aux_em_MSE"] = (
+                jnp.mean((jnp.exp(pred["aux_zs"].astype(jnp.float32))
+                          - tgt_zs) ** 2)
+                + jnp.mean((pred["aux_zu_mu"].astype(jnp.float32)
+                            - tgt_mu) ** 2)
+                + jnp.mean((pred["aux_zu_logvar"].astype(jnp.float32)
+                            - tgt_lv) ** 2))
+
     # weighted total (colate_losses, loss_function.py:152-161)
     total = jnp.zeros((), jnp.float32)
     for name in ("spec_MSE", "spec_MFSE", "postnet_MSE", "postnet_MFSE",
                  "gate_loss", "sylps_kld", "sylps_MSE", "sylps_MAE",
-                 "diag_att"):
-        total = total + loss_dict[name] * scalars[f"{name}_weight"]
+                 "diag_att", "em_kld", "sup_em_nll", "aux_em_MSE"):
+        if name in loss_dict:
+            total = total + loss_dict[name] * scalars[f"{name}_weight"]
     loss_dict["loss"] = total
 
     # -- metrics (no grad needed; lax.stop_gradient for clarity) ----------

@@ -34,6 +34,8 @@ from flax import linen as nn
 from ..ops.attention import ATTENTION_TYPES, AttentionState
 from ..ops.lstm import ZoneoutLSTMCell
 from ..ops.masking import dropout_frame, get_first_over_thresh, get_mask_from_lengths
+from .emotionnet import AuxEmotionNet, EmotionNet, EmotionNetConfig
+from .gst import GST, GSTConfig
 from .sylpsnet import SylpsNet
 
 
@@ -101,6 +103,14 @@ class Tacotron2Config:
     postnet_kernel_size: int = 5
     postnet_n_convolutions: int = 6
     postnet_residual_connections: int = 3
+    # ssvae heads (tacotron2_ssvae: TPGST + EmotionNet/AuxEmotionNet)
+    use_gst: bool = False
+    gst_token_num: int = 10
+    gst_token_embedding_size: int = 256
+    gst_num_heads: int = 8
+    use_emotionnet: bool = False
+    n_emotion_classes: int = 16          # hparams.py:186
+    emotionnet_latent_dim: int = 32
     # inference (hparams.py:155-157)
     gate_threshold: float = 0.5
     gate_delay: int = 10
@@ -472,6 +482,23 @@ class Tacotron2(nn.Module):
             self.memory_bottleneck = nn.Dense(
                 cfg.memory_bottleneck_dim, use_bias=cfg.memory_bottleneck_bias,
                 dtype=cfg.dtype, name="memory_bottleneck")
+        if cfg.use_gst:
+            self.gst = GST(GSTConfig(
+                n_mel_channels=cfg.n_mel_channels,
+                token_embedding_size=cfg.gst_token_embedding_size,
+                token_num=cfg.gst_token_num, num_heads=cfg.gst_num_heads,
+                torchmoji_dim=cfg.torchmoji_dim, dtype=cfg.dtype),
+                name="gst")
+        if cfg.use_emotionnet:
+            em_cfg = EmotionNetConfig(
+                n_classes=cfg.n_emotion_classes,
+                latent_dim=cfg.emotionnet_latent_dim,
+                speaker_embedding_dim=cfg.speaker_embedding_dim,
+                torchmoji_dim=cfg.torchmoji_dim,
+                n_mel_channels=cfg.n_mel_channels, dtype=cfg.dtype)
+            self.emotion_net = EmotionNet(em_cfg, name="emotion_net")
+            self.aux_emotion_net = AuxEmotionNet(em_cfg,
+                                                 name="aux_emotion_net")
         self.decoder = Decoder(cfg, name="decoder")
         if cfg.use_postnet:
             self.postnet = Postnet(cfg, name="postnet")
@@ -479,7 +506,10 @@ class Tacotron2(nn.Module):
     def _build_memory(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
                       speaker_id: jnp.ndarray, sylps: jnp.ndarray,
                       torchmoji_hidden: Optional[jnp.ndarray],
-                      key: Optional[jax.Array], deterministic: bool):
+                      key: Optional[jax.Array], deterministic: bool,
+                      ref_mel: Optional[jnp.ndarray] = None,
+                      emotion_id: Optional[jnp.ndarray] = None,
+                      emotion_onehot: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         B, T_txt = text.shape
         # clamp ids: under jit an out-of-range take fills NaN, which would
@@ -511,11 +541,60 @@ class Tacotron2(nn.Module):
                              (B, T_txt, 1)),
             jnp.broadcast_to(tm[:, None, :], (B, T_txt, tm.shape[-1])),
         ]
+        heads: Dict[str, jnp.ndarray] = {
+            "pred_sylps": pred_sylps, "syl_mu": syl_mu,
+            "syl_logvar": syl_logvar}
+
+        # TPGST style conditioning (ssvae/TPGST.py): style from the
+        # reference mel at training, from torchMoji text prediction
+        # ("TP" path) at inference
+        if cfg.use_gst:
+            gst_key = None
+            if key is not None:
+                key, gst_key = jax.random.split(key)
+            if ref_mel is not None:
+                gst_out = self.gst(ref_mel, ref_mode=1, key=gst_key,
+                                   deterministic=deterministic)
+            else:
+                gst_out = self.gst(torchmoji_hidden, ref_mode=3,
+                                   key=gst_key,
+                                   deterministic=deterministic)
+            style = gst_out["style_embedding"]
+            parts.append(jnp.broadcast_to(
+                style[:, None, :], (B, T_txt, style.shape[-1])))
+            heads["gst_style_tokens"] = gst_out["style_tokens"]
+
+        # Emotion VAE conditioning (ssvae/nets/EmotionNet.py): supervised
+        # where labels exist, AuxEmotionNet predicts the same latents from
+        # text for inference
+        if cfg.use_emotionnet:
+            em_key = aux_key = None
+            if key is not None:
+                key, em_key, aux_key = jax.random.split(key, 3)
+            aux = self.aux_emotion_net(
+                torchmoji_hidden, spk, encoder_outputs, text_lengths,
+                key=aux_key, deterministic=deterministic)
+            heads.update({"aux_zs": aux["zs"], "aux_zu_mu": aux["zu_mu"],
+                          "aux_zu_logvar": aux["zu_logvar"]})
+            if ref_mel is not None:
+                em = self.emotion_net(
+                    ref_mel, spk, encoder_outputs, text_lengths,
+                    emotion_id=emotion_id, emotion_onehot=emotion_onehot,
+                    key=em_key, deterministic=deterministic)
+                zs, zu = em["ss_zs"], em["zu"]
+                heads.update({"em_zs": em["zs"], "em_zu_mu": em["zu_mu"],
+                              "em_zu_logvar": em["zu_logvar"]})
+            else:
+                zs, zu = aux["zs"], aux["zu"]
+            em_cond = jnp.concatenate([jnp.exp(zs), zu], axis=-1)
+            parts.append(jnp.broadcast_to(
+                em_cond[:, None, :].astype(cfg.dtype),
+                (B, T_txt, em_cond.shape[-1])))
+
         memory = jnp.concatenate(parts, axis=-1)
         if cfg.use_memory_bottleneck:
             memory = self.memory_bottleneck(memory)
-        return memory, {"pred_sylps": pred_sylps, "syl_mu": syl_mu,
-                        "syl_logvar": syl_logvar}
+        return memory, heads
 
     def __call__(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
                  mels: jnp.ndarray, mel_lengths: jnp.ndarray,
@@ -527,7 +606,9 @@ class Tacotron2(nn.Module):
                  drop_frame_rate: float | jnp.ndarray = 0.0,
                  global_mean: Optional[jnp.ndarray] = None,
                  deterministic: bool = False,
-                 init_carry: Optional[DecoderCarry] = None):
+                 init_carry: Optional[DecoderCarry] = None,
+                 emotion_id: Optional[jnp.ndarray] = None,
+                 emotion_onehot: Optional[jnp.ndarray] = None):
         """Teacher-forced forward. Returns output dict + final decoder carry."""
         cfg = self.cfg
         if key is None:
@@ -536,7 +617,9 @@ class Tacotron2(nn.Module):
 
         memory, heads = self._build_memory(
             text, text_lengths, speaker_id, sylps, torchmoji_hidden,
-            k_mem, deterministic)
+            k_mem, deterministic,
+            ref_mel=mels if (cfg.use_gst or cfg.use_emotionnet) else None,
+            emotion_id=emotion_id, emotion_onehot=emotion_onehot)
 
         dec_target = mels
         if not deterministic and global_mean is not None:

@@ -120,3 +120,58 @@ def test_aux_emotionnet(emo_setup):
     assert out["zu_mu"].shape == (3, 3)
     np.testing.assert_allclose(
         np.exp(np.asarray(out["zs"])).sum(-1), 1.0, atol=1e-4)
+
+
+def test_tacotron2_with_ssvae_heads():
+    """Tacotron2 with GST + EmotionNet enabled: forward, inference, loss."""
+    from cookietts_tpu.losses import tacotron2_loss
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from tests.test_tacotron2 import make_batch, tiny_cfg
+
+    cfg = tiny_cfg(use_gst=True, gst_token_num=4,
+                   gst_token_embedding_size=8, gst_num_heads=2,
+                   use_emotionnet=True, n_emotion_classes=4,
+                   emotionnet_latent_dim=3)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg, B=2, T_txt=9, T_mel=66)
+    emotion_id = jnp.asarray([0, 4], jnp.int32)        # 4 == unknown
+    onehot = jax.nn.one_hot(jnp.minimum(emotion_id, 3), 4)
+
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, emotion_id=emotion_id, emotion_onehot=onehot,
+        key=jax.random.PRNGKey(2), deterministic=False)
+
+    @jax.jit
+    def fwd(v):
+        (out, _), _ = model.apply(
+            v, **batch, emotion_id=emotion_id, emotion_onehot=onehot,
+            key=jax.random.PRNGKey(3), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"])
+        return out
+
+    out = fwd(variables)
+    assert "gst_style_tokens" in out and "em_zu_mu" in out
+    assert out["gst_style_tokens"].shape == (2, 4)
+
+    gt = dict(
+        mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+        text_lengths=batch["text_lengths"], sylps=batch["sylps"],
+        gate_target=(jnp.arange(batch["mels"].shape[1])[None, :]
+                     >= batch["mel_lengths"][:, None] - 1).astype(
+            jnp.float32),
+        emotion_id=emotion_id, emotion_onehot=onehot,
+    )
+    total, loss_dict, _ = tacotron2_loss(out, gt)
+    for k in ("em_kld", "sup_em_nll", "aux_em_MSE"):
+        assert k in loss_dict and np.isfinite(float(loss_dict[k])), k
+    assert np.isfinite(float(total))
+
+    # inference path uses the text-predicted (TP) style + aux emotion
+    inf = jax.jit(lambda v, key: model.apply(
+        v, batch["text"], batch["text_lengths"], batch["speaker_id"],
+        batch["torchmoji_hidden"], key=key, method=Tacotron2.inference))
+    iout = inf(variables, jax.random.PRNGKey(9))
+    assert np.all(np.isfinite(np.asarray(iout["mel_outputs"])))
