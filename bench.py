@@ -2,11 +2,16 @@
 
 Baseline (BASELINE.md): the reference WaveGlow generates 5.19 s of 48 kHz
 audio per wall-clock second at batch 1 (n_flows 48, n_group 24, n_layers 8,
-n_channels 256, fp16, author's RTX-class GPU).
+n_channels 256, fp16, author's RTX-class GPU;
+CookieTTS/scripts/WaveGlowFlow Inference Speed Testing.ipynb cell 6).
 
 This benchmark runs the SAME architecture (48 flows / group 24 / 8 layers /
-256 channels) in bf16 on the local accelerator, batch 1, and reports
-RTF = generated_audio_seconds / wall_seconds.
+256 channels) in bf16, batch 1, ~5 s clips, and reports steady-state
+RTF = generated_audio_seconds / wall_second: N independent clips are
+generated back-to-back and every output is forced to materialize (a slice
+of each waveform is copied to host — `block_until_ready` alone does not
+reliably synchronize on the tunneled PJRT backend, and a full-waveform
+host copy would bill the tunnel's transfer latency to the TPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -59,16 +64,23 @@ def main():
                                                 method=WaveGlow.infer))
     key = jax.random.PRNGKey(1)
     out = infer(variables, mel, key)               # compile + warmup
-    out.block_until_ready()
+    _ = np.asarray(out[:, :256])                    # force real completion
 
-    n_iters = 5 if on_tpu else 1
+    n_iters = 10 if on_tpu else 1
+    # one fused check program: depends on every clip, single readback
+    check = jax.jit(lambda os_: jnp.stack(
+        [jnp.sum(o.astype(jnp.float32)) for o in os_]))
+    _ = np.asarray(check([out] * n_iters))   # compile at the right arity
     t0 = time.perf_counter()
+    outs = []
     for i in range(n_iters):
-        out = infer(variables, mel, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        outs.append(infer(variables, mel, jax.random.fold_in(key, i)))
+    # force every clip to have fully materialized (1 dispatch + 1 RTT)
+    sums = np.asarray(check(outs))
     elapsed = (time.perf_counter() - t0) / n_iters
 
     rtf = (B * audio_seconds) / elapsed
+    assert np.isfinite(sums).all()
     print(json.dumps({
         "metric": "waveglow_rtf_48khz_batch1",
         "value": round(rtf, 4),
