@@ -73,6 +73,12 @@ class WaveGlowConfig:
     upsample_channels: int = 256
     cond_residual: bool = False    # shared residual cond stack (glow_ax 72-112)
     cond_layers: int = 1
+    # speaker conditioning (reference efficient_model_ax speaker_embed)
+    n_speakers: int = 0            # 0 disables
+    speaker_embed_dim: int = 32
+    # inference post-processing (efficient_model_ax.py:359-388)
+    iso226_deemphasis: bool = False
+    sampling_rate: int = 48000
     # training
     memory_efficient: bool = True  # jax.checkpoint each flow
     sigma: float = 1.0
@@ -294,6 +300,10 @@ class WaveGlow(nn.Module):
         self.upsample = UpsampleNet(cfg.upsample_strides,
                                     cfg.upsample_channels,
                                     dtype=cfg.dtype, name="upsample")
+        if cfg.n_speakers > 0:
+            self.speaker_embed = nn.Embed(
+                cfg.n_speakers, cfg.speaker_embed_dim, dtype=cfg.dtype,
+                name="speaker_embed")
 
         n_flows = cfg.n_flows
         wns: List[nn.Module] = []
@@ -329,9 +339,20 @@ class WaveGlow(nn.Module):
         self._n_remaining = remaining
 
     # -- shared ------------------------------------------------------------
-    def _cond(self, mel: jnp.ndarray) -> jnp.ndarray:
+    def _cond(self, mel: jnp.ndarray,
+              speaker_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """[B, T_mel, M] -> [B, T/G, C] conditioning at group rate."""
-        return self.upsample(mel)
+        cond = self.upsample(mel)
+        if self.cfg.n_speakers > 0:
+            if speaker_ids is None:
+                speaker_ids = jnp.zeros((mel.shape[0],), jnp.int32)
+            spk = self.speaker_embed(speaker_ids)           # [B, S]
+            cond = jnp.concatenate(
+                [cond, jnp.broadcast_to(
+                    spk[:, None, :],
+                    (cond.shape[0], cond.shape[1], spk.shape[-1]))],
+                axis=-1)
+        return cond
 
     def _squeeze(self, audio: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> WaveGlow [B, T/G, G] | WaveFlow [B, G, T/G]."""
@@ -448,10 +469,11 @@ class WaveGlow(nn.Module):
         return z
 
     # -- public API ----------------------------------------------------------
-    def __call__(self, audio: jnp.ndarray, mel: jnp.ndarray):
+    def __call__(self, audio: jnp.ndarray, mel: jnp.ndarray,
+                 speaker_ids: Optional[jnp.ndarray] = None):
         """Training forward: (audio [B,T], mel [B,T_mel,M]) ->
         dict(z, log_s_sum, logdet_w_sum, n_elements)."""
-        cond = self._cond(mel)
+        cond = self._cond(mel, speaker_ids)
         x = self._squeeze(audio).astype(self.cfg.dtype)
         if self.waveflow:
             W = x.shape[2]
@@ -464,9 +486,10 @@ class WaveGlow(nn.Module):
         return {"z": z, "log_s_sum": log_s, "logdet_w_sum": logdet_w,
                 "n_elements": np.prod(x.shape)}
 
-    def inverse(self, z: jnp.ndarray, mel: jnp.ndarray) -> jnp.ndarray:
+    def inverse(self, z: jnp.ndarray, mel: jnp.ndarray,
+                speaker_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Latent -> audio [B, T]."""
-        cond = self._cond(mel)
+        cond = self._cond(mel, speaker_ids)
         if self.waveflow:
             cond = cond[:, : z.shape[2]]
             x = self._inverse_waveflow(z, cond)
@@ -476,8 +499,10 @@ class WaveGlow(nn.Module):
         return self._unsqueeze(x)
 
     def infer(self, mel: jnp.ndarray, key: jax.Array,
-              sigma: Optional[float] = None) -> jnp.ndarray:
-        """Sample z ~ N(0, sigma) and invert (efficient_model_ax.py:359-388)."""
+              sigma: Optional[float] = None,
+              speaker_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Sample z ~ N(0, sigma) and invert (efficient_model_ax.py:359-388);
+        optional ISO-226 equal-loudness de-emphasis on the output."""
         cfg = self.cfg
         sigma = cfg.sigma if sigma is None else sigma
         B, T_mel, _ = mel.shape
@@ -487,7 +512,12 @@ class WaveGlow(nn.Module):
         else:
             shape = (B, T_mel * up_prod, cfg.n_group)
         z = sigma * jax.random.normal(key, shape, cfg.dtype)
-        return self.inverse(z, mel)
+        audio = self.inverse(z, mel, speaker_ids)
+        if cfg.iso226_deemphasis:
+            from ..audio.iso226 import ISO226
+            audio = ISO226(sampling_rate=cfg.sampling_rate).inverse(
+                audio.astype(jnp.float32))
+        return audio
 
 
 def waveglow_loss(out: Dict[str, jnp.ndarray],
