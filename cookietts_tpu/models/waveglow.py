@@ -193,6 +193,13 @@ class WN2D(nn.Module):
     Reference glow_ax.py:421-635 (WN_2d): convs are causal in the height
     dimension (row h sees only rows < h) and SAME-padded dilated in width.
     Produces (log_s, t) for every row from the rows above it.
+
+    Two execution modes sharing the SAME parameters:
+    - ``__call__``  — parallel over all rows (training / forward).
+    - ``row_step``  — one row at a time with per-layer conv queues (the
+      streaming AR inverse, reference glow_ax.py:594-602). Each queue
+      holds the last (kh-1) input rows of its layer, so a full inverse is
+      O(H * layers * W) instead of the naive O(H^2 * layers * W).
     """
     n_layers: int = 8
     n_channels: int = 64
@@ -201,7 +208,32 @@ class WN2D(nn.Module):
     gated_unit: str = "GTU"
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.start = nn.Conv(self.n_channels, (1, 1), dtype=self.dtype,
+                             name="start")
+        self.cond_layer = nn.Dense(2 * self.n_channels * self.n_layers,
+                                   dtype=self.dtype, name="cond_layer")
+        in_layers = []
+        res_skips = []
+        kh = self.kernel_size_h
+        for i in range(self.n_layers):
+            dilation_w = 2 ** i
+            pad_w = (self.kernel_size // 2) * dilation_w
+            in_layers.append(nn.Conv(
+                2 * self.n_channels, (kh, self.kernel_size),
+                kernel_dilation=(1, dilation_w),
+                padding=((kh - 1, 0), (pad_w, pad_w)),
+                dtype=self.dtype, name=f"in_layer{i}"))
+            out_ch = (2 * self.n_channels if i < self.n_layers - 1
+                      else self.n_channels)
+            res_skips.append(nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                                     name=f"res_skip{i}"))
+        self.in_layers = in_layers
+        self.res_skips = res_skips
+        self.end = nn.Conv(2, (1, 1), dtype=self.dtype,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros, name="end")
+
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         """x [B, H, W, 1], cond [B, W, C] -> [B, H, W, 2] (log_s, t).
 
@@ -209,44 +241,70 @@ class WN2D(nn.Module):
         via one-row shift + causal padding).
         """
         gate = GATED_UNITS[self.gated_unit]
-        B, H, W, _ = x.shape
         # strict causality: shift input down one row so row h sees rows <h
         x_shift = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
-        h = nn.Conv(self.n_channels, (1, 1), dtype=self.dtype,
-                    name="start")(x_shift)
-        cond_all = nn.Dense(2 * self.n_channels * self.n_layers,
-                            dtype=self.dtype, name="cond_layer")(cond)
+        h = self.start(x_shift)
+        cond_all = self.cond_layer(cond)
         skip_sum = jnp.zeros_like(h)
-        kh = self.kernel_size_h
         for i in range(self.n_layers):
-            dilation_w = 2 ** i
-            pad_w = (self.kernel_size // 2) * dilation_w
-            # causal in height: pad (kh-1) rows on top only
-            acts = nn.Conv(2 * self.n_channels,
-                           (kh, self.kernel_size),
-                           kernel_dilation=(1, dilation_w),
-                           padding=((kh - 1, 0), (pad_w, pad_w)),
-                           dtype=self.dtype, name=f"in_layer{i}")(h)
+            acts = self.in_layers[i](h)
             c = cond_all[..., 2 * self.n_channels * i:
                          2 * self.n_channels * (i + 1)]
             acts = acts + c[:, None, :, :]      # broadcast over height
             a, b = jnp.split(acts, 2, axis=-1)
             out = gate(a, b)
+            rs = self.res_skips[i](out)
             if i < self.n_layers - 1:
-                res_skip = nn.Conv(2 * self.n_channels, (1, 1),
-                                   dtype=self.dtype,
-                                   name=f"res_skip{i}")(out)
-                res, skip = jnp.split(res_skip, 2, axis=-1)
+                res, skip = jnp.split(rs, 2, axis=-1)
                 h = h + res
                 skip_sum = skip_sum + skip
             else:
-                skip = nn.Conv(self.n_channels, (1, 1), dtype=self.dtype,
-                               name=f"res_skip{i}")(out)
+                skip_sum = skip_sum + rs
+        return self.end(skip_sum)
+
+    # -- streaming row mode ---------------------------------------------------
+    def init_queues(self, batch: int, width: int) -> jnp.ndarray:
+        """[n_layers, B, kh-1, W, C] zero queues (causal zero padding)."""
+        kh = self.kernel_size_h
+        return jnp.zeros((self.n_layers, batch, kh - 1, width,
+                          self.n_channels), self.dtype)
+
+    def precompute_cond(self, cond: jnp.ndarray) -> jnp.ndarray:
+        return self.cond_layer(cond)
+
+    def row_step(self, queues: jnp.ndarray, x_prev_row: jnp.ndarray,
+                 cond_all: jnp.ndarray):
+        """One height row.
+
+        queues [L, B, kh-1, W, C]: last kh-1 input rows per layer;
+        x_prev_row [B, W, 1]: the PREVIOUS generated row (zeros for row 0,
+        matching the causal one-row shift); cond_all [B, W, 2C*L].
+        Returns (st_row [B, W, 2], new_queues).
+        """
+        gate = GATED_UNITS[self.gated_unit]
+        h_row = self.start(x_prev_row[:, None])[:, 0]       # [B, W, C]
+        skip_sum = jnp.zeros_like(h_row)
+        new_queues = []
+        for i in range(self.n_layers):
+            rows = jnp.concatenate([queues[i], h_row[:, None]], axis=1)
+            # the conv pads (kh-1) zero rows on top; its LAST output row
+            # sees exactly our kh real rows -> the streaming row output
+            acts = self.in_layers[i](rows)[:, -1]           # [B, W, 2C]
+            c = cond_all[..., 2 * self.n_channels * i:
+                         2 * self.n_channels * (i + 1)]
+            acts = acts + c
+            a, b = jnp.split(acts, 2, axis=-1)
+            out = gate(a, b)
+            rs = self.res_skips[i](out[:, None])[:, 0]
+            new_queues.append(rows[:, 1:])                  # drop oldest
+            if i < self.n_layers - 1:
+                res, skip = jnp.split(rs, 2, axis=-1)
+                h_row = h_row + res
                 skip_sum = skip_sum + skip
-        out = nn.Conv(2, (1, 1), dtype=self.dtype,
-                      kernel_init=nn.initializers.zeros,
-                      bias_init=nn.initializers.zeros, name="end")(skip_sum)
-        return out
+            else:
+                skip_sum = skip_sum + rs
+        st = self.end(skip_sum[:, None])[:, 0]              # [B, W, 2]
+        return st, jnp.stack(new_queues)
 
 
 class UpsampleNet(nn.Module):
@@ -450,19 +508,33 @@ class WaveGlow(nn.Module):
                           ) -> jnp.ndarray:
         """AR-in-height inverse: x[h] = (z[h] - t(x[<h])) / s(x[<h]).
 
-        Round-1 implementation recomputes the causal WN per row (O(H^2) in
-        the 8-16 row height — still fully parallel over width/batch).
-        Conv-queue streaming (glow_ax.py:594-602) is the planned follow-up.
+        Streaming conv-queue implementation (the scan equivalent of the
+        reference's queue tensors, glow_ax.py:594-602): a `lax.scan` over
+        the H rows carries one (kh-1)-row queue per WN layer, so each flow
+        costs one WN pass total instead of H.
         """
         cfg = self.cfg
-        H = cfg.n_group
+        B, H, W = z.shape
         for k in reversed(range(cfg.n_flows)):
-            x = jnp.zeros_like(z)
-            for h in range(H):
-                st = self.wn[k](x[..., None], cond)     # [B, H, W, 2]
+            cond_all = self.wn[k].precompute_cond(cond)
+
+            def step(mdl, carry, z_row, k=k, cond_all=cond_all):
+                queues, x_prev = carry
+                st, queues = mdl.wn[k].row_step(queues, x_prev, cond_all)
                 log_s, t = st[..., 0], st[..., 1]
-                row = (z[:, h] - t[:, h]) * jnp.exp(-log_s[:, h])
-                x = x.at[:, h].set(row)
+                x_row = (z_row - t) * jnp.exp(-log_s)
+                return (queues, x_row[..., None]), x_row
+
+            init = (self.wn[k].init_queues(B, W),
+                    jnp.zeros((B, W, 1), cfg.dtype))
+            scan = nn.scan(
+                step,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0)
+            # z rows as scan xs: [H, B, W]
+            _, rows = scan(self, init, jnp.swapaxes(z, 0, 1))
+            x = jnp.swapaxes(rows, 0, 1)                  # [B, H, W]
             order = permute_height_order(cfg.n_group, "bipartize", k)
             inv_order = np.argsort(order)
             z = x[:, inv_order, :]

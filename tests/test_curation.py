@@ -1,0 +1,41 @@
+"""Dataset-curation tests (host-side, no jax)."""
+from cookietts_tpu.data.curation import (
+    filter_by_attention_quality, mse_weighted_resample)
+
+
+def _entries():
+    return [
+        {"path": f"s{spk}_{i}.wav", "quote": "q", "speaker_id": spk}
+        for spk in (0, 1) for i in range(10)
+    ]
+
+
+def test_filter_by_attention_quality():
+    entries = _entries()
+    losses = {"s0_0.wav": {"att_score": 0.2},          # bad -> dropped
+              "s0_1.wav": {"att_score": 0.9},          # good -> kept
+              "s1_0.wav": {"avg_max_attention": 0.1}}  # bad -> dropped
+    kept = filter_by_attention_quality(entries, losses)
+    paths = {e["path"] for e in kept}
+    assert "s0_0.wav" not in paths and "s1_0.wav" not in paths
+    assert "s0_1.wav" in paths
+    assert len(kept) == 18        # unjudged files all kept
+
+
+def test_mse_weighted_resample_oversamples_hard_speaker():
+    entries = _entries()
+    losses = {}
+    for i in range(10):
+        losses[f"s0_{i}.wav"] = {"spec_MSE": 0.9}   # hard speaker
+        losses[f"s1_{i}.wav"] = {"spec_MSE": 0.1}   # easy speaker
+    new = mse_weighted_resample(entries, losses, exp_factor=1.0, seed=0)
+    n0 = sum(1 for e in new if e["speaker_id"] == 0)
+    n1 = sum(1 for e in new if e["speaker_id"] == 1)
+    assert n0 > n1                                   # hard gets more
+    assert abs(len(new) - len(entries)) <= 2         # ~constant size
+    assert n0 >= 15                                  # ~0.9/1.0 of 20
+
+
+def test_mse_weighted_resample_no_losses_noop():
+    entries = _entries()
+    assert mse_weighted_resample(entries, {}) == entries
