@@ -162,3 +162,30 @@ class DynamicLossScaler:
             if self._good_steps >= self.scale_window:
                 self.scale *= self.scale_factor
                 self._good_steps = 0
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """Plateau LR scheduler (the vocoder trainer steps one with the
+    broadcast validation MSE, reference _4_mtw/waveglow/train.py:671-700).
+
+    Call ``lr = sched.step(metric)`` after each validation."""
+    factor: float = 0.5
+    patience: int = 5
+    min_lr: float = 1e-6
+    threshold: float = 1e-4
+    scale: float = 1.0           # multiplies the externally supplied base lr
+    _best: float = float("inf")
+    _bad_steps: int = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self._best * (1.0 - self.threshold):
+            self._best = metric
+            self._bad_steps = 0
+        else:
+            self._bad_steps += 1
+            if self._bad_steps > self.patience:
+                self.scale = max(self.scale * self.factor,
+                                 self.min_lr)
+                self._bad_steps = 0
+        return self.scale
