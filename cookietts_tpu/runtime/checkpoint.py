@@ -24,8 +24,21 @@ import numpy as np
 from flax import serialization
 
 
+def _to_serializable(tree):
+    """Recursively convert NamedTuples/tuples/lists to dicts/lists so the
+    msgpack serializer accepts them (optimizer states are NamedTuples)."""
+    if hasattr(tree, "_asdict"):             # NamedTuple
+        return {k: _to_serializable(v) for k, v in tree._asdict().items()}
+    if isinstance(tree, dict):
+        return {k: _to_serializable(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_to_serializable(v) for v in tree]
+    return tree
+
+
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                  _to_serializable(tree))
 
 
 def save_checkpoint(path: str, state_tree: Any,

@@ -1,0 +1,105 @@
+"""Trainer integration: a tiny Tacotron2 overfits one batch through the
+full Trainer loop (live config, metrics, file-loss DB, checkpoints,
+explosion recovery)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cookietts_tpu.models.tacotron2 import Tacotron2
+from cookietts_tpu.runtime.optim import adam
+from cookietts_tpu.runtime.train_state import TrainState
+from cookietts_tpu.runtime.trainer import (
+    Trainer, TrainerConfig, make_tacotron2_eval_step,
+    make_tacotron2_train_step)
+from tests.test_tacotron2 import make_batch, tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def trainer_setup(tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("run"))
+    cfg = tiny_cfg()
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg, B=3, T_txt=11, T_mel=17)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    params = variables["params"]
+    mutables = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState.create(model.apply, params, adam(), mutables)
+
+    live_path = os.path.join(run_dir, "run_every_epoch.py")
+    with open(live_path, "w") as f:
+        f.write("A_ = 2e-3\nwarmup_end = 0\ndecay_start = 10**9\n"
+                "grad_clip_thresh = 5.0\ndrop_frame_rate = 0.0\n")
+
+    trainer = Trainer(
+        TrainerConfig(run_dir=run_dir, live_config_path=live_path,
+                      log_every=5),
+        state,
+        make_tacotron2_train_step(model, donate=False),
+        make_tacotron2_eval_step(model))
+
+    gate = (np.arange(17)[None, :]
+            >= np.asarray(batch["mel_lengths"])[:, None] - 1
+            ).astype(np.float32)
+    train_batch = {
+        "text": batch["text"], "text_lengths": batch["text_lengths"],
+        "mels": batch["mels"], "mel_lengths": batch["mel_lengths"],
+        "speaker_id": batch["speaker_id"], "sylps": batch["sylps"],
+        "torchmoji": batch["torchmoji_hidden"],
+        "gate_target": jnp.asarray(gate),
+        "pres_prev_state": jnp.zeros((3,), jnp.float32),
+        "audiopath": ["a.wav", "b.wav", "c.wav"],
+    }
+    return trainer, train_batch, run_dir
+
+
+def test_overfits_single_batch(trainer_setup):
+    trainer, batch, run_dir = trainer_setup
+    losses = []
+    for _ in range(25):
+        metrics = trainer.step(dict(batch))
+        losses.append(metrics["loss"])
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    # file-loss DB tracked the three files
+    assert set(trainer.file_db.db) == {"a.wav", "b.wav", "c.wav"}
+    assert "spec_MSE" in trainer.file_db.db["a.wav"]
+    # metrics written
+    assert os.path.getsize(os.path.join(run_dir, "events.jsonl")) > 0
+
+
+def test_validation_and_checkpoints(trainer_setup):
+    trainer, batch, run_dir = trainer_setup
+    val_batch = {k: v for k, v in batch.items()
+                 if k not in ("pres_prev_state",)}
+    means = trainer.validate([val_batch])
+    assert np.isfinite(means["val_loss"])
+    trainer.save(periodic=True, val_loss=means["val_loss"],
+                 att_score=float(means.get("val_weighted_score", 0.0)))
+    files = os.listdir(run_dir)
+    assert any(f.startswith("checkpoint_") for f in files)
+    assert "best_val_model" in files
+
+
+def test_explosion_recovery(trainer_setup):
+    trainer, batch, run_dir = trainer_setup
+    # force an explosion via a tiny threshold
+    trainer.live.values["LossExplosionThreshold"] = 1e-9
+    n0 = trainer.n_restarts
+    step_before = int(trainer.state.step)
+    metrics = trainer.step(dict(batch))
+    assert metrics.get("exploded") == 1.0
+    assert trainer.n_restarts == n0 + 1
+    # the state was NOT advanced by the exploding step
+    assert int(trainer.state.step) == step_before
+    # restart decays the lr
+    lr_now = float(trainer.ctrl(step_before)["lr"])
+    trainer.n_restarts = 0
+    lr_base = float(trainer.ctrl(step_before)["lr"])
+    assert lr_now < lr_base
+    trainer.live.values["LossExplosionThreshold"] = 1e3
