@@ -92,6 +92,7 @@ class Tacotron2Config:
     attention_learned_temperature: bool = False
     attention_location_n_filters: int = 32
     attention_location_kernel_size: int = 31
+    use_pallas_attention: bool = False   # fused TPU attention-step kernel
     num_att_mixtures: int = 1
     delta_offset: float = 0.005
     delta_min_limit: float = 0.0
@@ -259,6 +260,7 @@ class DecoderCell(nn.Module):
                 windowed_att_pos_learned=cfg.windowed_att_pos_learned,
                 windowed_att_pos_offset=cfg.windowed_att_pos_offset,
                 learn_temperature=cfg.attention_learned_temperature,
+                use_pallas=cfg.use_pallas_attention,
                 dtype=cfg.dtype, name="attention")
         elif cfg.attention_type == 1:
             self.attention = att_cls(

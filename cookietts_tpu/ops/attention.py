@@ -65,6 +65,7 @@ class LocationSensitiveAttention(nn.Module):
     windowed_att_pos_offset: float = 0.0
     learn_temperature: bool = False
     smoothing_factor: float = 0.25        # exp smoothing of tracked position
+    use_pallas: bool = False              # fused TPU kernel (no learned temp)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -114,6 +115,42 @@ class LocationSensitiveAttention(nn.Module):
             [state.weights, state.weights_cum * cum_weight_scaler], axis=-1
         ).astype(self.dtype)                                       # [B, T, 2]
         processed_loc = self.location_dense(self.location_conv(loc_feats))
+
+        if self.use_pallas and not self.learn_temperature \
+                and not self.is_initializing():
+            # single fused VMEM pass: energies + window/length mask +
+            # softmax + context (ops/pallas_kernels.py)
+            from .pallas_kernels import fused_attention
+            full_mask = mask
+            if self.windowed_attention_range > 0:
+                center = state.position
+                if self.windowed_att_pos_learned:
+                    center = center + self.pos_offset[0]
+                else:
+                    center = center + self.windowed_att_pos_offset
+                idx = jnp.arange(T_enc, dtype=jnp.float32)[None, :]
+                in_window = jnp.abs(idx - center[:, None]) <= float(
+                    self.windowed_attention_range)
+                full_mask = mask & in_window
+            v_vec = self.v.variables["params"]["kernel"][:, 0]
+            context, weights = fused_attention(
+                processed_query[:, 0].astype(jnp.float32),
+                processed_loc.astype(jnp.float32),
+                processed_memory.astype(jnp.float32),
+                v_vec.astype(jnp.float32),
+                memory.astype(jnp.float32), full_mask)
+            context = context.astype(memory.dtype)
+            expected_pos = jnp.sum(
+                weights * jnp.arange(T_enc, dtype=jnp.float32)[None, :],
+                axis=-1)
+            a = self.smoothing_factor
+            new_state = AttentionState(
+                weights=weights,
+                weights_cum=state.weights_cum + weights,
+                position=a * expected_pos + (1.0 - a) * state.position,
+                mu=state.mu)
+            return context, weights, new_state
+
         energies = self.v(jnp.tanh(
             processed_query + processed_loc + processed_memory
         ))[..., 0].astype(jnp.float32)                             # [B, T]

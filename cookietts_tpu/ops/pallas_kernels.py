@@ -115,3 +115,39 @@ def attention_step(processed_query: jnp.ndarray,
     )(qp[:, None, :], lp.reshape(B, Tp, Ap), mp.reshape(B, Tp, Ap), vv,
       mem.reshape(B, Tp, Dp), msk[:, None, :])
     return ctx[:, 0, :D], w[:, 0, :T]
+
+
+# -- differentiable wrapper ---------------------------------------------------
+
+def _reference_math(qp, lp, mp, v, memory, mask):
+    e = jnp.einsum("bta,a->bt", jnp.tanh(qp[:, None, :] + lp + mp), v)
+    e = jnp.where(mask, e, NEG)
+    w = jax.nn.softmax(e, axis=-1)
+    ctx = jnp.einsum("bt,btd->bd", w, memory)
+    return ctx, w
+
+
+@jax.custom_vjp
+def fused_attention(qp, lp, mp, v, memory, mask):
+    """Differentiable fused attention step: forward runs the Pallas
+    kernel; backward uses the VJP of the mathematically identical jnp
+    expression (outputs agree to ~1e-5, see tests/test_pallas.py)."""
+    return attention_step(qp, lp, mp, v, memory, mask, use_pallas=True)
+
+
+def _fused_fwd(qp, lp, mp, v, memory, mask):
+    out = attention_step(qp, lp, mp, v, memory, mask, use_pallas=True)
+    return out, (qp, lp, mp, v, memory, mask)
+
+
+def _fused_bwd(res, g):
+    qp, lp, mp, v, memory, mask = res
+    _, vjp = jax.vjp(
+        lambda qp, lp, mp, v, memory: _reference_math(
+            qp, lp, mp, v, memory, mask),
+        qp, lp, mp, v, memory)
+    d_qp, d_lp, d_mp, d_v, d_mem = vjp(g)
+    return d_qp, d_lp, d_mp, d_v, d_mem, None
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
