@@ -78,6 +78,8 @@ def cmd_train(args):
                          if k in dcfg_valid})
     dataset = TTSDataset(entries, dcfg)
 
+    if args.model == "waveglow":
+        return _train_waveglow(args, overrides)
     if args.model == "tacotron2":
         model, mcfg = _build_tacotron2(overrides)
     else:
@@ -134,6 +136,85 @@ def cmd_train(args):
     print(f"done: {it} iters, checkpoints in {args.run_dir}")
 
 
+def _train_waveglow(args, overrides):
+    """Vocoder training from a GTA map file or a wav filelist
+    (reference _4_mtw/waveglow/train.py surface)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data.mel2samp import (Mel2Samp, Mel2SampConfig, collate_mel2samp,
+                                load_map_file)
+    from .models.waveglow import WaveGlow, WaveGlowConfig
+    from .runtime.optim import ReduceLROnPlateau, adam, lamb
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import (make_waveglow_train_step,
+                                  make_waveglow_val_step,
+                                  scalars_to_arrays)
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.checkpoint import Checkpointer
+
+    batch_size = int(overrides.get("batch_size", 4))
+    n_iters = int(overrides.get("n_iters", args.iters))
+    use_lamb = str(overrides.get("optimizer", "adam")) == "lamb"
+
+    d_valid = set(Mel2SampConfig.__dataclass_fields__)
+    dcfg = Mel2SampConfig(**{k: v for k, v in overrides.items()
+                             if k in d_valid})
+    entries = load_map_file(args.filelist)
+    dataset = Mel2Samp(entries, dcfg)
+
+    m_valid = set(WaveGlowConfig.__dataclass_fields__)
+    wcfg = WaveGlowConfig(
+        n_mel_channels=dcfg.n_mel_channels, hop_length=dcfg.hop_length,
+        **{k: v for k, v in overrides.items()
+           if k in m_valid and k not in ("n_mel_channels", "hop_length")})
+    model = WaveGlow(wcfg)
+
+    batch = collate_mel2samp([dataset[i % len(dataset)]
+                              for i in range(batch_size)])
+    dev = {"audio": jnp.asarray(batch["audio"]),
+           "mels": jnp.asarray(batch["mels"])}
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), dev["audio"],
+                                    dev["mels"])
+    tx = lamb() if use_lamb else adam()
+    state = TrainState.create(model.apply, variables["params"], tx)
+    train_step = make_waveglow_train_step(model, donate=False)
+    val_step = make_waveglow_val_step(model)
+    logger = MetricsLogger(args.run_dir)
+    ckpt = Checkpointer(args.run_dir)
+    plateau = ReduceLROnPlateau()
+
+    rng = np.random.default_rng(0)
+    base_lr = float(overrides.get("lr", 1e-4))
+    for it in range(n_iters):
+        idx = rng.integers(0, len(dataset), batch_size)
+        batch = collate_mel2samp([dataset[int(i)] for i in idx])
+        dev = {"audio": jnp.asarray(batch["audio"]),
+               "mels": jnp.asarray(batch["mels"])}
+        ctrl = scalars_to_arrays({"lr": base_lr * plateau.scale,
+                                  "grad_clip": 150.0})
+        state, metrics = train_step(state, dev, jax.random.PRNGKey(it),
+                                    ctrl)
+        if it % 10 == 0:
+            logger.log_scalars(it, {k: float(v)
+                                    for k, v in metrics.items()})
+            print(f"iter {it}: nll={float(metrics['loss']):.4f}")
+        if it and it % 200 == 0:
+            val = val_step(state, dev, jax.random.PRNGKey(9999 + it))
+            val_mse = float(val["val_MSE"])
+            plateau.step(val_mse)
+            logger.log_scalars(it, {"val_MSE": val_mse}, prefix="val")
+            ckpt.maybe_save_best_val(val_mse, {
+                "step": it,
+                "params": jax.tree_util.tree_map(np.asarray, state.params),
+            })
+    ckpt.save_periodic(n_iters, {
+        "step": n_iters,
+        "params": jax.tree_util.tree_map(np.asarray, state.params)})
+    print(f"done: checkpoints in {args.run_dir}")
+
+
 def cmd_gta(args):
     import jax
     import jax.numpy as jnp
@@ -165,10 +246,18 @@ def cmd_gta(args):
 
 
 def cmd_server(args):
-    raise SystemExit(
-        "server: load a checkpoint into T2S and call "
-        "cookietts_tpu.pipeline.server.serve(t2s, port) — see "
-        "tests/test_pipeline.py for the wiring")
+    import json as _json
+    import jax
+    from .pipeline.server import serve
+    from .pipeline.text2speech import T2S, T2SConfig
+    from .runtime.checkpoint import load_checkpoint
+
+    tree, meta = load_checkpoint(args.checkpoint)
+    model, _ = _build_tacotron2((meta or {}).get("model_config", {}))
+    variables = {"params": tree["params"], **tree.get("mutables", {})}
+    speaker_ids = (meta or {}).get("speaker_ids") or {"default": 0}
+    t2s = T2S(T2SConfig(), model, variables, speaker_ids=speaker_ids)
+    serve(t2s, port=args.port)
 
 
 def cmd_bench(args):
