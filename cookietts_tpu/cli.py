@@ -69,6 +69,12 @@ def cmd_train(args):
         make_tacotron2_train_step)
 
     overrides = parse_override_string(args.hparams) if args.hparams else {}
+    if args.model == "waveglow":
+        return _train_waveglow(args, overrides)
+    if args.model != "tacotron2":
+        raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
+                         "use the runtime factories directly")
+
     batch_size = int(overrides.get("batch_size", 8))
     n_iters = int(overrides.get("n_iters", args.iters))
 
@@ -77,14 +83,7 @@ def cmd_train(args):
     dcfg = DataConfig(**{k: v for k, v in overrides.items()
                          if k in dcfg_valid})
     dataset = TTSDataset(entries, dcfg)
-
-    if args.model == "waveglow":
-        return _train_waveglow(args, overrides)
-    if args.model == "tacotron2":
-        model, mcfg = _build_tacotron2(overrides)
-    else:
-        raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
-                         "use the runtime factories directly")
+    model, mcfg = _build_tacotron2(overrides)
 
     # init from one real batch
     items = [dataset[i % len(dataset)] for i in range(batch_size)]
