@@ -1,0 +1,82 @@
+"""End-to-end CLI smoke tests: tiny datasets through `train` (tacotron2 +
+waveglow) and `gta`, all in-process."""
+import os
+
+import numpy as np
+import pytest
+
+from cookietts_tpu import cli
+from cookietts_tpu.data import audio_io
+
+
+@pytest.fixture(scope="module")
+def tts_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    sr = 22050
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        t = np.arange(int(sr * 1.0)) / sr
+        audio = (0.3 * np.sin(2 * np.pi * (150 + 60 * i) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(root / f"a{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"{p}|Hello number {i} here.|0")
+    filelist = str(root / "filelist_train.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(lines))
+    return str(root), filelist, sr
+
+
+TINY_TTS_HPARAMS = (
+    "batch_size=2,n_iters=2,"
+    "sampling_rate=22050,filter_length=512,hop_length=128,win_length=512,"
+    "n_mel_channels=20,mel_fmax=8000.0,"
+    "symbols_embedding_dim=16,n_speakers=4,speaker_embedding_dim=8,"
+    "encoder_speaker_embed_dim=4,encoder_conv_hidden_dim=16,"
+    "encoder_lstm_dim=16,encoder_n_convolutions=1,torchmoji_dim=8,"
+    "torchmoji_crushed_dim=4,memory_bottleneck_dim=16,prenet_dim=8,"
+    "attention_rnn_dim=16,decoder_rnn_dim=16,second_decoder_rnn_dim=0,"
+    "attention_dim=8,windowed_attention_range=4,postnet_embedding_dim=16,"
+    "postnet_n_convolutions=2,postnet_residual_connections=0,"
+    "text_buckets=[32],mel_buckets=[192],max_segment_frames=192"
+)
+
+
+def test_cli_train_tacotron2(tts_dataset, tmp_path):
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_t2")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS])
+    files = os.listdir(run_dir)
+    assert any(f.startswith("checkpoint_") for f in files)
+    assert "events.jsonl" in files
+
+
+def test_cli_train_waveglow(tmp_path):
+    sr = 16000
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(2):
+        t = np.arange(sr) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(tmp_path / f"v{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"{p}||{i}")
+    map_file = str(tmp_path / "map_train_0.txt")
+    with open(map_file, "w") as f:
+        f.write("\n".join(lines))
+    run_dir = str(tmp_path / "run_wg")
+    cli.main(["train", "--model", "waveglow", "--filelist", map_file,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams",
+              "batch_size=2,n_iters=2,segment_length=2048,"
+              "sampling_rate=16000,filter_length=512,hop_length=128,"
+              "win_length=512,n_mel_channels=16,mel_fmax=8000.0,"
+              "n_flows=2,n_group=4,n_early_every=0,n_layers=1,"
+              "n_channels=8,upsample_strides=[4,8],upsample_channels=8,"
+              "memory_efficient=False,load_from_disk_dtw=False"])
+    assert any(f.startswith("checkpoint_")
+               for f in os.listdir(run_dir))
