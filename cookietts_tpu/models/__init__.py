@@ -8,3 +8,7 @@
 """
 from .sylpsnet import SylpsNet  # noqa: F401
 from .tacotron2 import Tacotron2, Tacotron2Config  # noqa: F401
+
+# heavier families are imported lazily by their module paths:
+# .waveglow (WaveGlow/WaveFlow), .hifigan, .hifigan_denoiser, .untts,
+# .gantts, .gst, .emotionnet, .gan_postnet, .torchmoji, .denoiser

@@ -121,3 +121,34 @@ def test_denoiser_reduces_bias():
     n = min(len(out), len(audio))
     assert band_power(out[:n], 200) < band_power(audio[:n], 200) * 0.5
     assert band_power(out[:n], 700) > band_power(audio[:n], 700) * 0.6
+
+
+def test_gan_postnet_and_discriminator():
+    from cookietts_tpu.models.gan_postnet import (
+        GANDiscriminator, GANPostnet, GANPostnetConfig, gan_postnet_losses)
+    cfg = GANPostnetConfig(n_mel_channels=12, speaker_embedding_dim=6,
+                           noise_dim=4, n_convolutions=3, embedding_dim=16,
+                           residual_connections=2)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 18, 12)), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32)
+
+    post = GANPostnet(cfg)
+    pvars = jax.jit(post.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), mel, spk, deterministic=True)
+    refined = jax.jit(post.apply, static_argnames=("deterministic",))(
+        pvars, mel, spk, key=jax.random.PRNGKey(1), deterministic=True)
+    assert refined.shape == mel.shape
+
+    disc = GANDiscriminator(cfg)
+    dvars = jax.jit(disc.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(2), mel, spk, deterministic=True)
+    fakeness = jax.jit(disc.apply, static_argnames=("deterministic",))(
+        dvars, refined, spk, deterministic=True)
+    assert fakeness.shape == (2,)
+    f = np.asarray(fakeness)
+    assert np.all((f >= 0) & (f <= 1))
+
+    g_loss, d_loss = gan_postnet_losses(
+        jnp.asarray([0.1, 0.2]), fakeness)
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
