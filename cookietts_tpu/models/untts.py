@@ -333,3 +333,101 @@ def untts_loss(out: Dict[str, jnp.ndarray], gt: Dict[str, jnp.ndarray],
         total = total + energy_weight * e_mse
     loss_dict["loss"] = total
     return total, loss_dict
+
+
+class VarGlow(nn.Module):
+    """Char-level conditional flow over prosody scalars (duration / f0 /
+    energy), the reference's CVarGlow/VarGlow
+    (untts/waveglow/{cvarglow,varglow}.py): instead of deterministic
+    regression, model p(scalars | text) with an invertible flow so
+    inference can SAMPLE diverse prosody.
+
+    Values [B, N, C] (C scalars per char) are grouped along the char axis
+    ([B, N/g, g*C]) and passed through 1x1-mixing + WN affine couplings
+    conditioned on group-pooled text features — the WaveGlow recipe at
+    char rate.
+    """
+    n_channels_in: int = 2        # e.g. (log-duration, f0)
+    n_group: int = 4              # chars squeezed per flow step
+    n_flows: int = 4
+    wn_layers: int = 2
+    wn_channels: int = 64
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        C = self.n_channels_in * self.n_group
+        half = C // 2
+        self.convinv = [Invertible1x1Conv(C, dtype=self.dtype,
+                                          name=f"convinv{k}")
+                        for k in range(self.n_flows)]
+        self.wn = [WN(C - half, self.wn_layers, self.wn_channels,
+                      kernel_size=3, dtype=self.dtype, name=f"wn{k}")
+                   for k in range(self.n_flows)]
+        self._half = half
+
+    def _squeeze(self, values: jnp.ndarray) -> jnp.ndarray:
+        """[B, N, C] -> [B, N/g, g*C] (N must be padded to g)."""
+        B, N, C = values.shape
+        g = self.n_group
+        return values[:, : (N // g) * g].reshape(B, N // g, g * C)
+
+    def _unsqueeze(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, Ng, gC = x.shape
+        return x.reshape(B, Ng * self.n_group, self.n_channels_in)
+
+    def _group_cond(self, text_feats: jnp.ndarray) -> jnp.ndarray:
+        """[B, N, D] -> [B, N/g, g*D] grouped conditioning."""
+        B, N, D = text_feats.shape
+        g = self.n_group
+        return text_feats[:, : (N // g) * g].reshape(B, N // g, g * D)
+
+    def forward(self, values: jnp.ndarray, text_feats: jnp.ndarray):
+        """values [B, N, C], text_feats [B, N, D] ->
+        (z, log_s_sum, logdet_w_sum, n_elements)."""
+        x = self._squeeze(values.astype(self.dtype))
+        cond = self._group_cond(text_feats.astype(self.dtype))
+        log_s_sum = jnp.zeros((), jnp.float32)
+        logdet_w_sum = jnp.zeros((), jnp.float32)
+        B, Ng, _ = x.shape
+        for k in range(self.n_flows):
+            x, logdet_w = self.convinv[k](x)
+            xa, xb = x[..., : self._half], x[..., self._half:]
+            st = self.wn[k](xb, cond)
+            log_s, t = jnp.split(st, 2, axis=-1)
+            xa = xa * jnp.exp(log_s) + t
+            x = jnp.concatenate([xa, xb], axis=-1)
+            log_s_sum = log_s_sum + jnp.sum(log_s.astype(jnp.float32))
+            logdet_w_sum = logdet_w_sum + \
+                logdet_w.astype(jnp.float32) * (B * Ng)
+        return x, log_s_sum, logdet_w_sum, float(np.prod(x.shape))
+
+    def inverse(self, z: jnp.ndarray, text_feats: jnp.ndarray
+                ) -> jnp.ndarray:
+        """z [B, N/g, g*C] -> values [B, N', C]."""
+        cond = self._group_cond(text_feats.astype(self.dtype))
+        x = z
+        for k in reversed(range(self.n_flows)):
+            xa, xb = x[..., : self._half], x[..., self._half:]
+            st = self.wn[k](xb, cond)
+            log_s, t = jnp.split(st, 2, axis=-1)
+            xa = (xa - t) * jnp.exp(-log_s)
+            x = jnp.concatenate([xa, xb], axis=-1)
+            x, _ = self.convinv[k](x, inverse=True)
+        return self._unsqueeze(x)
+
+    def sample(self, text_feats: jnp.ndarray, key: jax.Array,
+               sigma: float = 0.7) -> jnp.ndarray:
+        """Sample prosody scalars for [B, N, D] text feats -> [B, N', C]."""
+        B, N, _ = text_feats.shape
+        g = self.n_group
+        shape = (B, N // g, g * self.n_channels_in)
+        z = sigma * jax.random.normal(key, shape, self.dtype)
+        return self.inverse(z, text_feats)
+
+
+def varglow_loss(z, log_s_sum, logdet_w_sum, n_elements,
+                 sigma: float = 1.0) -> jnp.ndarray:
+    """Per-element NLL for the prosody flow."""
+    z = z.astype(jnp.float32)
+    return (jnp.sum(z * z) / (2.0 * sigma * sigma)
+            - log_s_sum - logdet_w_sum) / n_elements

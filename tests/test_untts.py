@@ -126,3 +126,35 @@ def test_duration_scale_changes_length(setup):
     short = run(0.5)
     long = run(2.0)
     assert np.all(long >= short)
+
+
+def test_varglow_roundtrip_and_sampling():
+    from cookietts_tpu.models.untts import VarGlow, varglow_loss
+    model = VarGlow(n_channels_in=2, n_group=4, n_flows=2, wn_layers=1,
+                    wn_channels=8)
+    rng = np.random.default_rng(0)
+    B, N, D = 2, 16, 10
+    values = jnp.asarray(rng.standard_normal((B, N, 2)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init(k, values, feats, method=VarGlow.forward))(
+        jax.random.PRNGKey(0))
+
+    @jax.jit
+    def roundtrip(v):
+        z, ls, lw, n = model.apply(v, values, feats,
+                                   method=VarGlow.forward)
+        rec = model.apply(v, z, feats, method=VarGlow.inverse)
+        return z, ls, lw, n, rec
+
+    z, ls, lw, n, rec = roundtrip(variables)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(values),
+                               atol=2e-3, rtol=1e-3)
+    nll = varglow_loss(z, ls, lw, n)
+    assert np.isfinite(float(nll))
+
+    sample = jax.jit(lambda v, k: model.apply(
+        v, feats, k, method=VarGlow.sample))(
+        variables, jax.random.PRNGKey(5))
+    assert sample.shape == (B, N, 2)
+    assert np.all(np.isfinite(np.asarray(sample)))
