@@ -136,3 +136,35 @@ def test_server_stats_endpoint(tiny_t2s):
         test.runTest()
     finally:
         test.tearDown()
+
+
+def test_t2s_with_vocoder_end_to_end(tiny_t2s):
+    """The SURVEY §7 minimum slice: text -> mel (Tacotron2) -> audio
+    (WaveGlow inverse) through the T2S worker."""
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+
+    n_mel = tiny_t2s.model.cfg.n_mel_channels
+    hop = 64
+    wcfg = WaveGlowConfig(
+        n_mel_channels=n_mel, n_flows=2, n_group=4, n_early_every=0,
+        n_layers=1, n_channels=8, hop_length=hop, upsample_strides=(4, 4),
+        upsample_channels=8, memory_efficient=False)
+    voc = WaveGlow(wcfg)
+    rng = np.random.default_rng(0)
+    mel0 = jnp.asarray(rng.standard_normal((1, 8, n_mel)), jnp.float32)
+    audio0 = jnp.asarray(rng.standard_normal((1, 8 * hop)), jnp.float32)
+    vvars = jax.jit(voc.init)(jax.random.PRNGKey(0), audio0, mel0)
+    voc_fn = jax.jit(lambda m: voc.apply(
+        vvars, m, jax.random.PRNGKey(1), method=WaveGlow.infer))
+
+    tiny_t2s.vocoder_fn = voc_fn
+    tiny_t2s.hop_length = hop
+    try:
+        result = tiny_t2s.infer("Testing the full pipeline now.",
+                                speaker=["alice"], seed=7)
+        assert len(result["audio"]) > 0
+        assert np.all(np.isfinite(result["audio"]))
+        expected = int(result["mel_lengths"].sum()) * hop
+        assert len(result["audio"]) == expected
+    finally:
+        tiny_t2s.vocoder_fn = None
