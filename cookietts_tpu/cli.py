@@ -71,6 +71,8 @@ def cmd_train(args):
     overrides = parse_override_string(args.hparams) if args.hparams else {}
     if args.model == "waveglow":
         return _train_waveglow(args, overrides)
+    if args.model == "hifigan":
+        return _train_hifigan(args, overrides)
     if args.model != "tacotron2":
         raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
                          "use the runtime factories directly")
@@ -211,6 +213,91 @@ def _train_waveglow(args, overrides):
     ckpt.save_periodic(n_iters, {
         "step": n_iters,
         "params": jax.tree_util.tree_map(np.asarray, state.params)})
+    print(f"done: checkpoints in {args.run_dir}")
+
+
+def _train_hifigan(args, overrides):
+    """HiFi-GAN adversarial training from a GTA map file / wav list
+    (reference _4_mtw/hifigan/train.py surface)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .audio.stft import TacotronSTFT
+    from .data.mel2samp import (Mel2Samp, Mel2SampConfig, collate_mel2samp,
+                                load_map_file)
+    from .models.hifigan import (Generator, HiFiGANConfig,
+                                 MultiPeriodDiscriminator,
+                                 MultiScaleDiscriminator)
+    from .runtime.checkpoint import Checkpointer
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.optim import adam
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import make_hifigan_train_steps, scalars_to_arrays
+
+    batch_size = int(overrides.get("batch_size", 4))
+    n_iters = int(overrides.get("n_iters", args.iters))
+    d_valid = set(Mel2SampConfig.__dataclass_fields__)
+    dcfg = Mel2SampConfig(**{k: v for k, v in overrides.items()
+                             if k in d_valid})
+    dataset = Mel2Samp(load_map_file(args.filelist), dcfg)
+
+    h_valid = set(HiFiGANConfig.__dataclass_fields__)
+    hcfg = HiFiGANConfig(
+        n_mel_channels=dcfg.n_mel_channels,
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in overrides.items()
+           if k in h_valid and k != "n_mel_channels"})
+    up_prod = int(np.prod(hcfg.upsample_rates))
+    assert up_prod == dcfg.hop_length, \
+        f"prod(upsample_rates)={up_prod} must equal hop={dcfg.hop_length}"
+
+    gen = Generator(hcfg)
+    mpd = MultiPeriodDiscriminator(hcfg)
+    msd = MultiScaleDiscriminator(hcfg)
+    stft = TacotronSTFT(dcfg.filter_length, dcfg.hop_length,
+                        dcfg.win_length, dcfg.n_mel_channels,
+                        dcfg.sampling_rate, dcfg.mel_fmin, dcfg.mel_fmax)
+    mel_fn = stft.mel_spectrogram
+
+    batch = collate_mel2samp([dataset[i % len(dataset)]
+                              for i in range(batch_size)])
+    mels = jnp.asarray(batch["mels"])
+    audio = jnp.asarray(batch["audio"])
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mels)
+    fake = gen.apply(gvars, mels)
+    n = min(fake.shape[1], audio.shape[1])
+    mpd_vars = jax.jit(mpd.init)(jax.random.PRNGKey(1),
+                                 audio[:, :n], fake[:, :n])
+    msd_vars = jax.jit(msd.init)(jax.random.PRNGKey(2),
+                                 audio[:, :n], fake[:, :n])
+    g_state = TrainState.create(gen.apply, gvars["params"],
+                                adam(weight_decay=0.01))
+    d_state = TrainState.create(
+        None, (mpd_vars["params"], msd_vars["params"]),
+        adam(weight_decay=0.01))
+    d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn)
+    logger = MetricsLogger(args.run_dir)
+    ckpt = Checkpointer(args.run_dir)
+
+    rng = np.random.default_rng(0)
+    lr = float(overrides.get("lr", 2e-4))
+    ctrl = scalars_to_arrays({"lr": lr, "grad_clip": 1000.0})
+    for it in range(n_iters):
+        idx = rng.integers(0, len(dataset), batch_size)
+        batch = collate_mel2samp([dataset[int(i)] for i in idx])
+        dev = {"mels": jnp.asarray(batch["mels"]),
+               "audio": jnp.asarray(batch["audio"])}
+        d_state, d_m = d_step(d_state, g_state, dev, ctrl)
+        g_state, g_m = g_step(g_state, d_state, dev, ctrl)
+        if it % 10 == 0:
+            logger.log_scalars(it, {**{k: float(v) for k, v in d_m.items()},
+                                    **{k: float(v) for k, v in g_m.items()}})
+            print(f"iter {it}: g={float(g_m['g_loss']):.3f} "
+                  f"d={float(d_m['d_loss']):.3f}")
+    ckpt.save_periodic(n_iters, {
+        "step": n_iters,
+        "params": jax.tree_util.tree_map(np.asarray, g_state.params)})
     print(f"done: checkpoints in {args.run_dir}")
 
 

@@ -366,7 +366,9 @@ def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
         mpd_params, msd_params = d_params
         fake = gen.apply({"params": g_params}, batch["mels"])
         fake = jax.lax.stop_gradient(fake)
-        real = batch["audio"][:, : fake.shape[1]]
+        n = min(fake.shape[1], batch["audio"].shape[1])
+        fake = fake[:, :n]
+        real = batch["audio"][:, :n]
         rl, fl, _, _ = mpd.apply({"params": mpd_params}, real, fake)
         rl2, fl2, _, _ = msd.apply({"params": msd_params}, real, fake)
         loss = discriminator_loss(rl + rl2, fl + fl2)
@@ -375,7 +377,9 @@ def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
     def g_loss_fn(g_params, d_params, batch):
         mpd_params, msd_params = d_params
         fake = gen.apply({"params": g_params}, batch["mels"])
-        real = batch["audio"][:, : fake.shape[1]]
+        n = min(fake.shape[1], batch["audio"].shape[1])
+        fake = fake[:, :n]
+        real = batch["audio"][:, :n]
         rl, fl, rf, ff = mpd.apply({"params": mpd_params}, real, fake)
         rl2, fl2, rf2, ff2 = msd.apply({"params": msd_params}, real, fake)
         adv = generator_loss(fl + fl2)

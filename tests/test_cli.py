@@ -80,3 +80,31 @@ def test_cli_train_waveglow(tmp_path):
               "memory_efficient=False,load_from_disk_dtw=False"])
     assert any(f.startswith("checkpoint_")
                for f in os.listdir(run_dir))
+
+
+def test_cli_train_hifigan(tmp_path):
+    sr = 16000
+    rng = np.random.default_rng(2)
+    lines = []
+    for i in range(2):
+        t = np.arange(sr) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 330 * (i + 1) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(tmp_path / f"h{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"{p}||{i}")
+    map_file = str(tmp_path / "map_train_0.txt")
+    with open(map_file, "w") as f:
+        f.write("\n".join(lines))
+    run_dir = str(tmp_path / "run_hg")
+    cli.main(["train", "--model", "hifigan", "--filelist", map_file,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams",
+              "batch_size=2,n_iters=2,segment_length=2048,"
+              "sampling_rate=16000,filter_length=512,hop_length=128,"
+              "win_length=512,n_mel_channels=16,mel_fmax=8000.0,"
+              "load_from_disk_dtw=False,"
+              "resblock_kernel_sizes=[3],upsample_rates=[4,4,8],"
+              "upsample_kernel_sizes=[8,8,16],upsample_initial_channel=16,"
+              "mpd_periods=[2],msd_scales=1"])
+    assert any(f.startswith("checkpoint_") for f in os.listdir(run_dir))
