@@ -183,3 +183,26 @@ def test_tbptt_carry_continuity():
     joined = np.asarray(run_split(variables))
     # compare item 0 which has full length under both segmentations
     np.testing.assert_allclose(joined[0], ref[0], atol=2e-4)
+
+
+@pytest.mark.parametrize("att_type", [1, 2])
+def test_alternative_attention_decoders(att_type):
+    """GMM (1) and DCA (2) attention variants drive the full model."""
+    cfg = tiny_cfg(attention_type=att_type, num_att_mixtures=2,
+                   dynamic_filter_num=4, dynamic_filter_len=7)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(att_type)
+    batch = make_batch(rng, cfg, B=2, T_txt=9, T_mel=12)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    (out, _), _ = jax.jit(
+        lambda v: model.apply(
+            v, **batch, key=jax.random.PRNGKey(3), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"]))(variables)
+    assert out["alignments"].shape == (2, 12, 9)
+    a = np.asarray(out["alignments"])
+    assert np.all(np.isfinite(a))
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-4)
+    assert np.all(np.isfinite(np.asarray(out["mel_outputs"])))
