@@ -53,6 +53,11 @@ class UnTTSConfig:
     predictor_layers: int = 2
     predict_f0: bool = True
     predict_energy: bool = True
+    # prosody flow (CVarGlow/VarGlow): sample durations (+f0) instead of
+    # the deterministic predictor at inference
+    use_varglow: bool = False
+    varglow_n_group: int = 4
+    varglow_n_flows: int = 4
     # decoder flow
     dec_n_flows: int = 6
     dec_n_layers: int = 3
@@ -223,6 +228,12 @@ class UnTTS(nn.Module):
                 name="energy_predictor")
         self.cond_proj = nn.Dense(cfg.dec_n_channels, dtype=cfg.dtype,
                                   name="cond_proj")
+        if cfg.use_varglow:
+            n_ch = 1 + int(cfg.predict_f0)     # (log-dur [, f0])
+            self.varglow = VarGlow(
+                n_channels_in=n_ch, n_group=cfg.varglow_n_group,
+                n_flows=cfg.varglow_n_flows, dtype=cfg.dtype,
+                name="varglow")
         self.decoder = MelFlowDecoder(cfg, name="decoder")
 
     def _encode(self, text, text_lengths, speaker_id, deterministic):
@@ -264,6 +275,17 @@ class UnTTS(nn.Module):
             out["energy_pred"] = self.energy_predictor(pred_in, char_mask,
                                                        deterministic)
 
+        # prosody flow NLL on (log-dur [, f0]) per char
+        if cfg.use_varglow:
+            vals = [jnp.log(jnp.maximum(
+                durations.astype(jnp.float32), 1e-1))]
+            if cfg.predict_f0 and f0 is not None:
+                vals.append(f0.astype(jnp.float32))
+            values = jnp.stack(vals, axis=-1)          # [B, N, C]
+            vz, vls, vlw, vn = self.varglow.forward(values, enc)
+            out.update({"varglow_z": vz, "varglow_log_s": vls,
+                        "varglow_logdet_w": vlw, "varglow_n": vn})
+
         T = mels.shape[1]
         frames, _ = length_regulate(enc, durations, T)
         frame_mask = get_mask_from_lengths(mel_lengths, T)
@@ -278,14 +300,24 @@ class UnTTS(nn.Module):
                   key: Optional[jax.Array] = None,
                   max_frames: int = 2048,
                   duration_scale: float = 1.0,
-                  sigma: Optional[float] = None):
-        """Parallel generation: predict durations -> expand -> invert flow."""
+                  sigma: Optional[float] = None,
+                  sample_prosody: bool = False,
+                  prosody_sigma: float = 0.7):
+        """Parallel generation: predict (or SAMPLE, via the VarGlow
+        prosody flow) durations -> expand -> invert the mel flow."""
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(0)
         sigma = cfg.sigma if sigma is None else sigma
         enc, char_mask = self._encode(text, text_lengths, speaker_id, True)
-        log_dur = self.duration_predictor(enc, char_mask, True)
+        if sample_prosody and cfg.use_varglow:
+            key, k_pro = jax.random.split(key)
+            sampled = self.varglow.sample(enc, k_pro, prosody_sigma)
+            log_dur = jnp.zeros(char_mask.shape, jnp.float32)
+            n = sampled.shape[1]
+            log_dur = log_dur.at[:, :n].set(sampled[..., 0])
+        else:
+            log_dur = self.duration_predictor(enc, char_mask, True)
         dur = jnp.round(jnp.exp(log_dur) * duration_scale)
         dur = jnp.clip(dur, 0.0, cfg.max_frames_per_char) * char_mask
         dur = dur.astype(jnp.int32)

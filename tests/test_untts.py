@@ -158,3 +158,46 @@ def test_varglow_roundtrip_and_sampling():
         variables, jax.random.PRNGKey(5))
     assert sample.shape == (B, N, 2)
     assert np.all(np.isfinite(np.asarray(sample)))
+
+
+def test_untts_with_varglow_prosody():
+    cfg = tiny_cfg(use_varglow=True, varglow_n_group=4, varglow_n_flows=2,
+                   predict_energy=False)
+    model = UnTTS(cfg)
+    rng = np.random.default_rng(3)
+    B, N, T = 2, 8, 20
+    durations = rng.integers(1, 4, (B, N)).astype(np.int32)
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg.n_symbols, (B, N)), jnp.int32),
+        text_lengths=jnp.asarray([N, N - 2], jnp.int32),
+        mels=jnp.asarray(rng.standard_normal((B, T, cfg.n_mel_channels)),
+                         jnp.float32),
+        mel_lengths=jnp.asarray(np.minimum(durations.sum(1), T), jnp.int32),
+        speaker_id=jnp.asarray([0, 1], jnp.int32),
+        durations=jnp.asarray(durations),
+        f0=jnp.asarray(rng.standard_normal((B, N)), jnp.float32),
+    )
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, deterministic=False)
+    out = jax.jit(
+        lambda v: model.apply(v, **batch, deterministic=True))(variables)
+    assert "varglow_z" in out
+    from cookietts_tpu.models.untts import varglow_loss
+    nll = varglow_loss(out["varglow_z"], out["varglow_log_s"],
+                       out["varglow_logdet_w"], out["varglow_n"])
+    assert np.isfinite(float(nll))
+
+    # sampled-prosody inference produces finite mels and varying lengths
+    infer = jax.jit(
+        lambda v, key: model.apply(
+            v, batch["text"], batch["text_lengths"], batch["speaker_id"],
+            key=key, max_frames=64, sample_prosody=True,
+            method=UnTTS.inference),
+        static_argnames=())
+    o1 = infer(variables, jax.random.PRNGKey(1))
+    o2 = infer(variables, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(o1["mel_outputs"])))
+    # different keys -> (almost surely) different sampled durations
+    assert not np.array_equal(np.asarray(o1["durations"]),
+                              np.asarray(o2["durations"]))
