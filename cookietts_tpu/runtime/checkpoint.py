@@ -65,6 +65,54 @@ def load_checkpoint(path: str) -> Any:
     return tree, meta
 
 
+def restore_like(target: Any, tree: Any) -> Any:
+    """Restore a deserialized checkpoint ``tree`` (nested dicts/lists of
+    numpy arrays, as produced by ``_to_serializable``) into the exact
+    container structure of ``target`` (dicts / NamedTuples / tuples /
+    lists / leaves). Needed because msgpack round-trips NamedTuple
+    optimizer states as dicts and tuples as lists."""
+    if hasattr(target, "_asdict"):           # NamedTuple
+        fields = target._fields
+        vals = [tree[k] if isinstance(tree, dict) else tree[i]
+                for i, k in enumerate(fields)]
+        return type(target)(*[restore_like(getattr(target, k), v)
+                              for k, v in zip(fields, vals)])
+    if isinstance(target, dict):
+        return {k: restore_like(v, tree[k]) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        restored = [restore_like(t, v) for t, v in zip(target, tree)]
+        return type(target)(restored) if isinstance(target, list) \
+            else tuple(restored)
+    arr = np.asarray(tree)
+    if hasattr(target, "dtype") and arr.dtype != np.asarray(target).dtype:
+        arr = arr.astype(np.asarray(target).dtype)
+    return arr
+
+
+def restore_train_state(state, path: str):
+    """Full resume: load params + opt_state + mutables + step from a
+    checkpoint into ``state``'s structure (reference full-resume mode,
+    train.py:255-279). Returns (new_state, metadata)."""
+    import jax.numpy as jnp
+    tree, meta = load_checkpoint(path)
+    as_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+    new = state.replace(
+        params=as_dev(restore_like(
+            jax.tree_util.tree_map(np.asarray, state.params),
+            tree["params"])))
+    if "opt_state" in tree and state.opt_state is not None:
+        new = new.replace(opt_state=as_dev(restore_like(
+            jax.tree_util.tree_map(np.asarray, state.opt_state),
+            tree["opt_state"])))
+    if tree.get("mutables") and state.mutables:
+        new = new.replace(mutables=as_dev(restore_like(
+            jax.tree_util.tree_map(np.asarray, state.mutables),
+            tree["mutables"])))
+    if "step" in tree:
+        new = new.replace(step=int(tree["step"]))
+    return new, meta
+
+
 def _flatten(d, prefix=""):
     out = {}
     for k, v in d.items():

@@ -199,7 +199,10 @@ class Trainer:
         loss = float(loss_dict["loss"])
         thresh = float(self.live.get("LossExplosionThreshold", 1e3))
         if not np.isfinite(loss) or loss > thresh:
-            self._recover(loss)
+            # NOTE: with donate=True the input state's buffers are deleted
+            # by the train step, so recovery must rebuild from new_state
+            # (still materialized) or a checkpoint — never self.state.
+            self._recover(loss, new_state)
             return {"loss": loss, "exploded": 1.0}
 
         self.state = new_state
@@ -215,9 +218,12 @@ class Trainer:
         return metrics
 
     # -- explosion recovery ----------------------------------------------------
-    def _recover(self, loss: float):
-        """Reload best_val_model with decayed LR (reference
-        train.py:831-851). If no best model exists yet, keep going."""
+    def _recover(self, loss: float, new_state: TrainState):
+        """Reload best_val_model — FULL state: params + optimizer moments +
+        step (reference train.py:831-851 reloads the whole checkpoint) —
+        with decayed LR. If no best model exists yet, continue from
+        ``new_state`` (the one clipped update that tripped the threshold);
+        the donated input state is already deleted and must not be read."""
         self.n_restarts += 1
         if self.n_restarts > self.cfg.n_restarts_max:
             raise LossExplosion(
@@ -225,12 +231,10 @@ class Trainer:
         import os
         best = os.path.join(self.cfg.run_dir, "best_val_model")
         if os.path.exists(best):
-            tree, _ = load_checkpoint(best)
-            params, _, _ = warm_start(
-                jax.tree_util.tree_map(np.asarray, self.state.params),
-                tree["params"])
-            self.state = self.state.replace(
-                params=jax.tree_util.tree_map(jnp.asarray, params))
+            from .checkpoint import restore_train_state
+            self.state, _ = restore_train_state(new_state, best)
+        else:
+            self.state = new_state
         print(f"[trainer] LossExplosion (loss={loss}); restart "
               f"#{self.n_restarts}, lr decay 2^{self.n_restarts}/3")
 

@@ -86,6 +86,47 @@ def test_validation_and_checkpoints(trainer_setup):
     assert "best_val_model" in files
 
 
+def test_explosion_recovery_with_donation(tmp_path):
+    """Recovery must not read the donated (deleted) input state: the real
+    train-step factories default to donate=True, so the explosion path has
+    to rebuild from the returned state / the best_val checkpoint —
+    params, optimizer moments AND step (ADVICE.md round-1 high)."""
+    from cookietts_tpu.runtime.trainer import scalars_to_arrays  # noqa: F401
+
+    state = TrainState.create(None, {"w": jnp.ones((4,), jnp.float32)},
+                              adam())
+
+    def _step(state, batch, key, ctrl):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.sum((p["w"] * batch["x"]) ** 2))(state.params)
+        new_state = state.apply_gradients(grads, ctrl["lr"])
+        return new_state, {"loss": loss}, {}
+
+    train_step = jax.jit(_step, donate_argnums=(0,))
+    trainer = Trainer(TrainerConfig(run_dir=str(tmp_path)), state,
+                      train_step)
+    batch = {"x": jnp.ones((4,), jnp.float32)}
+    trainer.step(dict(batch))                       # one good step
+    trainer.save(periodic=False, val_loss=1.0)      # -> best_val_model
+    saved_w = np.asarray(trainer.state.params["w"])
+    saved_mu = np.asarray(trainer.state.opt_state.mu["w"])
+    saved_step = int(trainer.state.step)
+
+    trainer.live.values["LossExplosionThreshold"] = -1.0   # always explode
+    m = trainer.step(dict(batch))
+    assert m.get("exploded") == 1.0
+    # full restore from best_val_model: params + Adam moments + step
+    np.testing.assert_allclose(np.asarray(trainer.state.params["w"]),
+                               saved_w)
+    np.testing.assert_allclose(np.asarray(trainer.state.opt_state.mu["w"]),
+                               saved_mu)
+    assert int(trainer.state.step) == saved_step
+    # training continues on live buffers after recovery
+    trainer.live.values["LossExplosionThreshold"] = 1e9
+    m2 = trainer.step(dict(batch))
+    assert np.isfinite(m2["loss"])
+
+
 def test_explosion_recovery(trainer_setup):
     trainer, batch, run_dir = trainer_setup
     # force an explosion via a tiny threshold
