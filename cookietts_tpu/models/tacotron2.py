@@ -384,19 +384,33 @@ class Decoder(nn.Module):
                  p_teacher_forcing: float | jnp.ndarray = 1.0,
                  teacher_force_till: int | jnp.ndarray = 0,
                  deterministic: bool = False,
-                 init_carry: Optional[DecoderCarry] = None):
+                 init_carry: Optional[DecoderCarry] = None,
+                 pres_prev_state: Optional[jnp.ndarray] = None):
         """Teacher-forced decode over the full (padded) target length.
 
         mels: [B, T_dec, n_mel] ground truth. Returns dict + final carry
         (the carry feeds the next TBPTT segment, reference
         initialize_decoder_states(preserve=...) model.py:507-608).
+        ``pres_prev_state`` [B] (1.0 = this lane continues the previous
+        iteration's utterance): lanes with 0 get a fresh carry even when
+        ``init_carry`` is given — the per-lane ``preserve`` mask of the
+        reference (model.py:507-608, collate data_utils.py:875-886).
         """
         cfg = self.cfg
         B, T_dec, _ = mels.shape
         const = self.cell.attention.precompute(memory, memory_lengths)
+        fresh = self.init_carry(B, memory.shape[1], memory.shape[-1],
+                                memory.dtype)
         if init_carry is None:
-            carry = self.init_carry(B, memory.shape[1], memory.shape[-1],
-                                    memory.dtype)
+            carry = fresh
+        elif pres_prev_state is not None:
+            keep = pres_prev_state.astype(bool)                     # [B]
+
+            def blend(c, f):
+                m = keep.reshape((B,) + (1,) * (c.ndim - 1))
+                return jnp.where(m, c.astype(f.dtype), f)
+
+            carry = jax.tree_util.tree_map(blend, init_carry, fresh)
         else:
             carry = init_carry
 
@@ -609,6 +623,7 @@ class Tacotron2(nn.Module):
                  global_mean: Optional[jnp.ndarray] = None,
                  deterministic: bool = False,
                  init_carry: Optional[DecoderCarry] = None,
+                 pres_prev_state: Optional[jnp.ndarray] = None,
                  emotion_id: Optional[jnp.ndarray] = None,
                  emotion_onehot: Optional[jnp.ndarray] = None):
         """Teacher-forced forward. Returns output dict + final decoder carry."""
@@ -634,7 +649,8 @@ class Tacotron2(nn.Module):
             memory, text_lengths, dec_target, k_dec,
             p_teacher_forcing=p_teacher_forcing,
             teacher_force_till=teacher_force_till,
-            deterministic=deterministic, init_carry=init_carry)
+            deterministic=deterministic, init_carry=init_carry,
+            pres_prev_state=pres_prev_state)
 
         mel_outputs = dec_out["mel_outputs"]
         if cfg.use_postnet:

@@ -46,14 +46,19 @@ def make_tacotron2_train_step(model, mesh=None,
                               donate: bool = True) -> Callable:
     """Build the pjit'd Tacotron2 train step.
 
-    step(state, batch, key, ctrl) -> (state, metrics, file_losses)
+    step(state, batch, key, ctrl, carry=None) ->
+        (state, metrics, file_losses, carry)
     ``ctrl`` = dict of jnp scalars: lr, grad_clip, p_teacher_forcing,
     teacher_force_till, drop_frame_rate, + loss weights.
+    ``carry`` is the TBPTT decoder state from the previous iteration;
+    lanes whose ``batch['pres_prev_state']`` is 0 are reset to fresh
+    state inside the model (reference model.py:507-608,
+    data_utils.py:875-886). The returned carry feeds the next call.
     """
 
-    def loss_fn(params, mutables, batch, key, ctrl):
+    def loss_fn(params, mutables, batch, key, ctrl, carry):
         variables = {"params": params, **mutables}
-        (out, _), new_mut = model.apply(
+        (out, new_carry), new_mut = model.apply(
             variables,
             text=batch["text"], text_lengths=batch["text_lengths"],
             mels=batch["mels"], mel_lengths=batch["mel_lengths"],
@@ -65,6 +70,9 @@ def make_tacotron2_train_step(model, mesh=None,
             drop_frame_rate=ctrl["drop_frame_rate"],
             global_mean=batch.get("global_mean"),
             deterministic=False,
+            init_carry=carry,
+            pres_prev_state=(batch.get("pres_prev_state")
+                             if carry is not None else None),
             rngs={"dropout": jax.random.fold_in(key, 1)},
             mutable=["batch_stats"])
         gt = dict(
@@ -79,30 +87,36 @@ def make_tacotron2_train_step(model, mesh=None,
             out, gt, loss_weights,
             gate_positive_weight=gate_positive_weight,
             guided_att_sigma=guided_att_sigma)
-        return total, (loss_dict, file_losses, new_mut)
+        return total, (loss_dict, file_losses, new_mut, new_carry)
 
-    def step(state: TrainState, batch, key, ctrl):
-        (loss, (loss_dict, file_losses, new_mut)), grads = \
+    def step(state: TrainState, batch, key, ctrl, carry=None):
+        (loss, (loss_dict, file_losses, new_mut, new_carry)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.mutables, batch, key, ctrl)
+                state.params, state.mutables, batch, key, ctrl, carry)
         grads, grad_norm = clip_by_global_norm(grads, ctrl["grad_clip"])
         new_state = state.apply_gradients(grads, ctrl["lr"])
         new_state = new_state.replace(mutables=new_mut)
         loss_dict = dict(loss_dict)
         loss_dict["grad_norm"] = grad_norm
-        return new_state, loss_dict, file_losses
+        return new_state, loss_dict, file_losses, new_carry
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    else:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        jitted = jax.jit(
+            step,
+            in_shardings=(rep, bs, rep, rep, bs),
+            out_shardings=(rep, rep, bs, bs),
+            donate_argnums=(0,) if donate else (),
+        )
 
-    bs = batch_sharding(mesh)
-    rep = replicated(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(rep, bs, rep, rep),
-        out_shardings=(rep, rep, bs),
-        donate_argnums=(0,) if donate else (),
-    )
+    def wrapped(state, batch, key, ctrl, carry=None):
+        return jitted(state, batch, key, ctrl, carry)
+
+    wrapped.carries_state = True         # Trainer threads the TBPTT carry
+    return wrapped
 
 
 def make_tacotron2_eval_step(model, mesh=None,
@@ -138,6 +152,31 @@ def make_tacotron2_eval_step(model, mesh=None,
                    out_shardings=(rep, bs))
 
 
+def adapt_carry(carry, t_enc: int, batch_size: int):
+    """Fit a TBPTT carry from the previous iteration to this batch's
+    shapes. Returns None (fresh start) on a batch-size change; attention
+    weights over the text axis are truncated / zero-padded to the new
+    encoder length, keeping the common prefix (the reference copies
+    ``COMMON_ENCODE = min(old, new)`` columns, model.py:570-575 —
+    positions past the old padding carry no information anyway)."""
+    if carry is None:
+        return None
+    att = carry.attention
+    if att.weights.shape[0] != batch_size:
+        return None
+    t_old = att.weights.shape[1]
+    if t_old == t_enc:
+        return carry
+
+    def resize(x):
+        if x.shape[1] >= t_enc:
+            return x[:, :t_enc]
+        return jnp.pad(x, ((0, 0), (0, t_enc - x.shape[1])))
+
+    return carry._replace(attention=att._replace(
+        weights=resize(att.weights), weights_cum=resize(att.weights_cum)))
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     run_dir: str = "runs/default"
@@ -166,6 +205,7 @@ class Trainer:
         self.file_db = FileLossDB()
         self.n_restarts = 0
         self.key = jax.random.PRNGKey(cfg.seed)
+        self.carry = None        # TBPTT decoder state carried across iters
 
     # -- control dict from live config ------------------------------------
     def ctrl(self, iteration: int) -> Dict[str, jnp.ndarray]:
@@ -193,8 +233,15 @@ class Trainer:
         ctrl = self.ctrl(it)
         paths = batch.pop("audiopath", None)
         batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
-        new_state, loss_dict, file_losses = self.train_step(
-            self.state, batch_dev, sub, ctrl)
+        if getattr(self.train_step, "carries_state", False):
+            carry = adapt_carry(self.carry, int(batch_dev["text"].shape[1]),
+                                int(batch_dev["text"].shape[0]))
+            new_state, loss_dict, file_losses, new_carry = self.train_step(
+                self.state, batch_dev, sub, ctrl, carry)
+        else:
+            new_state, loss_dict, file_losses = self.train_step(
+                self.state, batch_dev, sub, ctrl)
+            new_carry = None
 
         loss = float(loss_dict["loss"])
         thresh = float(self.live.get("LossExplosionThreshold", 1e3))
@@ -202,10 +249,12 @@ class Trainer:
             # NOTE: with donate=True the input state's buffers are deleted
             # by the train step, so recovery must rebuild from new_state
             # (still materialized) or a checkpoint — never self.state.
+            self.carry = None    # fresh decoder states after a blowup
             self._recover(loss, new_state)
             return {"loss": loss, "exploded": 1.0}
 
         self.state = new_state
+        self.carry = new_carry
         if paths is not None:
             self.file_db.update(
                 paths, {k: np.asarray(v) for k, v in file_losses.items()})

@@ -86,6 +86,68 @@ def test_validation_and_checkpoints(trainer_setup):
     assert "best_val_model" in files
 
 
+def test_tbptt_carry_threading(trainer_setup):
+    """The train step returns the decoder carry and honors the per-lane
+    pres_prev_state mask: lanes with 0 restart from fresh state (loss
+    identical to no-carry), lanes with 1 continue from the carried state
+    (loss changes). Reference model.py:507-608, data_utils.py:875-886."""
+    trainer, batch, run_dir = trainer_setup
+    ts = trainer.train_step
+    state = trainer.state
+    key = jax.random.PRNGKey(42)
+    ctrl = trainer.ctrl(0)
+    b = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopath"}
+
+    _, ld_none, _, carry = ts(state, b, key, ctrl)
+    assert carry is not None
+    assert np.all(np.isfinite(np.asarray(carry.attention.weights)))
+
+    B = b["text"].shape[0]
+    b0 = dict(b, pres_prev_state=jnp.zeros((B,), jnp.float32))
+    _, ld_reset, _, _ = ts(state, b0, key, ctrl, carry)
+    # all lanes reset -> identical to the fresh (no-carry) step
+    np.testing.assert_allclose(float(ld_reset["loss"]),
+                               float(ld_none["loss"]), rtol=1e-5)
+
+    b1 = dict(b, pres_prev_state=jnp.ones((B,), jnp.float32))
+    _, ld_cont, _, _ = ts(state, b1, key, ctrl, carry)
+    assert not np.isclose(float(ld_cont["loss"]), float(ld_none["loss"])), \
+        "carried decoder state must change the continuation loss"
+
+    # the Trainer itself threads the carry between iterations
+    assert trainer.carry is None or True   # pre-state not guaranteed
+    trainer.step(dict(batch))
+    assert trainer.carry is not None
+
+
+def test_adapt_carry_resizes_attention():
+    from cookietts_tpu.models.tacotron2 import DecoderCarry
+    from cookietts_tpu.ops.attention import AttentionState
+    from cookietts_tpu.runtime.trainer import adapt_carry
+
+    B, T = 3, 7
+    z2 = lambda d: (jnp.zeros((B, d)), jnp.zeros((B, d)))
+    att = AttentionState(weights=jnp.arange(B * T, dtype=jnp.float32
+                                            ).reshape(B, T),
+                         weights_cum=jnp.ones((B, T)),
+                         position=jnp.zeros((B,)), mu=jnp.zeros((B, 1)))
+    carry = DecoderCarry(attn_cell=z2(4), dec_cell=z2(4), dec2_cell=z2(4),
+                         attention=att, context=jnp.zeros((B, 5)),
+                         prev_output=jnp.zeros((B, 2)),
+                         prev_teacher=jnp.zeros((B, 2)),
+                         finished=jnp.zeros((B,), bool))
+    assert adapt_carry(None, 9, B) is None
+    assert adapt_carry(carry, T, B) is carry
+    grown = adapt_carry(carry, 10, B)
+    assert grown.attention.weights.shape == (B, 10)
+    np.testing.assert_allclose(np.asarray(grown.attention.weights[:, :T]),
+                               np.asarray(att.weights))
+    assert np.all(np.asarray(grown.attention.weights[:, T:]) == 0)
+    shrunk = adapt_carry(carry, 4, B)
+    assert shrunk.attention.weights.shape == (B, 4)
+    assert adapt_carry(carry, T, B + 1) is None   # batch-size change resets
+
+
 def test_explosion_recovery_with_donation(tmp_path):
     """Recovery must not read the donated (deleted) input state: the real
     train-step factories default to donate=True, so the explosion path has
@@ -136,8 +198,11 @@ def test_explosion_recovery(trainer_setup):
     metrics = trainer.step(dict(batch))
     assert metrics.get("exploded") == 1.0
     assert trainer.n_restarts == n0 + 1
-    # the state was NOT advanced by the exploding step
-    assert int(trainer.state.step) == step_before
+    # FULL state rewound to the best_val_model checkpoint (params + opt
+    # moments + step), so the exploding step did not advance training
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+    tree, _ = load_checkpoint(os.path.join(run_dir, "best_val_model"))
+    assert int(trainer.state.step) == int(tree["step"]) <= step_before
     # restart decays the lr
     lr_now = float(trainer.ctrl(step_before)["lr"])
     trainer.n_restarts = 0
