@@ -73,6 +73,8 @@ def cmd_train(args):
         return _train_waveglow(args, overrides)
     if args.model == "hifigan":
         return _train_hifigan(args, overrides)
+    if args.model == "untts":
+        return _train_untts(args, overrides)
     if args.model != "tacotron2":
         raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
                          "use the runtime factories directly")
@@ -135,6 +137,81 @@ def cmd_train(args):
             break
     trainer.save(periodic=True)
     print(f"done: {it} iters, checkpoints in {args.run_dir}")
+
+
+def _train_untts(args, overrides):
+    """NAR flow-TTS training from a filelist with MFA durations
+    (`.dur.npy` / `.TextGrid` sidecars; uniform fallback) — reference
+    _2_ttm/untts/train.py surface."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data.dataset import DataConfig, TTSDataset, collate
+    from .data.filelist import load_filelist
+    from .models.untts import UnTTS, UnTTSConfig
+    from .runtime.checkpoint import Checkpointer
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.optim import adam
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import make_untts_train_step, scalars_to_arrays
+    from .text import N_SYMBOLS
+
+    batch_size = int(overrides.get("batch_size", 8))
+    n_iters = int(overrides.get("n_iters", args.iters))
+
+    entries = load_filelist(args.filelist)
+    d_valid = set(DataConfig.__dataclass_fields__)
+    dcfg = DataConfig(**{k: v for k, v in overrides.items() if k in d_valid})
+    dataset = TTSDataset(
+        entries, dcfg,
+        features=("text", "mel", "speaker_id", "f0", "energy", "durations"))
+
+    m_valid = set(UnTTSConfig.__dataclass_fields__)
+    ucfg = UnTTSConfig(
+        n_symbols=N_SYMBOLS, n_mel_channels=dcfg.n_mel_channels,
+        **{k: v for k, v in overrides.items()
+           if k in m_valid and k not in ("n_symbols", "n_mel_channels")})
+    model = UnTTS(ucfg)
+
+    def make_batch(idx):
+        b = collate([dataset[int(i)] for i in idx], dcfg)
+        keys = ("text", "text_lengths", "mels", "mel_lengths",
+                "speaker_id", "durations", "f0", "energy")
+        return {k: jnp.asarray(b[k]) for k in keys if k in b}
+
+    rng = np.random.default_rng(0)
+    dev = make_batch(rng.integers(0, len(dataset), batch_size))
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **dev, deterministic=False)
+    state = TrainState.create(model.apply, variables["params"], adam())
+    if args.warm_start:
+        from .runtime.checkpoint import load_checkpoint, warm_start
+        tree, _ = load_checkpoint(args.warm_start)
+        params, n_l, n_s = warm_start(
+            jax.tree_util.tree_map(np.asarray, state.params), tree["params"])
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params))
+        print(f"warm start: {n_l} loaded, {n_s} skipped")
+
+    train_step = make_untts_train_step(model, donate=False)
+    logger = MetricsLogger(args.run_dir)
+    ckpt = Checkpointer(args.run_dir)
+    base_lr = float(overrides.get("lr", 1e-4))
+    for it in range(n_iters):
+        batch = make_batch(rng.integers(0, len(dataset), batch_size))
+        ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": 10.0})
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(it),
+                                    ctrl)
+        if it % 10 == 0:
+            logger.log_scalars(it, {k: float(v) for k, v in metrics.items()})
+            print(f"iter {it}: loss={float(metrics['loss']):.4f}")
+    ckpt.save_periodic(n_iters, {
+        "step": n_iters,
+        "params": jax.tree_util.tree_map(np.asarray, state.params)},
+        metadata={"model": "untts"})
+    print(f"done: checkpoints in {args.run_dir}")
 
 
 def _train_waveglow(args, overrides):

@@ -78,6 +78,48 @@ def bucket_size(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def fit_durations(dur: np.ndarray, n_text: int, t_mel: int) -> np.ndarray:
+    """Fit per-char frame durations to exactly ``n_text`` chars summing to
+    exactly ``t_mel`` frames (alignment lengths rarely match the mel hop
+    grid; the reference re-derives durations from the alignment matrix,
+    data_utils.py:779-813)."""
+    dur = np.asarray(dur, np.int64)
+    if len(dur) >= n_text:
+        dur = dur[:n_text].copy()
+    else:
+        dur = np.concatenate(
+            [dur, np.zeros(n_text - len(dur), np.int64)])
+    ends = np.minimum(np.cumsum(dur), t_mel)     # clamp overflow
+    starts = np.concatenate([[0], ends[:-1]])
+    dur = ends - starts
+    short = t_mel - int(dur.sum())
+    if short > 0 and n_text > 0:
+        last = int(np.max(np.nonzero(dur)[0])) if dur.any() else n_text - 1
+        dur[last] += short                        # absorb rounding remainder
+    return dur.astype(np.int32)
+
+
+def uniform_durations(n_text: int, t_mel: int) -> np.ndarray:
+    """Fallback when no MFA alignment exists: spread frames evenly."""
+    base = t_mel // max(n_text, 1)
+    dur = np.full(n_text, base, np.int64)
+    dur[: t_mel - base * n_text] += 1
+    return dur.astype(np.int32)
+
+
+def char_average(frame_values: np.ndarray, durations: np.ndarray
+                 ) -> np.ndarray:
+    """Average frame-level values (f0, energy) over each char's frames —
+    the reference's per-char alignment matmul (data_utils.py:805-813)."""
+    T = len(frame_values)
+    ends = np.clip(np.cumsum(durations.astype(np.int64)), 0, T)
+    starts = np.concatenate([[0], ends[:-1]])
+    cs = np.concatenate([[0.0], np.cumsum(frame_values, dtype=np.float64)])
+    sums = cs[ends] - cs[starts]
+    n = np.maximum(ends - starts, 1)
+    return (sums / n).astype(np.float32)
+
+
 class TTSDataset:
     """Maps filelist entries -> per-utterance feature dicts (numpy)."""
 
@@ -210,7 +252,41 @@ class TTSDataset:
                 out["torchmoji"] = self.torchmoji_fn(e["quote"])
             else:
                 out["torchmoji"] = np.zeros(cfg.torchmoji_dim, np.float32)
+        if "durations" in self.features:
+            # MFA char/phone durations (reference data_utils.py:779-784
+            # loads cached alignments; per-char f0/energy averages via the
+            # alignment matmul :805-813). Sources, in order: a `.dur.npy`
+            # sidecar, an MFA `.TextGrid`, else a uniform fallback.
+            assert "mel" in out and "text" in out, \
+                "durations feature needs mel+text"
+            dur = self._get_durations(e["path"], out["mel_length"],
+                                      out["text_length"])
+            out["durations"] = dur
+            if "f0" in out:
+                out["char_f0"] = char_average(out["f0"], dur)
+            if "energy" in out:
+                out["char_energy"] = char_average(out["energy"], dur)
         return out
+
+    def _get_durations(self, audiopath: str, t_mel: int,
+                       n_text: int) -> np.ndarray:
+        sidecar = audiopath + ".dur.npy"
+        if os.path.exists(sidecar):
+            return fit_durations(np.load(sidecar), n_text, t_mel)
+        base = os.path.splitext(audiopath)[0]
+        for ext in (".TextGrid", ".textgrid"):
+            tg = base + ext
+            if os.path.exists(tg):
+                from .mfa import durations_from_textgrid, parse_textgrid
+                tiers = parse_textgrid(tg)
+                tier = "phones" if "phones" in tiers else (
+                    "words" if "words" in tiers else
+                    next(iter(tiers), None))
+                if tier is not None:
+                    hop_s = self.cfg.hop_length / self.cfg.sampling_rate
+                    dur = durations_from_textgrid(tiers, tier, hop_s)
+                    return fit_durations(np.asarray(dur), n_text, t_mel)
+        return uniform_durations(n_text, t_mel)
 
 
 # -- TBPTT segment scheduling --------------------------------------------------
@@ -309,6 +385,23 @@ def collate(items: Sequence[Dict[str, Any]],
         out["gate_target"] = gate
         out["pres_prev_state"] = pres_prev
         out["cont_next_iter"] = cont_next
+
+    if "durations" in items[0] and "text" in out:
+        # refit to the bucketed text width and the (possibly truncated)
+        # collated mel length so length_regulate sees a consistent batch
+        N = out["text"].shape[1]
+        durs = np.zeros((B, N), np.int32)
+        for i, it in enumerate(items):
+            durs[i] = fit_durations(it["durations"], N,
+                                    int(out["mel_lengths"][i]))
+        out["durations"] = durs
+        for src, dst in (("char_f0", "f0"), ("char_energy", "energy")):
+            if src in items[0]:
+                arr = np.zeros((B, N), np.float32)
+                for i, it in enumerate(items):
+                    v = np.asarray(it[src])[:N]
+                    arr[i, : len(v)] = v
+                out[dst] = arr
 
     for key in ("speaker_id", "emotion_id"):
         if key in items[0]:

@@ -397,6 +397,67 @@ def make_waveglow_val_step(model, stft_windows=((1200, 300, 1200),
     return jax.jit(step)
 
 
+# -- UnTTS (NAR flow TTS) steps ------------------------------------------------
+
+def make_untts_train_step(model, mesh=None, sigma: float = 1.0,
+                          dur_weight: float = 0.1, f0_weight: float = 0.1,
+                          energy_weight: float = 0.1,
+                          varglow_weight: float = 1.0,
+                          donate: bool = True) -> Callable:
+    """NAR flow-TTS train step (reference _2_ttm/untts/train.py): decoder
+    flow NLL + duration/f0/energy predictor MSE (+ VarGlow prosody-flow
+    NLL when the model has one).
+
+    step(state, batch, key, ctrl) -> (state, metrics)
+    batch = {text, text_lengths, mels, mel_lengths, speaker_id, durations
+             [, f0, energy]} with per-CHAR f0/energy (the dataset's
+             ``durations`` feature provides all three).
+    """
+    from ..models.untts import untts_loss, varglow_loss
+
+    def loss_fn(params, batch, key):
+        out = model.apply(
+            {"params": params},
+            text=batch["text"], text_lengths=batch["text_lengths"],
+            mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+            speaker_id=batch["speaker_id"], durations=batch["durations"],
+            f0=batch.get("f0"), energy=batch.get("energy"),
+            deterministic=False, rngs={"dropout": key})
+        gt = {"durations": batch["durations"]}
+        if "f0" in batch:
+            gt["f0"] = batch["f0"]
+        if "energy" in batch:
+            gt["energy"] = batch["energy"]
+        total, loss_dict = untts_loss(
+            out, gt, sigma=sigma, dur_weight=dur_weight,
+            f0_weight=f0_weight, energy_weight=energy_weight)
+        if "varglow_z" in out:
+            vnll = varglow_loss(out["varglow_z"], out["varglow_log_s"],
+                                out["varglow_logdet_w"], out["varglow_n"])
+            total = total + varglow_weight * vnll
+            loss_dict = dict(loss_dict)
+            loss_dict["varglow_nll"] = vnll
+            loss_dict["loss"] = total
+        return total, loss_dict
+
+    def step(state: TrainState, batch, key, ctrl):
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
+        grads, grad_norm = clip_by_global_norm(grads, ctrl["grad_clip"])
+        new_state = state.apply_gradients(grads, ctrl["lr"])
+        loss_dict = dict(loss_dict)
+        loss_dict["grad_norm"] = grad_norm
+        return new_state, loss_dict
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,) if donate else ())
+
+
 # -- HiFi-GAN steps ----------------------------------------------------------
 
 def make_hifigan_train_steps(gen, mpd, msd, mel_fn,

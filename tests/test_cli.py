@@ -108,3 +108,27 @@ def test_cli_train_hifigan(tmp_path):
               "upsample_kernel_sizes=[8,8,16],upsample_initial_channel=16,"
               "mpd_periods=[2],msd_scales=1"])
     assert any(f.startswith("checkpoint_") for f in os.listdir(run_dir))
+
+
+TINY_UNTTS_HPARAMS = (
+    "batch_size=2,n_iters=2,"
+    "sampling_rate=22050,filter_length=512,hop_length=128,win_length=512,"
+    "n_mel_channels=20,mel_fmax=8000.0,"
+    "symbols_embedding_dim=16,n_speakers=4,speaker_embedding_dim=8,"
+    "enc_layers=1,enc_heads=2,enc_ffn_dim=24,predictor_filter_size=8,"
+    "predictor_layers=1,dec_n_flows=2,dec_n_layers=1,dec_n_channels=16,"
+    "text_buckets=[48],mel_buckets=[192],max_segment_frames=192"
+)
+
+
+def test_cli_train_untts(tts_dataset, tmp_path):
+    """NAR flow TTS trains from the CLI with MFA/uniform durations
+    (reference _2_ttm/untts/train.py surface)."""
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_untts")
+    cli.main(["train", "--model", "untts", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_UNTTS_HPARAMS])
+    files = os.listdir(run_dir)
+    assert any(f.startswith("checkpoint_") for f in files)
+    assert "events.jsonl" in files

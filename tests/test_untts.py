@@ -201,3 +201,60 @@ def test_untts_with_varglow_prosody():
     # different keys -> (almost surely) different sampled durations
     assert not np.array_equal(np.asarray(o1["durations"]),
                               np.asarray(o2["durations"]))
+
+
+# -- MFA-duration data path + runtime train step -------------------------------
+
+def test_duration_helpers():
+    from cookietts_tpu.data.dataset import (char_average, fit_durations,
+                                            uniform_durations)
+    d = fit_durations(np.array([3, 5, 2]), 4, 8)
+    assert d.sum() == 8 and len(d) == 4
+    d2 = fit_durations(np.array([1, 1]), 5, 12)   # too short: pad + absorb
+    assert d2.sum() == 12 and len(d2) == 5
+    u = uniform_durations(3, 10)
+    assert u.sum() == 10 and len(u) == 3
+    vals = np.arange(10, dtype=np.float32)
+    ca = char_average(vals, np.array([2, 3, 5]))
+    np.testing.assert_allclose(ca, [0.5, 3.0, 7.0])
+
+
+def test_dataset_durations_from_textgrid(tmp_path):
+    from cookietts_tpu.data.dataset import DataConfig, TTSDataset
+    cfg = DataConfig(sampling_rate=16000, hop_length=160)
+    ds = TTSDataset([{"path": "x.wav", "quote": "hi"}], cfg,
+                    features=("text", "mel", "durations"))
+    wav = str(tmp_path / "a.wav")
+    tg = str(tmp_path / "a.TextGrid")
+    with open(tg, "w") as f:
+        f.write('item [1]:\n  class = "IntervalTier"\n  name = "phones"\n'
+                '  intervals [1]:\n    xmin = 0.0\n    xmax = 0.1\n'
+                '    text = "HH"\n'
+                '  intervals [2]:\n    xmin = 0.1\n    xmax = 0.3\n'
+                '    text = "AY"\n')
+    # 0.1s @ 10ms hop = 10 frames, 0.2s = 20 frames
+    dur = ds._get_durations(wav, t_mel=30, n_text=2)
+    np.testing.assert_array_equal(dur, [10, 20])
+    # sidecar .dur.npy takes precedence
+    np.save(wav + ".dur.npy", np.array([5, 25]))
+    np.testing.assert_array_equal(ds._get_durations(wav, 30, 2), [5, 25])
+    # uniform fallback when no alignment exists
+    u = ds._get_durations(str(tmp_path / "none.wav"), 9, 3)
+    np.testing.assert_array_equal(u, [3, 3, 3])
+
+
+def test_untts_train_step_decreases_loss(setup):
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (make_untts_train_step,
+                                               scalars_to_arrays)
+    cfg, model, variables, batch = setup
+    state = TrainState.create(model.apply, variables["params"], adam())
+    step = make_untts_train_step(model, donate=False)
+    ctrl = scalars_to_arrays({"lr": 5e-3, "grad_clip": 10.0})
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), ctrl)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
