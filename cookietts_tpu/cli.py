@@ -113,29 +113,67 @@ def cmd_train(args):
     state = TrainState.create(model.apply, params, adam(), mutables)
     train_step = make_tacotron2_train_step(model, mesh=mesh)
     eval_step = make_tacotron2_eval_step(model, mesh=mesh)
+
+    # held-out validation batch, validated on the live config's
+    # validation_interval cadence (reference train.py:774-797)
+    n_val = min(batch_size, len(dataset))
+    val_batches = [collate([dataset[i] for i in range(n_val)], dcfg)]
     trainer = Trainer(TrainerConfig(
         run_dir=args.run_dir,
-        live_config_path=args.live_config), state, train_step, eval_step)
+        live_config_path=args.live_config), state, train_step, eval_step,
+        val_batches=val_batches)
+    if getattr(args, "resume", None):
+        trainer.resume(None if args.resume == "auto" else args.resume)
 
-    sampler = TBPTTSampler(
-        [dataset[i].get("mel_length", dcfg.max_segment_frames)
-         for i in range(min(len(dataset), 512))],
-        batch_size, dcfg.max_segment_frames)
-    it = 0
-    for segs in sampler:
-        items = [dataset[s.file_idx] for s in segs]
-        batch = collate(items, dcfg, segments=segs)
-        if mesh is not None:
-            batch = {k: (shard_batch(jnp.asarray(v), mesh)
-                         if k != "audiopath" else v)
-                     for k, v in batch.items()}
-        metrics = trainer.step(batch)
-        if it % 10 == 0:
-            print(f"iter {it}: loss={metrics.get('loss', float('nan')):.4f}")
-        it += 1
-        if it >= n_iters:
-            break
+    it = int(trainer.state.step)
+    epoch = 0
+    entries_cur = list(entries)
+    while it < n_iters:
+        lengths = [dataset[i].get("mel_length", dcfg.max_segment_frames)
+                   for i in range(min(len(dataset), 512))]
+        sampler = TBPTTSampler(lengths, batch_size,
+                               dcfg.max_segment_frames, seed=epoch)
+        for segs in sampler:
+            items = [dataset[s.file_idx] for s in segs]
+            batch = collate(items, dcfg, segments=segs)
+            if mesh is not None:
+                batch = {k: (shard_batch(jnp.asarray(v), mesh)
+                             if k != "audiopath" else v)
+                         for k, v in batch.items()}
+            metrics = trainer.step(batch)
+            if it % 10 == 0:
+                print(f"iter {it}: "
+                      f"loss={metrics.get('loss', float('nan')):.4f}")
+            it += 1
+            if it >= n_iters:
+                break
+        epoch += 1
+        # epoch-boundary dataset curation: drop weak-attention files and
+        # MSE-resample speakers, then rebuild the sampler
+        # (reference train.py:803-825, get_mse_sampled_filelist :323-369)
+        if (trainer.live.get("curation_enable", True)
+                and trainer.file_db.db and it < n_iters):
+            from .data.curation import (filter_by_attention_quality,
+                                        mse_weighted_resample)
+            cur = filter_by_attention_quality(
+                entries_cur, trainer.file_db.db,
+                min_att_score=float(
+                    trainer.live.get("curation_min_att_score", 0.5)),
+                min_avg_max_attention=float(
+                    trainer.live.get("curation_min_avg_max_attention",
+                                     0.45)))
+            cur = mse_weighted_resample(
+                cur, trainer.file_db.db,
+                exp_factor=float(
+                    trainer.live.get("curation_mse_exponent", 1.0)),
+                seed=epoch)
+            if len(cur) >= batch_size:
+                entries_cur = cur
+                dataset = TTSDataset(entries_cur, dcfg)
+                print(f"[curation] epoch {epoch}: dataset rebuilt with "
+                      f"{len(entries_cur)} entries")
     trainer.save(periodic=True)
+    trainer.file_db.to_csv(os.path.join(args.run_dir, "file_losses.csv"))
     print(f"done: {it} iters, checkpoints in {args.run_dir}")
 
 
@@ -448,6 +486,9 @@ def main(argv=None):
                    choices=["tacotron2", "waveglow", "hifigan", "untts"])
     t.add_argument("--filelist", required=True)
     t.add_argument("--warm_start", default=None)
+    t.add_argument("--resume", nargs="?", const="auto", default=None,
+                   help="full resume (params+opt+step) from a checkpoint "
+                        "path, or the latest in --run_dir when bare")
     t.add_argument("--live_config", default=None)
     t.add_argument("--iters", type=int, default=1000)
     _add_common(t)

@@ -42,6 +42,11 @@ DEFAULT_LIVE_CONFIG: Dict[str, Any] = {
     # cadence
     "validation_interval": 1000,
     "checkpoint_interval": 5000,
+    # epoch-boundary dataset curation (reference train.py:803-825)
+    "curation_enable": True,
+    "curation_min_att_score": 0.5,
+    "curation_min_avg_max_attention": 0.45,
+    "curation_mse_exponent": 1.0,
     # loss scalars (merged over losses.DEFAULT_LOSS_SCALARS)
     "loss_scalars": {},
 }

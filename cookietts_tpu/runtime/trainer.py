@@ -121,7 +121,10 @@ def make_tacotron2_train_step(model, mesh=None,
 
 def make_tacotron2_eval_step(model, mesh=None,
                              gate_positive_weight: float = 10.0) -> Callable:
-    """Teacher-forced validation step (no grads)."""
+    """Teacher-forced validation step (no grads). Returns
+    (loss_dict, file_losses, outputs) — outputs feed the alignment / mel /
+    gate image logging the reference does every validation
+    (logger.py:64-114)."""
 
     def step(state: TrainState, batch, key, ctrl):
         variables = {"params": state.params, **(state.mutables or {})}
@@ -142,14 +145,17 @@ def make_tacotron2_eval_step(model, mesh=None,
         )
         _, loss_dict, file_losses = tacotron2_loss(
             out, gt, gate_positive_weight=gate_positive_weight)
-        return loss_dict, file_losses
+        images = {"alignments": out["alignments"],
+                  "mel_outputs_postnet": out["mel_outputs_postnet"],
+                  "gate_outputs": out["gate_outputs"]}
+        return loss_dict, file_losses, images
 
     if mesh is None:
         return jax.jit(step)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
     return jax.jit(step, in_shardings=(rep, bs, rep, rep),
-                   out_shardings=(rep, bs))
+                   out_shardings=(rep, bs, bs))
 
 
 def adapt_carry(carry, t_enc: int, batch_size: int):
@@ -194,11 +200,13 @@ class Trainer:
     """
 
     def __init__(self, cfg: TrainerConfig, state: TrainState,
-                 train_step: Callable, eval_step: Optional[Callable] = None):
+                 train_step: Callable, eval_step: Optional[Callable] = None,
+                 val_batches: Optional[list] = None):
         self.cfg = cfg
         self.state = state
         self.train_step = train_step
         self.eval_step = eval_step
+        self.val_batches = val_batches    # enables cadence-driven validation
         self.live = LiveConfig(cfg.live_config_path)
         self.ckpt = Checkpointer(cfg.run_dir)
         self.logger = MetricsLogger(cfg.run_dir)
@@ -206,6 +214,24 @@ class Trainer:
         self.n_restarts = 0
         self.key = jax.random.PRNGKey(cfg.seed)
         self.carry = None        # TBPTT decoder state carried across iters
+
+    def resume(self, path: Optional[str] = None) -> int:
+        """Full resume (params + optimizer + step) from ``path`` or the
+        latest periodic checkpoint in the run dir (reference full-resume
+        mode, train.py:255-279). Returns the restored step."""
+        from .checkpoint import restore_train_state
+        path = path or self.ckpt.latest()
+        if path is None:
+            print("[trainer] no checkpoint to resume from; starting fresh")
+            return 0
+        self.state, meta = restore_train_state(self.state, path)
+        if meta:
+            self.ckpt.best_val_loss = float(
+                meta.get("best_val_loss", self.ckpt.best_val_loss))
+            self.ckpt.best_inf_attsc = float(
+                meta.get("best_inf_attsc", self.ckpt.best_inf_attsc))
+        print(f"[trainer] resumed from {path} at step {self.state.step}")
+        return int(self.state.step)
 
     # -- control dict from live config ------------------------------------
     def ctrl(self, iteration: int) -> Dict[str, jnp.ndarray]:
@@ -264,6 +290,20 @@ class Trainer:
             self.logger.log_scalars(it, metrics)
         if self.ckpt.manual_save_requested():
             self.save(periodic=True)
+
+        # cadence from the live config (reference validates teacher-forced
+        # + saves on validation_interval, train.py:774-797, and
+        # checkpoints on checkpoint_interval)
+        it_now = int(self.state.step)
+        vi = int(self.live.get("validation_interval", 0) or 0)
+        if (self.eval_step is not None and self.val_batches
+                and vi > 0 and it_now % vi == 0):
+            means = self.validate(self.val_batches, iteration=it_now)
+            self.save(periodic=False, val_loss=means.get("val_loss"),
+                      att_score=means.get("val_weighted_score"))
+        ci = int(self.live.get("checkpoint_interval", 0) or 0)
+        if ci > 0 and it_now % ci == 0:
+            self.save(periodic=True)
         return metrics
 
     # -- explosion recovery ----------------------------------------------------
@@ -301,6 +341,9 @@ class Trainer:
     def save(self, periodic=True, val_loss: Optional[float] = None,
              att_score: Optional[float] = None, metadata=None):
         tree = self._state_tree()
+        metadata = dict(metadata or {})
+        metadata.setdefault("best_val_loss", self.ckpt.best_val_loss)
+        metadata.setdefault("best_inf_attsc", self.ckpt.best_inf_attsc)
         if periodic:
             self.ckpt.save_periodic(int(self.state.step), tree, metadata)
         if val_loss is not None:
@@ -308,24 +351,54 @@ class Trainer:
         if att_score is not None:
             self.ckpt.maybe_save_best_attsc(att_score, tree, metadata)
 
-    def validate(self, batches, iteration: Optional[int] = None
-                 ) -> Dict[str, float]:
-        """Seeded, reproducible validation over an iterable of batches."""
+    def validate(self, batches, iteration: Optional[int] = None,
+                 log_images: bool = True) -> Dict[str, float]:
+        """Seeded, reproducible validation over an iterable of batches,
+        with alignment / mel / gate images from the first batch
+        (reference logger.py:64-114 logs these every validation)."""
         assert self.eval_step is not None
         it = iteration if iteration is not None else int(self.state.step)
         agg: Dict[str, list] = {}
+        first = None
         for i, batch in enumerate(batches):
             key = jax.random.PRNGKey(self.cfg.seed + i)   # forked, seeded
             ctrl = self.ctrl(it)
             batch = dict(batch)
             batch.pop("audiopath", None)
             batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            loss_dict, _ = self.eval_step(self.state, batch_dev, key, ctrl)
+            res = self.eval_step(self.state, batch_dev, key, ctrl)
+            loss_dict, outputs = res[0], (res[2] if len(res) > 2 else None)
             for k, v in loss_dict.items():
                 agg.setdefault(k, []).append(float(v))
+            if i == 0 and outputs is not None:
+                first = (batch_dev, outputs)
         means = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
         self.logger.log_scalars(it, means, prefix="validation")
+        if log_images and first is not None:
+            self._log_validation_images(it, *first)
         return means
+
+    def _log_validation_images(self, it: int, batch, outputs) -> None:
+        try:
+            from .plotting import plot_alignment, plot_gate, plot_spectrogram
+            t_dec = int(batch["mel_lengths"][0])
+            t_enc = int(batch["text_lengths"][0])
+            align = np.asarray(outputs["alignments"])[0, :t_dec, :t_enc]
+            self.logger.log_image(it, "validation/alignment",
+                                  plot_alignment(align))
+            mel_pred = np.asarray(outputs["mel_outputs_postnet"])[0, :t_dec]
+            self.logger.log_image(it, "validation/mel_predicted",
+                                  plot_spectrogram(mel_pred, "predicted"))
+            mel_gt = np.asarray(batch["mels"])[0, :t_dec]
+            self.logger.log_image(it, "validation/mel_target",
+                                  plot_spectrogram(mel_gt, "target"))
+            if "gate_target" in batch:
+                self.logger.log_image(
+                    it, "validation/gate",
+                    plot_gate(np.asarray(batch["gate_target"])[0, :t_dec],
+                              np.asarray(outputs["gate_outputs"])[0, :t_dec]))
+        except Exception as e:  # rendering must never kill training
+            print(f"[trainer] image logging failed: {e!r}")
 
 
 # -- vocoder (WaveGlow/WaveFlow) steps ----------------------------------------

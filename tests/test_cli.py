@@ -29,7 +29,7 @@ def tts_dataset(tmp_path_factory):
 
 
 TINY_TTS_HPARAMS = (
-    "batch_size=2,n_iters=2,"
+    "batch_size=2,"
     "sampling_rate=22050,filter_length=512,hop_length=128,win_length=512,"
     "n_mel_channels=20,mel_fmax=8000.0,"
     "symbols_embedding_dim=16,n_speakers=4,speaker_embedding_dim=8,"
@@ -44,14 +44,24 @@ TINY_TTS_HPARAMS = (
 
 
 def test_cli_train_tacotron2(tts_dataset, tmp_path):
+    """Epoch loop with TBPTT sampler, epoch-boundary curation, file-loss
+    CSV, then a full --resume continuation (params+opt+step)."""
     root, filelist, sr = tts_dataset
     run_dir = str(tmp_path / "run_t2")
     cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
-              "--iters", "2", "--run_dir", run_dir,
+              "--iters", "5", "--run_dir", run_dir,
               "--hparams", TINY_TTS_HPARAMS])
     files = os.listdir(run_dir)
     assert any(f.startswith("checkpoint_") for f in files)
     assert "events.jsonl" in files
+    assert "file_losses.csv" in files      # per-file loss DB dumped
+
+    # resume from the latest checkpoint and continue to 7 iters
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "7", "--run_dir", run_dir, "--resume",
+              "--hparams", TINY_TTS_HPARAMS])
+    files = os.listdir(run_dir)
+    assert "checkpoint_7" in files, files
 
 
 def test_cli_train_waveglow(tmp_path):

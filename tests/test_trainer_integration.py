@@ -209,3 +209,58 @@ def test_explosion_recovery(trainer_setup):
     lr_base = float(trainer.ctrl(step_before)["lr"])
     assert lr_now < lr_base
     trainer.live.values["LossExplosionThreshold"] = 1e3
+
+
+def _quad_trainer(tmp_path, **cfg_kw):
+    state = TrainState.create(None, {"w": jnp.ones((4,), jnp.float32)},
+                              adam())
+
+    def _step(state, batch, key, ctrl):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.sum((p["w"] * batch["x"]) ** 2))(state.params)
+        new_state = state.apply_gradients(grads, ctrl["lr"])
+        return new_state, {"loss": loss}, {}
+
+    def _eval(state, batch, key, ctrl):
+        loss = jnp.sum((state.params["w"] * batch["x"]) ** 2)
+        return {"loss": loss}, {}
+
+    return Trainer(TrainerConfig(run_dir=str(tmp_path), **cfg_kw), state,
+                   jax.jit(_step), jax.jit(_eval),
+                   val_batches=[{"x": np.ones((4,), np.float32)}])
+
+
+def test_resume_full_state(tmp_path):
+    """--resume restores params + optimizer moments + step and training
+    continues bit-identically (reference full-resume, train.py:255-279)."""
+    tr = _quad_trainer(tmp_path / "a")
+    batch = {"x": jnp.ones((4,), jnp.float32)}
+    for _ in range(3):
+        tr.step(dict(batch))
+    tr.save(periodic=True)
+    # continue the original for 2 more steps -> the expected trajectory
+    expect = [tr.step(dict(batch))["loss"] for _ in range(2)]
+
+    tr2 = _quad_trainer(tmp_path / "a")   # fresh trainer, same run dir
+    assert int(tr2.state.step) == 0
+    step = tr2.resume()                    # latest checkpoint, auto
+    assert step == 3
+    got = [tr2.step(dict(batch))["loss"] for _ in range(2)]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_validation_cadence_from_live_config(tmp_path):
+    """validation_interval / checkpoint_interval in the live config drive
+    automatic validation + best/periodic checkpoints inside Trainer.step."""
+    tr = _quad_trainer(tmp_path)
+    tr.live.values["validation_interval"] = 2
+    tr.live.values["checkpoint_interval"] = 3
+    batch = {"x": jnp.ones((4,), jnp.float32)}
+    for _ in range(6):
+        tr.step(dict(batch))
+    files = os.listdir(str(tmp_path))
+    assert "best_val_model" in files          # validation cadence fired
+    assert any(f.startswith("checkpoint_") for f in files)
+    # validation scalars were logged
+    with open(os.path.join(str(tmp_path), "events.jsonl")) as f:
+        assert any('"prefix": "validation"' in line for line in f)
