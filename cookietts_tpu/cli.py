@@ -419,16 +419,22 @@ def _train_hifigan(args, overrides):
 def cmd_gta(args):
     import jax
     import jax.numpy as jnp
+    from .config import parse_override_string
     from .data.dataset import DataConfig, TTSDataset, collate
     from .data.filelist import load_filelist
-    from .pipeline.gta import GTAGenerator, extreme_gta_offsets
+    from .pipeline.gta import (GTAGenerator, extreme_gta_offsets,
+                               offset_item_mels)
     from .runtime.checkpoint import load_checkpoint
 
+    overrides = parse_override_string(args.hparams) \
+        if getattr(args, "hparams", "") else {}
     entries = load_filelist(args.filelist)
-    dcfg = DataConfig()
+    d_valid = set(DataConfig.__dataclass_fields__)
+    dcfg = DataConfig(**{k: v for k, v in overrides.items() if k in d_valid})
     dataset = TTSDataset(entries, dcfg)
     tree, meta = load_checkpoint(args.checkpoint)
-    model, _ = _build_tacotron2({})
+    model, _ = _build_tacotron2(
+        {**((meta or {}).get("model_config", {})), **overrides})
     variables = {"params": tree["params"], **tree.get("mutables", {})}
     gen = GTAGenerator(model, variables, args.outdir,
                        hop_length=dcfg.hop_length)
@@ -440,6 +446,9 @@ def cmd_gta(args):
         for i0 in range(0, len(dataset), B):
             items = [dataset[i] for i in range(i0, min(i0 + B,
                                                        len(dataset)))]
+            # extremeGTA: re-extract mels from offset-trimmed audio so
+            # every offset is a genuinely shifted teacher-forcing target
+            items = offset_item_mels(dataset, items, offset)
             batch = collate(items, dcfg)
             paths = batch.pop("audiopath")
             lines += gen.process_batch(batch, paths, offset=offset)
@@ -500,6 +509,7 @@ def main(argv=None):
     g.add_argument("-o", "--outdir", default="gta_out")
     g.add_argument("--batch_size", type=int, default=8)
     g.add_argument("--extremeGTA", dest="extreme_gta", type=int, default=0)
+    _add_common(g)
     g.set_defaults(fn=cmd_gta)
 
     s = sub.add_parser("server")

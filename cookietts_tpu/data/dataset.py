@@ -358,9 +358,15 @@ def collate(items: Sequence[Dict[str, Any]],
         out["text_lengths"] = text_lengths
 
     if "mel" in items[0]:
-        m_max = max(it["mel"].shape[0] for it in items)
+        m_req = max(it["mel"].shape[0] for it in items)
+        m_max = m_req
         if static_shapes:
-            m_max = bucket_size(m_max, cfg.mel_buckets)
+            m_max = bucket_size(m_req, cfg.mel_buckets)
+            if segments is None and m_max < m_req:
+                # never silently truncate full utterances (GTA / eval
+                # batches): extend past the largest bucket in 64-frame
+                # steps instead of dropping frames and mis-placing gate=1
+                m_max = -(-m_req // 64) * 64
         n_mel = items[0]["mel"].shape[1]
         mels = np.zeros((B, m_max, n_mel), np.float32)
         mel_lengths = np.zeros((B,), np.int32)

@@ -129,12 +129,11 @@ class Mel2Samp:
                 gta_mel = gta_mel.T        # tolerate [C, T] dumps
             if gta_mel.shape[1] == 2 * cfg.n_mel_channels:
                 gta_mel = gta_mel[:, : cfg.n_mel_channels]  # drop logvar
-            # extremeGTA offset encoded in the filename: .mel{offset}.npy
+            # extremeGTA offset encoded in the filename: '.mel{offset}.npy'
+            # (GTAGenerator writes this; reference mel2samp.py:297-299)
             stem = os.path.basename(mel_path)
             if ".mel" in stem and stem.endswith(".npy"):
                 tail = stem.split(".mel")[-1][:-4]
-                if tail.startswith(".off"):
-                    tail = tail[4:]
                 if tail.isdigit():
                     audio = audio[int(tail):]
 

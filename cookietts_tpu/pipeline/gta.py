@@ -86,11 +86,15 @@ class GTAGenerator:
             if verify_outputs:
                 assert np.isfinite(mel).all(), f"non-finite GTA mel: {path}"
                 assert mel.shape[0] == T
-            suffix = f".off{offset}" if offset else ""
-            mel_path = path + f"{suffix}.mel.npy"
+            # reference naming: '.mel.npy' at offset 0, '.mel{N}.npy' for
+            # extremeGTA offsets (_3_generate_postnets/GTA.py:188-198) —
+            # Mel2Samp parses the offset back out of this suffix
+            suffix = f".mel{offset}.npy" if offset else ".mel.npy"
+            mel_path = path + suffix
             np.save(mel_path, mel)
             if self.save_letter_durations:
-                np.save(path + f"{suffix}.dur.npy", durs[i])
+                dur_sfx = f".dur{offset}.npy" if offset else ".dur.npy"
+                np.save(path + dur_sfx, durs[i])
             lines.append(f"{path}|{mel_path}|{int(speaker_ids[i])}")
         return lines
 
@@ -105,3 +109,19 @@ def extreme_gta_offsets(hop_length: int, step: int) -> List[int]:
     """Audio-offset schedule for --extremeGTA (GTA.py:268-275)."""
     assert step <= hop_length and hop_length % step == 0
     return list(range(0, hop_length, step))
+
+
+def offset_item_mels(dataset, items: Sequence[Dict[str, Any]],
+                     offset: int) -> List[Dict[str, Any]]:
+    """Recompute each item's mel from audio trimmed by ``offset`` samples
+    — extremeGTA genuinely re-synthesizes the dataset from shifted audio
+    (reference GTA.py:115-128,197-198), it is not just a renamed file."""
+    if offset == 0:
+        return list(items)
+    out = []
+    for it in items:
+        audio = dataset.load_audio(it["audiopath"])
+        mel = dataset.stft.mel_spectrogram_np(
+            audio[offset:]).astype(np.float32)
+        out.append(dict(it, mel=mel, mel_length=mel.shape[0]))
+    return out

@@ -168,3 +168,83 @@ def test_t2s_with_vocoder_end_to_end(tiny_t2s):
         assert len(result["audio"]) == expected
     finally:
         tiny_t2s.vocoder_fn = None
+
+
+def test_gta_offset_naming_roundtrip(tmp_path):
+    """GTAGenerator's '.mel{N}.npy' suffix is parsed back by Mel2Samp,
+    which trims the audio by the offset (ADVICE round-1: the writer and
+    parser previously disagreed, silently never applying the offset)."""
+    import numpy as np
+    from cookietts_tpu.data import audio_io
+    from cookietts_tpu.data.mel2samp import Mel2Samp, Mel2SampConfig
+
+    sr = 48000
+    audio = (np.arange(sr, dtype=np.float32) / sr * 0.5)   # ramp: position
+    wav = str(tmp_path / "a.wav")                          # is readable from
+    audio_io.save_wav(wav, audio, sr)                      # sample value
+
+    cfg = Mel2SampConfig(segment_length=2400, filter_length=240,
+                         hop_length=60, win_length=240, n_mel_channels=8,
+                         load_mel_from_disk=1.0, load_from_disk_dtw=False)
+    gta = np.zeros((790, 8), np.float32)
+    np.save(wav + ".mel333.npy", gta)   # GTAGenerator suffix for offset=333
+    np.save(wav + ".mel.npy", gta)      # offset-0 twin
+
+    ds_off = Mel2Samp([(wav, wav + ".mel333.npy", 0)], cfg, seed=7)
+    ds_base = Mel2Samp([(wav, wav + ".mel.npy", 0)], cfg, seed=7)
+    a_off = ds_off[0]["audio"]
+    a_base = ds_base[0]["audio"]
+    # same rng seed -> same segment start; the offset-named mel must shift
+    # the audio stream by exactly 333 samples
+    idx_base = int(round(float(a_base[0]) * 2 * sr))
+    idx_off = int(round(float(a_off[0]) * 2 * sr))
+    # ±1 tolerance: int16 wav quantization blurs the value->index inverse
+    assert abs((idx_off - idx_base) - 333) <= 1, (idx_base, idx_off)
+
+
+def test_offset_item_mels_shifts_audio(tmp_path):
+    import numpy as np
+    from cookietts_tpu.data import audio_io
+    from cookietts_tpu.data.dataset import DataConfig, TTSDataset
+    from cookietts_tpu.pipeline.gta import offset_item_mels
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    wav = str(tmp_path / "b.wav")
+    audio_io.save_wav(wav, audio, sr)
+    cfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                     win_length=512, n_mel_channels=8, mel_fmax=8000.0,
+                     trim_enable=False, target_lufs=None, cache_mels=False)
+    ds = TTSDataset([{"path": wav, "quote": "hi"}], cfg,
+                    features=("text", "mel"))
+    items = [ds[0]]
+    same = offset_item_mels(ds, items, 0)
+    assert same[0] is items[0] or np.allclose(same[0]["mel"], items[0]["mel"])
+    shifted = offset_item_mels(ds, items, 64)
+    assert shifted[0]["mel"].shape[0] <= items[0]["mel"].shape[0]
+    expect = ds.stft.mel_spectrogram_np(ds.load_audio(wav)[64:])
+    np.testing.assert_allclose(shifted[0]["mel"], expect, atol=1e-5)
+
+
+def test_collate_never_truncates_full_utterances():
+    """Mels longer than the largest bucket must extend the pad width (and
+    keep gate=1 at the TRUE end) when collating whole utterances — the GTA
+    path pairs these mels with full-length wavs (ADVICE round-1)."""
+    import numpy as np
+    from cookietts_tpu.data.dataset import (DataConfig, Segment, collate)
+
+    cfg = DataConfig(text_buckets=[8], mel_buckets=[16],
+                     max_segment_frames=16)
+    item = {"audiopath": "x.wav",
+            "text": np.arange(1, 6, dtype=np.int32),
+            "mel": np.ones((50, 4), np.float32)}
+    out = collate([item], cfg)
+    assert out["mels"].shape[1] == 64          # extended, not clamped to 16
+    assert int(out["mel_lengths"][0]) == 50    # nothing dropped
+    assert out["gate_target"][0, 49] == 1.0
+    assert out["gate_target"][0, 48] == 0.0
+    # TBPTT segments still slice to the fixed window
+    seg = Segment(file_idx=0, seg_idx=1, n_segs=4)
+    out2 = collate([item], cfg, segments=[seg])
+    assert out2["mels"].shape[1] == 16
