@@ -440,34 +440,108 @@ class Decoder(nn.Module):
         return out, carry
 
     def inference(self, memory: jnp.ndarray, memory_lengths: jnp.ndarray,
-                  key: jax.Array, max_decoder_steps: Optional[int] = None):
-        """Free-running decode with gate stopping (masked fixed-length scan).
+                  key: jax.Array, max_decoder_steps: Optional[int] = None,
+                  early_exit: bool = False, chunk_size: int = 64,
+                  gate_threshold: Optional[Any] = None,
+                  gate_delay: Optional[Any] = None):
+        """Free-running decode with gate stopping.
 
         Returns dict with mel_outputs [B, T_max, M], gate_outputs, alignments
         and mel_lengths computed from the first gate crossing + gate_delay
         (reference model.py:879-908).
+
+        ``early_exit``: run the scan in ``chunk_size``-step pieces inside a
+        ``while_loop`` that stops one chunk after every lane's gate fires —
+        the TPU-native version of the reference's "stop when all gates
+        fire" (model.py:897-904); short utterances then pay ~their own
+        length instead of the padded step bucket. Frames within
+        ``mel_lengths`` are identical to the full scan (same per-step rng
+        keys); frames beyond the stopped chunk stay zero.
+
+        ``gate_threshold`` / ``gate_delay`` override the config values for
+        the mel_lengths computation as TRACED scalars, so serving can vary
+        them per request without recompiling (the early-exit mask itself
+        uses the compiled cfg.gate_threshold).
         """
         cfg = self.cfg
-        T_max = max_decoder_steps or cfg.max_decoder_steps
+        T_req = max_decoder_steps or cfg.max_decoder_steps
         B = memory.shape[0]
+        thr = cfg.gate_threshold if gate_threshold is None else gate_threshold
+        delay = cfg.gate_delay if gate_delay is None else gate_delay
         const = self.cell.attention.precompute(memory, memory_lengths)
         carry = self.init_carry(B, memory.shape[1], memory.shape[-1],
                                 memory.dtype)
-        xs = {
-            "teacher_frame": jnp.zeros(
-                (T_max, B, cfg.n_mel_channels * cfg.n_frames_per_step),
-                memory.dtype),
-            "tf": jnp.zeros((T_max, B), bool),
-            "key": jax.random.split(key, T_max),
-        }
-        carry, ys = self._scan(carry, xs, memory, const, True)
-        gates = jnp.swapaxes(jax.nn.sigmoid(ys["gate"]), 0, 1)     # [B, T]
-        stop = get_first_over_thresh(gates, cfg.gate_threshold)
-        mel_lengths = jnp.minimum(stop + cfg.gate_delay, T_max)
+        mel_dim = cfg.n_mel_channels * cfg.n_frames_per_step
+
+        if not early_exit:
+            T_max = T_req
+            xs = {
+                "teacher_frame": jnp.zeros((T_max, B, mel_dim), memory.dtype),
+                "tf": jnp.zeros((T_max, B), bool),
+                "key": jax.random.split(key, T_max),
+            }
+            _, ys = self._scan(carry, xs, memory, const, True)
+            mel_buf, gate_buf, w_buf = (ys["mel_frame"], ys["gate"],
+                                        ys["weights"])
+        else:
+            assert chunk_size >= cfg.gate_delay, \
+                "chunk_size must cover gate_delay (one extra chunk runs " \
+                "after all gates fire)"
+            n_chunks = -(-T_req // chunk_size)
+            T_max = n_chunks * chunk_size
+            keys = jax.random.split(key, T_max)
+            t_enc = memory.shape[1]
+            bufs0 = (
+                jnp.zeros((T_max, B, mel_dim), memory.dtype),  # mel frames
+                jnp.full((T_max, B), -1e4, jnp.float32),       # gate logits
+                jnp.zeros((T_max, B, t_enc), jnp.float32),     # alignments
+            )
+
+            def cond_fn(_mdl, state):
+                k, n_done = state[0], state[1]
+                # run ONE extra chunk after the first all-finished chunk so
+                # gate_delay frames exist past the crossing
+                return (k < n_chunks) & (n_done < 2)
+
+            def body_fn(mdl, state):
+                k, n_done, c, bufs = state
+                t0 = k * chunk_size
+                xs = {
+                    "teacher_frame": jnp.zeros((chunk_size, B, mel_dim),
+                                               memory.dtype),
+                    "tf": jnp.zeros((chunk_size, B), bool),
+                    "key": jax.lax.dynamic_slice(
+                        keys, (t0, 0), (chunk_size, keys.shape[1])),
+                }
+                c, ys = mdl._scan(c, xs, memory, const, True)
+                mel_b, gate_b, w_b = bufs
+                mel_b = jax.lax.dynamic_update_slice(
+                    mel_b, ys["mel_frame"].astype(mel_b.dtype), (t0, 0, 0))
+                gate_b = jax.lax.dynamic_update_slice(
+                    gate_b, ys["gate"].astype(jnp.float32), (t0, 0))
+                w_b = jax.lax.dynamic_update_slice(
+                    w_b, ys["weights"].astype(jnp.float32), (t0, 0, 0))
+                n_done = jnp.where(c.finished.all(), n_done + 1,
+                                   jnp.zeros_like(n_done))
+                return (k + 1, n_done, c, (mel_b, gate_b, w_b))
+
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    carry, bufs0)
+            if self.is_initializing():
+                # one eager body chunk so all cell params initialize
+                _, _, _, (mel_buf, gate_buf, w_buf) = body_fn(self, init)
+            else:
+                _, _, _, (mel_buf, gate_buf, w_buf) = nn.while_loop(
+                    cond_fn, body_fn, self, init,
+                    broadcast_variables=("params", "batch_stats"))
+
+        gates = jnp.swapaxes(jax.nn.sigmoid(gate_buf), 0, 1)       # [B, T]
+        stop = get_first_over_thresh(gates, thr)
+        mel_lengths = jnp.minimum(stop + delay, T_max)
         return {
-            "mel_outputs": jnp.swapaxes(ys["mel_frame"], 0, 1),
-            "gate_outputs": jnp.swapaxes(ys["gate"], 0, 1),
-            "alignments": jnp.swapaxes(ys["weights"], 0, 1),
+            "mel_outputs": jnp.swapaxes(mel_buf, 0, 1),
+            "gate_outputs": jnp.swapaxes(gate_buf, 0, 1),
+            "alignments": jnp.swapaxes(w_buf, 0, 1),
             "mel_lengths": mel_lengths,
         }
 
@@ -674,7 +748,10 @@ class Tacotron2(nn.Module):
                   torchmoji_hidden: Optional[jnp.ndarray] = None,
                   sylps: Optional[jnp.ndarray] = None,
                   key: Optional[jax.Array] = None,
-                  max_decoder_steps: Optional[int] = None):
+                  max_decoder_steps: Optional[int] = None,
+                  early_exit: bool = False, chunk_size: int = 64,
+                  gate_threshold: Optional[Any] = None,
+                  gate_delay: Optional[Any] = None):
         """Free-running inference. Reference model.py:1044-1080."""
         cfg = self.cfg
         if key is None:
@@ -688,7 +765,9 @@ class Tacotron2(nn.Module):
             text, text_lengths, speaker_id, sylps, torchmoji_hidden,
             None, True)
         dec_out = self.decoder.inference(
-            memory, text_lengths, k_dec, max_decoder_steps=max_decoder_steps)
+            memory, text_lengths, k_dec, max_decoder_steps=max_decoder_steps,
+            early_exit=early_exit, chunk_size=chunk_size,
+            gate_threshold=gate_threshold, gate_delay=gate_delay)
         mel_outputs = dec_out["mel_outputs"]
         if cfg.use_postnet:
             postnet_out = mel_outputs + self.postnet(mel_outputs,

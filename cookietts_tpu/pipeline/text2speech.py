@@ -97,12 +97,36 @@ def fuzzy_match_speaker(name: str, known: Sequence[str]) -> str:
     return matches[0]
 
 
-def interleave_speakers(n_segments: int, speakers: Sequence[str],
+def interleave_speakers(segments: Sequence[str] | int,
+                        speakers: Sequence[str],
                         mode: str = "cycle next",
                         rng: Optional[np.random.Generator] = None
                         ) -> List[str]:
-    """Assign a speaker to each segment (reference :459-474 modes)."""
+    """Assign a speaker to each segment (reference :459-474 modes).
+
+    ``segments`` may be the segment texts (enables the quote-aware mode)
+    or just a count. Modes: "cycle next" / "cycle all" / "random" /
+    "quotes" — the dialogue mode: the FIRST speaker narrates unquoted
+    segments, quoted segments cycle through the remaining speakers
+    (reference text2speech.py:477-479's speakers-vs-narrators split).
+    """
+    if isinstance(segments, int):
+        texts = [""] * segments
+    else:
+        texts = list(segments)
+    n_segments = len(texts)
     rng = rng or np.random.default_rng(0)
+    if mode == "quotes":
+        narrator = speakers[0]
+        voices = list(speakers[1:]) or [speakers[0]]
+        out, i = [], 0
+        for t in texts:
+            if t.strip().startswith(('"', "“")):
+                out.append(voices[i % len(voices)])
+                i += 1
+            else:
+                out.append(narrator)
+        return out
     if mode == "cycle next":
         return [speakers[i % len(speakers)] for i in range(n_segments)]
     if mode == "cycle all":
@@ -149,6 +173,8 @@ class T2S:
                  tts_variables: Any, speaker_ids: Dict[str, int],
                  vocoder_fn: Optional[Callable] = None,
                  torchmoji_fn: Optional[Callable[[str], np.ndarray]] = None,
+                 arpa_fn: Optional[Callable[[str], str]] = None,
+                 denoiser_fn: Optional[Callable] = None,
                  sample_rate: int = 44100, hop_length: int = 512):
         self.cfg = cfg
         self.model = tts_model
@@ -156,19 +182,28 @@ class T2S:
         self.speaker_ids = dict(speaker_ids)
         self.vocoder_fn = vocoder_fn
         self.torchmoji_fn = torchmoji_fn
+        self.arpa_fn = arpa_fn       # {ARPA} substitution (reference :527-528)
+        self.denoiser_fn = denoiser_fn   # (audio, strength) -> audio
         self.sample_rate = sample_rate
         self.hop_length = hop_length
         self._infer_cache: Dict[int, Callable] = {}
 
     # -- jitted generation+scoring for a fixed max_steps --------------------
     def _infer_fn(self, max_steps: int) -> Callable:
+        """Early-exit decode (stops one chunk after all gates fire) with
+        gate threshold/delay as TRACED args so per-request form fields
+        never recompile."""
         if max_steps in self._infer_cache:
             return self._infer_cache[max_steps]
+        chunk = max(64, self.model.cfg.gate_delay)
 
-        def run(variables, text, text_lengths, speaker_id, torchmoji, key):
+        def run(variables, text, text_lengths, speaker_id, torchmoji, key,
+                gate_threshold, gate_delay):
             out = self.model.apply(
                 variables, text, text_lengths, speaker_id, torchmoji,
                 key=key, max_decoder_steps=max_steps,
+                early_exit=True, chunk_size=chunk,
+                gate_threshold=gate_threshold, gate_delay=gate_delay,
                 method=Tacotron2.inference)
             atd = alignment_metric(out["alignments"], text_lengths,
                                    out["mel_lengths"])
@@ -194,14 +229,34 @@ class T2S:
               target_score: Optional[float] = None,
               max_attempts: Optional[int] = None,
               batch_size: Optional[int] = None,
+              gate_threshold: Optional[float] = None,
+              gate_delay: Optional[int] = None,
+              max_decoder_steps: Optional[int] = None,
+              max_duration_s: Optional[float] = None,
+              denoise_strength: float = 0.0,
+              style_mode: str = "torchmoji",
+              split_at_quotes: Optional[bool] = None,
+              target_segment_length: Optional[int] = None,
+              cat_silence_s: float = 0.0,
               seed: int = 0) -> Dict[str, Any]:
         """Synthesize ``text``. Returns dict with mels per segment, scores,
         attempts, timing stats, and (if a vocoder is attached) the audio.
+
+        ``use_arpabet`` substitutes {ARPA} pronunciations before encoding
+        (reference :527-528); ``gate_threshold`` / ``gate_delay`` /
+        ``max_decoder_steps`` / ``denoise_strength`` mirror the reference
+        server's per-request form fields (app.py:32-51).
         """
         cfg = self.cfg
         target = target_score if target_score is not None else cfg.target_score
         max_att = max_attempts or cfg.max_attempts
         bsz = batch_size or cfg.batch_size
+        thr = cfg.gate_threshold if gate_threshold is None else gate_threshold
+        delay = cfg.gate_delay if gate_delay is None else gate_delay
+        steps_cap = max_decoder_steps or cfg.max_decoder_steps
+        if max_duration_s:     # reference input_max_duration_s (app.py:42)
+            steps_cap = min(steps_cap, int(
+                max_duration_s * self.sample_rate / self.hop_length))
         t_start = time.time()
 
         if isinstance(speaker, str):
@@ -212,21 +267,28 @@ class T2S:
         speaker = [fuzzy_match_speaker(s, known) for s in speaker]
 
         segments = parse_text_into_segments(
-            text, split_at_quotes=cfg.split_at_quotes,
-            target_segment_length=cfg.target_segment_length,
+            text,
+            split_at_quotes=(cfg.split_at_quotes if split_at_quotes is None
+                             else split_at_quotes),
+            target_segment_length=(target_segment_length
+                                   or cfg.target_segment_length),
             max_segment_length=cfg.max_segment_length)
         if not segments:
             return {"segments": [], "mels": [], "scores": [],
                     "audio": np.zeros(0, np.float32)}
-        seg_speakers = interleave_speakers(len(segments), speaker,
-                                           speaker_mode,
+        seg_speakers = interleave_speakers(segments, speaker, speaker_mode,
                                            np.random.default_rng(seed))
 
-        # encode all segments (host)
+        # encode all segments (host); {ARPA} substitution first when asked
+        seg_texts = segments
+        if use_arpabet and self.arpa_fn is not None:
+            seg_texts = [self.arpa_fn(s) for s in segments]
         seqs = [np.asarray(text_to_sequence(s, cfg.text_cleaners), np.int32)
-                for s in segments]
+                for s in seg_texts]
         tm = None
-        if self.torchmoji_fn is not None:
+        if self.torchmoji_fn is not None and style_mode != "none":
+            # torchMoji emotion embedding per segment conditions the model
+            # (GST "TP" path when the model has style tokens — ref :497-509)
             tm = [self.torchmoji_fn(s).astype(np.float32) for s in segments]
 
         best_mels: List[Optional[np.ndarray]] = [None] * len(segments)
@@ -253,14 +315,15 @@ class T2S:
                 spk[row] = self.speaker_ids[seg_speakers[i]]
                 if tm is not None:
                     tm_arr[row] = tm[i]
-            max_steps = self._round_steps(
-                int(t_max * cfg.frames_per_char) + cfg.gate_delay)
+            max_steps = min(self._round_steps(
+                int(t_max * cfg.frames_per_char) + int(delay)), steps_cap)
 
             key, sub = jax.random.split(key)
             fn = self._infer_fn(max_steps)
             mels, mel_lengths, scores = fn(
                 self.variables, jnp.asarray(text_arr), jnp.asarray(lens),
-                jnp.asarray(spk), jnp.asarray(tm_arr), sub)
+                jnp.asarray(spk), jnp.asarray(tm_arr), sub,
+                jnp.asarray(thr, jnp.float32), jnp.asarray(delay, jnp.int32))
             mels = np.asarray(mels)
             mel_lengths = np.asarray(mel_lengths)
             scores = np.asarray(scores)
@@ -282,6 +345,8 @@ class T2S:
             pieces: List[np.ndarray] = []
             vb = cfg.vocoder_batch_size
             n_mel = best_mels[0].shape[1]
+            silence = np.zeros(int(cat_silence_s * self.sample_rate),
+                               np.float32)
             for i0 in range(0, len(best_mels), vb):
                 chunk = best_mels[i0:i0 + vb]
                 t_max = max(m.shape[0] for m in chunk)
@@ -292,8 +357,15 @@ class T2S:
                     mel_in[r, : m.shape[0]] = m
                 wav = np.asarray(self.vocoder_fn(jnp.asarray(mel_in)))
                 for r, m in enumerate(chunk):
+                    if pieces and len(silence):
+                        pieces.append(silence)   # input_cat_silence_s
                     pieces.append(wav[r, : m.shape[0] * self.hop_length])
             audio = np.concatenate(pieces) if pieces else audio
+            if denoise_strength > 0.0 and self.denoiser_fn is not None:
+                # vocoder-bias removal (reference denoiser.py:7-71)
+                audio = np.asarray(
+                    self.denoiser_fn(jnp.asarray(audio[None]),
+                                     denoise_strength))[0]
 
         total = time.time() - t_start
         audio_seconds = float(best_lengths.sum() * self.hop_length

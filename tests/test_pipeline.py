@@ -248,3 +248,86 @@ def test_collate_never_truncates_full_utterances():
     seg = Segment(file_idx=0, seg_idx=1, n_segs=4)
     out2 = collate([item], cfg, segments=[seg])
     assert out2["mels"].shape[1] == 16
+
+
+def test_interleave_quote_mode():
+    segs = ["He walked in.", '"Hello!"', "She replied,", '"Goodbye."']
+    out = interleave_speakers(segs, ["Narrator", "A", "B"], "quotes")
+    assert out == ["Narrator", "A", "Narrator", "B"]
+    # single speaker: narrator voices everything including quotes
+    assert interleave_speakers(segs, ["Solo"], "quotes") == ["Solo"] * 4
+
+
+def test_t2s_use_arpabet_and_gate_fields(tiny_t2s):
+    """use_arpabet substitutes {ARPA} before encoding (reference
+    text2speech.py:527-528 — round 1 accepted and IGNORED it), and the
+    per-request gate_delay actually changes output lengths."""
+    calls = []
+
+    def fake_arpa(s):
+        calls.append(s)
+        return "{HH AH0 L OW1} " + s
+
+    tiny_t2s.arpa_fn = fake_arpa
+    r1 = tiny_t2s.infer("Hello there.", speaker=["alice"],
+                        use_arpabet=True, max_attempts=1, seed=1)
+    assert calls == ["Hello there."]
+    assert np.all(np.isfinite(r1["scores"]))
+    r0 = tiny_t2s.infer("Hello there.", speaker=["alice"],
+                        use_arpabet=False, max_attempts=1, seed=1)
+    assert calls == ["Hello there."]        # not called again
+
+    # gate controls: absurd threshold -> decode runs to the step cap
+    r_long = tiny_t2s.infer("Hello there.", speaker=["alice"],
+                            max_attempts=1, gate_threshold=0.9999,
+                            gate_delay=0, seed=1)
+    r_short = tiny_t2s.infer("Hello there.", speaker=["alice"],
+                             max_attempts=1, gate_threshold=0.01,
+                             gate_delay=0, seed=1)
+    assert int(r_long["mel_lengths"][0]) > int(r_short["mel_lengths"][0])
+
+
+def test_server_full_field_surface(tiny_t2s, tmp_path):
+    """Reference form fields (app.py:32-51), model hot-swap
+    (app.py:55-58), and the /<voice> download route (app.py:154-170)."""
+    import tornado.testing
+    from cookietts_tpu.pipeline.server import ModelRegistry, make_app
+
+    registry = ModelRegistry({"m1": tiny_t2s, "m2": lambda: tiny_t2s}, "m1")
+    outdir = str(tmp_path / "out")
+
+    class ServerTest(tornado.testing.AsyncHTTPTestCase):
+        def get_app(self):
+            return make_app(registry=registry, output_dir=outdir,
+                            default_speaker="Alice")
+
+        def runTest(self):
+            body = ("input_text=Hi there.&stats_only=1"
+                    "&input_speaker=alice&input_multispeaker_mode=quotes"
+                    "&input_target_score=0.1&input_batch_size=4"
+                    "&input_max_attempts=1&input_max_duration_s=5"
+                    "&input_cat_silence_s=0.05&input_use_arpabet=on"
+                    "&gate_threshold=0.2&gate_delay=3"
+                    "&input_ttm_current=m2")
+            resp = self.fetch("/tts", method="POST", body=body)
+            assert resp.code == 200, resp.body
+            stats = json.loads(resp.body)
+            assert stats["model"] == "m2"          # hot-swap happened
+            assert stats["segments"] == ["Hi there."]
+
+            # /<voice> serves files from the output dir (and only those)
+            import os as _os
+            wav_name = "probe.wav"
+            with open(_os.path.join(outdir, wav_name), "wb") as f:
+                f.write(b"RIFFxxxx")
+            resp = self.fetch(f"/{wav_name}")
+            assert resp.code == 200 and resp.body.startswith(b"RIFF")
+            resp = self.fetch("/../escape.wav")
+            assert resp.code in (403, 404)
+
+    t = ServerTest()
+    t.setUp()
+    try:
+        t.runTest()
+    finally:
+        t.tearDown()

@@ -206,3 +206,51 @@ def test_alternative_attention_decoders(att_type):
     assert np.all(np.isfinite(a))
     np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-4)
     assert np.all(np.isfinite(np.asarray(out["mel_outputs"])))
+
+
+def test_inference_early_exit_parity(setup):
+    """Chunked while_loop decode == full fixed-length scan on the frames
+    inside mel_lengths (same per-step rng keys), with identical
+    mel_lengths; compute actually stops after the gates fire (frames past
+    the stopped chunk stay zero). Reference stop-condition model.py:897-904."""
+    cfg, model, variables, batch, _, _ = setup
+    T_req, chunk = 48, 12
+    args = (batch["text"], batch["text_lengths"], batch["speaker_id"],
+            batch["torchmoji_hidden"])
+
+    full = jax.jit(lambda v, k: model.apply(
+        v, *args, key=k, max_decoder_steps=T_req,
+        method=Tacotron2.inference))(variables, jax.random.PRNGKey(5))
+    ee = jax.jit(lambda v, k: model.apply(
+        v, *args, key=k, max_decoder_steps=T_req, early_exit=True,
+        chunk_size=chunk,
+        method=Tacotron2.inference))(variables, jax.random.PRNGKey(5))
+
+    lens_full = np.asarray(full["mel_lengths"])
+    lens_ee = np.asarray(ee["mel_lengths"])
+    np.testing.assert_array_equal(lens_full, lens_ee)
+    mf, me = np.asarray(full["mel_outputs"]), np.asarray(ee["mel_outputs"])
+    for b in range(mf.shape[0]):
+        L = int(lens_full[b])
+        np.testing.assert_allclose(me[b, :L], mf[b, :L], atol=1e-5)
+    # compute stopped early: at a random init, gates fire almost
+    # immediately, so the tail chunks must be untouched zeros
+    gates = np.asarray(ee["gate_outputs"])
+    if gates[:, -1].min() <= -1e3:     # last chunk never ran
+        assert np.all(me[:, -chunk:] == 0.0)
+
+
+def test_inference_dynamic_gate_controls(setup):
+    """gate_threshold / gate_delay are traced: changing them changes
+    mel_lengths without recompiling (serving form fields)."""
+    cfg, model, variables, batch, _, _ = setup
+    fn = jax.jit(lambda v, k, thr, delay: model.apply(
+        v, batch["text"], batch["text_lengths"], batch["speaker_id"],
+        batch["torchmoji_hidden"], key=k, max_decoder_steps=24,
+        gate_threshold=thr, gate_delay=delay,
+        method=Tacotron2.inference)["mel_lengths"])
+    k = jax.random.PRNGKey(6)
+    l_small = np.asarray(fn(variables, k, jnp.float32(0.15), jnp.int32(0)))
+    l_big = np.asarray(fn(variables, k, jnp.float32(0.999), jnp.int32(5)))
+    assert np.all(l_big >= l_small)
+    assert np.any(l_big != l_small)
