@@ -470,6 +470,165 @@ def make_waveglow_val_step(model, stft_windows=((1200, 300, 1200),
     return jax.jit(step)
 
 
+# -- adversarial postnet (ssvae GAN postnet) steps -----------------------------
+
+def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0
+                                 ) -> Tuple[Callable, Callable]:
+    """G/D steps for the ssvae adversarial postnet
+    (reference tacotron2_ssvae/model.py:183-316): the postnet refines the
+    decoder mel toward the ground truth while fooling a speaker-conditioned
+    fakeness discriminator (real label 0, fake label 1, BCE).
+
+    batch = {decoder_mel [B,T,M], gt_mel [B,T,M], speaker_embed [B,S],
+             mel_mask [B,T] (optional)}.
+    d_step(d_state, g_state, batch, key, ctrl) and
+    g_step(g_state, d_state, batch, key, ctrl); both return
+    (state, metrics). States carry batch_stats in ``mutables``.
+    """
+    from ..models.gan_postnet import gan_postnet_losses
+
+    def _mask(batch):
+        if "mel_mask" in batch:
+            return batch["mel_mask"][:, :, None].astype(jnp.float32)
+        return jnp.ones_like(batch["gt_mel"][..., :1], jnp.float32)
+
+    def _apply_g(g_params, g_mut, batch, key):
+        return postnet.apply(
+            {"params": g_params, **g_mut}, batch["decoder_mel"],
+            batch["speaker_embed"], key=key, deterministic=False,
+            mutable=["batch_stats"])
+
+    def g_loss_fn(g_params, g_mut, d_params, d_mut, batch, key):
+        fake, new_mut = _apply_g(g_params, g_mut, batch, key)
+        d_fake = disc.apply({"params": d_params, **d_mut}, fake,
+                            batch["speaker_embed"], deterministic=True)
+        g_adv, _ = gan_postnet_losses(d_fake, d_fake)   # only fake term used
+        m = _mask(batch)
+        mel_mse = jnp.sum(((fake - batch["gt_mel"]) ** 2) * m) \
+            / jnp.maximum(jnp.sum(m) * fake.shape[-1], 1.0)
+        total = g_adv + mel_weight * mel_mse
+        return total, ({"g_adv": g_adv, "g_mel_MSE": mel_mse,
+                        "g_loss": total}, new_mut)
+
+    def d_loss_fn(d_params, d_mut, g_params, g_mut, batch, key):
+        fake, _ = _apply_g(g_params, g_mut, batch, key)
+        fake = jax.lax.stop_gradient(fake)
+        variables = {"params": d_params, **d_mut}
+        d_real, new_mut = disc.apply(
+            variables, batch["gt_mel"], batch["speaker_embed"],
+            deterministic=False, mutable=["batch_stats"])
+        d_fake, new_mut2 = disc.apply(
+            {"params": d_params, **new_mut}, fake, batch["speaker_embed"],
+            deterministic=False, mutable=["batch_stats"])
+        _, d_loss = gan_postnet_losses(d_real, d_fake)
+        return d_loss, ({"d_loss": d_loss,
+                         "d_real": jnp.mean(d_real),
+                         "d_fake": jnp.mean(d_fake)}, new_mut2)
+
+    @jax.jit
+    def g_step(g_state, d_state, batch, key, ctrl):
+        (loss, (metrics, new_mut)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(
+                g_state.params, g_state.mutables or {},
+                d_state.params, d_state.mutables or {}, batch, key)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        g_state = g_state.apply_gradients(grads, ctrl["lr"])
+        g_state = g_state.replace(mutables=new_mut)
+        metrics = dict(metrics)
+        metrics["g_grad_norm"] = gn
+        return g_state, metrics
+
+    @jax.jit
+    def d_step(d_state, g_state, batch, key, ctrl):
+        (loss, (metrics, new_mut)), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(
+                d_state.params, d_state.mutables or {},
+                g_state.params, g_state.mutables or {}, batch, key)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        d_state = d_state.apply_gradients(grads, ctrl["lr"])
+        d_state = d_state.replace(mutables=new_mut)
+        metrics = dict(metrics)
+        metrics["d_grad_norm"] = gn
+        return d_state, metrics
+
+    return d_step, g_step
+
+
+# -- HiFiGAN-Denoiser staged steps ----------------------------------------------
+
+def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0
+                                      ) -> Tuple[Callable, Callable]:
+    """Staged denoiser training (reference HiFiGAN_Denoiser/model.py:38-60):
+    stage 0/1 = multi-res spectral L1+MSE only; stage >= 2 adds LSGAN
+    adversarial terms from the wave (DW) and spectrogram (DS) critics
+    (real label 0, fake label 1).
+
+    batch = {noisy [B,T], clean [B,T]}.
+    Returns (d_step, g_step); d_step is a no-op (returns state unchanged)
+    below stage 2.
+    """
+    from ..models.hifigan_denoiser import denoiser_loss
+
+    def _spect(audio):
+        return mrs(audio)[0]    # finest-resolution bank feeds DS
+
+    def g_loss_fn(g_params, d_params, batch):
+        pred = gen.apply({"params": g_params}, batch["noisy"])
+        dw_fake = ds_fake = None
+        if stage >= 2:
+            dw_params, ds_params = d_params
+            dw_fake = dw.apply({"params": dw_params}, pred)
+            ds_fake = ds.apply({"params": ds_params}, _spect(pred))
+        total, loss_dict = denoiser_loss(mrs, pred, batch["clean"],
+                                         stage=stage, dw_fake=dw_fake,
+                                         ds_fake=ds_fake)
+        return total, loss_dict
+
+    def d_loss_fn(d_params, g_params, batch):
+        pred = jax.lax.stop_gradient(
+            gen.apply({"params": g_params}, batch["noisy"]))
+        dw_params, ds_params = d_params
+        loss = jnp.zeros((), jnp.float32)
+        for critic, real_in, fake_in in (
+                (dw, batch["clean"], pred),
+                (ds, _spect(batch["clean"]), _spect(pred))):
+            params = dw_params if critic is dw else ds_params
+            d_real = critic.apply({"params": params}, real_in)
+            d_fake = critic.apply({"params": params}, fake_in)
+            # LSGAN, real label 0 / fake label 1 (model.py:70-72)
+            loss = loss + jnp.mean(d_real.astype(jnp.float32) ** 2) \
+                + jnp.mean((d_fake.astype(jnp.float32) - 1.0) ** 2)
+        return loss, {"d_loss": loss}
+
+    @jax.jit
+    def g_step(g_state, d_state, batch, ctrl):
+        (loss, metrics), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params,
+                                     d_state.params, batch)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        g_state = g_state.apply_gradients(grads, ctrl["lr"])
+        metrics = dict(metrics)
+        metrics["g_grad_norm"] = gn
+        return g_state, metrics
+
+    if stage < 2:
+        def d_step(d_state, g_state, batch, ctrl):   # pre-adversarial stage
+            return d_state, {"d_loss": 0.0}
+        return d_step, g_step
+
+    @jax.jit
+    def d_step(d_state, g_state, batch, ctrl):
+        (loss, metrics), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params, g_state.params, batch)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        d_state = d_state.apply_gradients(grads, ctrl["lr"])
+        metrics = dict(metrics)
+        metrics["d_grad_norm"] = gn
+        return d_state, metrics
+
+    return d_step, g_step
+
+
 # -- UnTTS (NAR flow TTS) steps ------------------------------------------------
 
 def make_untts_train_step(model, mesh=None, sigma: float = 1.0,

@@ -152,3 +152,108 @@ def test_gan_postnet_and_discriminator():
     g_loss, d_loss = gan_postnet_losses(
         jnp.asarray([0.1, 0.2]), fakeness)
     assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+
+
+def test_gan_postnet_train_steps_adversarial_dynamics(tmp_path):
+    """G/D steps for the ssvae adversarial postnet: the discriminator
+    learns to separate real/fake; the generator's mel MSE decreases
+    (reference tacotron2_ssvae/model.py:183-316)."""
+    from cookietts_tpu.models.gan_postnet import (GANDiscriminator,
+                                                  GANPostnet,
+                                                  GANPostnetConfig)
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (
+        make_gan_postnet_train_steps, scalars_to_arrays)
+
+    cfg = GANPostnetConfig(n_mel_channels=8, speaker_embedding_dim=4,
+                           noise_dim=4, n_convolutions=3, embedding_dim=12,
+                           residual_connections=0)
+    post = GANPostnet(cfg)
+    disc = GANDiscriminator(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 10
+    batch = {
+        "decoder_mel": jnp.asarray(
+            rng.standard_normal((B, T, 8)), jnp.float32),
+        "gt_mel": jnp.asarray(rng.standard_normal((B, T, 8)), jnp.float32),
+        "speaker_embed": jnp.asarray(
+            rng.standard_normal((B, 4)), jnp.float32),
+    }
+    gvars = post.init({"params": jax.random.PRNGKey(0)},
+                      batch["decoder_mel"], batch["speaker_embed"],
+                      key=jax.random.PRNGKey(1), deterministic=False)
+    dvars = disc.init({"params": jax.random.PRNGKey(2)}, batch["gt_mel"],
+                      batch["speaker_embed"], deterministic=False)
+    g_state = TrainState.create(
+        post.apply, gvars["params"], adam(),
+        {k: v for k, v in gvars.items() if k != "params"})
+    d_state = TrainState.create(
+        disc.apply, dvars["params"], adam(),
+        {k: v for k, v in dvars.items() if k != "params"})
+    d_step, g_step = make_gan_postnet_train_steps(post, disc)
+    ctrl = scalars_to_arrays({"lr": 2e-3, "grad_clip": 10.0})
+
+    m0 = None
+    for i in range(12):
+        key = jax.random.PRNGKey(i)
+        d_state, d_m = d_step(d_state, g_state, batch, key, ctrl)
+        g_state, g_m = g_step(g_state, d_state, batch, key, ctrl)
+        if m0 is None:
+            m0 = float(g_m["g_mel_MSE"])
+    assert np.isfinite(float(g_m["g_loss"]))
+    assert np.isfinite(float(d_m["d_loss"]))
+    assert float(g_m["g_mel_MSE"]) < m0           # refinement learns
+    # discriminator separates: real fakeness < fake fakeness
+    assert float(d_m["d_real"]) < float(d_m["d_fake"])
+
+
+def test_hifigan_denoiser_staged_training():
+    """Stage 0 trains spectral-only (D untouched); stage 2 adds LSGAN
+    terms from both critics (reference HiFiGAN_Denoiser/model.py:38-60)."""
+    from cookietts_tpu.models.hifigan_denoiser import (
+        DenoiserWN, HiFiGANDenoiserConfig, MultiResSpect,
+        SpectDiscriminator, WaveDiscriminator)
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (
+        make_hifigan_denoiser_train_steps, scalars_to_arrays)
+
+    cfg = HiFiGANDenoiserConfig(
+        n_layers=2, n_channels=8, window_lengths=(64, 128),
+        hop_lengths=(16, 32), dw_channels=(4, 8), ds_channels=(4,))
+    gen, dw, ds = DenoiserWN(cfg), WaveDiscriminator(cfg), \
+        SpectDiscriminator(cfg)
+    mrs = MultiResSpect(cfg.window_lengths, cfg.hop_lengths)
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(0.3 * np.sin(
+        2 * np.pi * 100 * np.arange(512) / 512)[None, :], jnp.float32)
+    noisy = clean + jnp.asarray(
+        0.05 * rng.standard_normal((1, 512)), jnp.float32)
+    batch = {"noisy": noisy, "clean": clean}
+
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), noisy)
+    dwv = jax.jit(dw.init)(jax.random.PRNGKey(1), clean)
+    dsv = jax.jit(ds.init)(jax.random.PRNGKey(2), mrs(clean)[0])
+    g_state = TrainState.create(gen.apply, gvars["params"], adam())
+    d_state = TrainState.create(None, (dwv["params"], dsv["params"]),
+                                adam())
+    ctrl = scalars_to_arrays({"lr": 1e-3, "grad_clip": 10.0})
+
+    # stage 0: spectral-only, d_step is a no-op
+    d0, g0 = make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage=0)
+    d_state2, d_m = d0(d_state, g_state, batch, ctrl)
+    assert d_state2 is d_state and float(d_m["d_loss"]) == 0.0
+    losses = []
+    for i in range(6):
+        g_state, g_m = g0(g_state, d_state, batch, ctrl)
+        losses.append(float(g_m["loss"]))
+    assert losses[-1] < losses[0]
+    assert "adv" not in g_m
+
+    # stage 2: adversarial terms appear and both sides step
+    d2, g2 = make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage=2)
+    d_state, d_m = d2(d_state, g_state, batch, ctrl)
+    g_state, g_m = g2(g_state, d_state, batch, ctrl)
+    assert np.isfinite(float(d_m["d_loss"])) and float(d_m["d_loss"]) > 0
+    assert "adv" in g_m and np.isfinite(float(g_m["adv"]))
