@@ -36,18 +36,23 @@ def generate_filelist_from_datasets(
         max_duration: float = 0.0,          # 0 disables
         val_fraction: float = 0.01,
         val_min_per_speaker: int = 1,
-        seed: int = 1234,
+        min_speaker_duration: float = 0.0,   # drop tiny speakers (ref
+        seed: int = 1234,                    # MIN_SPEAKER_DURATION_SECONDS)
         measure_durations: bool = True) -> Dict[str, Any]:
     """Returns dict with train/validation entry lists + lookups.
 
-    Each entry: {path, quote, speaker, speaker_id, emotion_id?, duration}.
+    Each entry: {path, quote, speaker, speaker_id, emotion_id?, duration,
+    dataset}.
     """
     default_speakers = default_speakers or {}
     meta: List[Dict[str, Any]] = []
     for d in dataset_dirs:
         name = os.path.basename(os.path.normpath(d))
+        start = len(meta)
         get_dataset_meta(d, meta=meta,
                          default_speaker=default_speakers.get(name, name))
+        for m in meta[start:]:
+            m["dataset"] = name
 
     # durations + min-duration filter
     kept = []
@@ -62,6 +67,10 @@ def generate_filelist_from_datasets(
         kept.append(m)
         speaker_durations[m["speaker"]] = \
             speaker_durations.get(m["speaker"], 0.0) + dur
+
+    if min_speaker_duration > 0.0 and measure_durations:
+        kept = [m for m in kept
+                if speaker_durations[m["speaker"]] >= min_speaker_duration]
 
     # stable speaker-ID assignment (sorted by name)
     speakers = sorted({m["speaker"] for m in kept})
@@ -96,42 +105,86 @@ def generate_filelist_from_datasets(
     }
 
 
-def write_filelists(result: Dict[str, Any], out_dir: str) -> None:
-    """Write filelist_train.txt / filelist_validation.txt /
-    speaker_info.txt / emotion_info.txt / meta_dump.json
-    (start_preprocess.py:609-675 output surface)."""
+def _filelist_line(m: Dict[str, Any]) -> str:
+    """Canonical line: ``path|quote|speaker_id`` plus optional extended
+    columns ``|phoneme_transcript|emotion_id|noise`` when present
+    (reference octuplet format, start_preprocess.py:602-640)."""
+    line = f"{m['path']}|{m['quote']}|{m['speaker_id']}"
+    if m.get("phoneme_transcript") or "emotion_id" in m or m.get("noise"):
+        line += (f"|{m.get('phoneme_transcript', '')}"
+                 f"|{m.get('emotion_id', '')}"
+                 f"|{m.get('noise', '')}")
+    return line
+
+
+def write_filelists(result: Dict[str, Any], out_dir: str,
+                    per_dataset: bool = True) -> None:
+    """Write filelist_train.txt / filelist_validation.txt (all-in-one AND
+    per dataset) / speaker_info.txt / emotion_info.txt / meta_dump.json
+    (start_preprocess.py:448-516,602-675 output surface)."""
     os.makedirs(out_dir, exist_ok=True)
     for split in ("train", "validation"):
         with open(os.path.join(out_dir, f"filelist_{split}.txt"), "w",
                   encoding="utf-8") as f:
             for m in result[split]:
-                f.write(f"{m['path']}|{m['quote']}|{m['speaker_id']}\n")
+                f.write(_filelist_line(m) + "\n")
+        if per_dataset:
+            by_ds: Dict[str, List[Dict[str, Any]]] = {}
+            for m in result[split]:
+                if m.get("dataset"):
+                    by_ds.setdefault(m["dataset"], []).append(m)
+            for ds, items in by_ds.items():
+                ds_dir = os.path.join(out_dir, ds)
+                os.makedirs(ds_dir, exist_ok=True)
+                with open(os.path.join(ds_dir, f"filelist_{split}.txt"),
+                          "w", encoding="utf-8") as f:
+                    for m in items:
+                        f.write(_filelist_line(m) + "\n")
     with open(os.path.join(out_dir, "speaker_info.txt"), "w",
               encoding="utf-8") as f:
-        f.write("; speaker_id|speaker_name|total_duration_s\n")
+        f.write(";dataset|speaker_name|speaker_id|duration_hrs\n")
+        dataset_of = {m["speaker"]: m.get("dataset", "")
+                      for split in ("train", "validation")
+                      for m in result[split]}
         for name, sid in sorted(result["speaker_ids"].items(),
                                 key=lambda kv: kv[1]):
             dur = result["speaker_durations"].get(name, 0.0)
-            f.write(f"{sid}|{name}|{dur:.1f}\n")
+            f.write(f"{dataset_of.get(name, '')}|{name}|{sid}"
+                    f"|{dur / 3600:.4f}\n")
     with open(os.path.join(out_dir, "emotion_info.txt"), "w",
               encoding="utf-8") as f:
+        # arousal/valence columns left 0.0 for the user to fill in, like
+        # the reference's blank table (start_preprocess.py:503-516)
+        f.write(";emotion|emotion_id|arousal|valence\n")
         for name, eid in sorted(result["emotion_ids"].items(),
                                 key=lambda kv: kv[1]):
-            f.write(f"{eid}|{name}\n")
+            f.write(f"{name}|{eid}|0.0|0.0\n")
     with open(os.path.join(out_dir, "meta_dump.json"), "w",
               encoding="utf-8") as f:
         json.dump({"train": result["train"],
-                   "validation": result["validation"]}, f, indent=1)
+                   "validation": result["validation"],
+                   "speaker_ids": result["speaker_ids"],
+                   "emotion_ids": result["emotion_ids"],
+                   "speaker_durations": result["speaker_durations"]},
+                  f, indent=1)
 
 
 def load_filelist(path: str) -> List[Dict[str, Any]]:
-    """Parse ``path|quote|speaker_id`` lines back into entries."""
+    """Parse ``path|quote|speaker_id[|phoneme|emotion_id|noise]`` lines."""
     entries = []
     with open(path, encoding="utf-8") as f:
         for ln in f:
-            if not ln.strip():
+            if not ln.strip() or ln.startswith(";"):
                 continue
-            p, quote, sid = ln.rstrip("\n").split("|")[:3]
-            entries.append({"path": p, "quote": quote,
-                            "speaker_id": int(sid)})
+            parts = ln.rstrip("\n").split("|")
+            p, quote, sid = parts[:3]
+            e: Dict[str, Any] = {"path": p, "quote": quote,
+                                 "speaker_id": int(sid)}
+            if len(parts) > 3 and parts[3]:
+                e["phoneme_transcript"] = parts[3]
+            if len(parts) > 4 and parts[4]:
+                e["emotion_id"] = int(parts[4])
+            if len(parts) > 5 and parts[5]:
+                e["noise"] = parts[5]
+            entries.append(e)
     return entries

@@ -35,9 +35,137 @@ class PreprocessConfig:
     trim_top_db: float = 45.0
     target_lufs: Optional[float] = None      # None = skip loudness step
     min_duration: float = 0.9
+    min_speaker_duration: float = 0.0
     threads: int = 1
     out_dir: str = "preprocessed"
     backup_originals: bool = False
+    # dataset-specific fixes (start_preprocess.py:161-208)
+    delete_noisy: bool = False               # Clipper *_Noisy_* removal
+    delete_very_noisy: bool = False          # Clipper *_Very Noisy_*
+    vctk_use_aux_mic: bool = False           # keep _mic2 instead of _mic1
+    # phonetic transcripts / forced alignment (:530-598)
+    arpa_dict_path: Optional[str] = None     # merged.dict for {ARPA} quotes
+    use_forced_aligner: bool = False
+    mfa_binary: Optional[str] = None
+    mfa_lexicon: Optional[str] = None        # defaults to arpa_dict_path
+
+
+def apply_dataset_fixes(cfg: PreprocessConfig) -> Dict[str, int]:
+    """Dataset-specific cleanup before audio processing
+    (reference start_preprocess.py:161-208):
+    - Clipper_MLP: delete ``*_Noisy_*`` / ``*_Very Noisy_*`` clips;
+    - VCTK: keep one microphone, renaming ``_mic1.wav``/``_mic2.wav`` to
+      ``.wav`` (the Blizzard2011 studio slicing step is dataset-payload
+      specific and out of scope here).
+    """
+    counts = {"clipper_deleted": 0, "vctk_renamed": 0}
+    for d in cfg.dataset_dirs:
+        name = os.path.basename(os.path.normpath(d))
+        if name.lower().startswith("clipper"):
+            patterns = []
+            if cfg.delete_very_noisy:
+                patterns.append("*_Very Noisy_*")
+            if cfg.delete_noisy:
+                patterns.append("*_Noisy_*")
+            for pat in patterns:
+                for p in glob(os.path.join(d, "**", pat), recursive=True):
+                    os.unlink(p)
+                    counts["clipper_deleted"] += 1
+        if name.lower().startswith("vctk"):
+            keep = "_mic2.wav" if cfg.vctk_use_aux_mic else "_mic1.wav"
+            drop = "_mic1.wav" if cfg.vctk_use_aux_mic else "_mic2.wav"
+            for p in glob(os.path.join(d, "**", f"*{keep}"),
+                          recursive=True):
+                os.rename(p, p.replace(keep, ".wav"))
+                counts["vctk_renamed"] += 1
+            for p in glob(os.path.join(d, "**", f"*{drop}"),
+                          recursive=True):
+                os.unlink(p)
+    return counts
+
+
+def run_forced_alignment(result: Dict[str, Any],
+                         cfg: PreprocessConfig) -> Optional[str]:
+    """MFA over all clips, one corpus per speaker
+    (reference start_preprocess.py:554-598): writes per-clip
+    ``<wav>.dur.npy`` phone-duration sidecars (the untts training input),
+    phoneme transcripts into the entries, and a ``missing_vocab.txt``
+    dump of out-of-lexicon words. Returns the missing-vocab path, or None
+    when no aligner binary is available (alignment is skipped, uniform
+    durations apply downstream)."""
+    import numpy as np
+
+    from ..data.mfa import (durations_from_textgrid, find_mfa, oov_words,
+                            parse_textgrid, run_alignment)
+
+    lexicon_path = cfg.mfa_lexicon or cfg.arpa_dict_path
+    entries = result["train"] + result["validation"]
+
+    # missing-vocab dump works even without the binary
+    missing_path = os.path.join(cfg.out_dir, "missing_vocab.txt")
+    lexicon: Dict[str, str] = {}
+    if lexicon_path and os.path.exists(lexicon_path):
+        with open(lexicon_path, encoding="utf-8", errors="replace") as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) >= 2:
+                    lexicon[parts[0].upper()] = " ".join(parts[1:])
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(missing_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(oov_words([m["quote"] for m in entries],
+                                    lexicon)))
+
+    mfa = (cfg.mfa_binary or find_mfa()) if cfg.use_forced_aligner else None
+    if mfa is None or lexicon_path is None:
+        if cfg.use_forced_aligner:
+            print("[preprocess] MFA binary or lexicon unavailable — "
+                  "skipping forced alignment (uniform durations apply)")
+        return missing_path
+
+    # per-speaker corpora: wav + .lab transcript pairs
+    import shutil
+    import tempfile
+    by_speaker: Dict[str, list] = {}
+    for m in entries:
+        by_speaker.setdefault(m.get("speaker", str(m["speaker_id"])),
+                              []).append(m)
+    for speaker, items in by_speaker.items():
+        with tempfile.TemporaryDirectory() as tmp:
+            corpus = os.path.join(tmp, "corpus")
+            os.makedirs(corpus)
+            for m in items:
+                base = os.path.splitext(os.path.basename(m["path"]))[0]
+                shutil.copy(m["path"], os.path.join(corpus, base + ".wav"))
+                with open(os.path.join(corpus, base + ".lab"), "w",
+                          encoding="utf-8") as f:
+                    f.write(m["quote"])
+            out = os.path.join(tmp, "aligned")
+            try:
+                run_alignment(corpus, lexicon_path, out,
+                              mfa_binary=mfa)
+            except Exception as e:
+                print(f"[preprocess] MFA failed for {speaker}: {e!r}")
+                continue
+            for m in items:
+                base = os.path.splitext(os.path.basename(m["path"]))[0]
+                tg = None
+                for cand in (os.path.join(out, base + ".TextGrid"),
+                             os.path.join(out, speaker,
+                                          base + ".TextGrid")):
+                    if os.path.exists(cand):
+                        tg = cand
+                        break
+                if tg is None:
+                    continue
+                tiers = parse_textgrid(tg)
+                hop_s = 1.0 / 100.0        # 10 ms MFA frame grid
+                dur = durations_from_textgrid(tiers, "phones", hop_s)
+                np.save(m["path"] + ".dur.npy", np.asarray(dur, np.int32))
+                phones = " ".join(lbl for _, _, lbl in
+                                  tiers.get("phones", []) if lbl)
+                if phones:
+                    m["phoneme_transcript"] = "{" + phones + "}"
+    return missing_path
 
 
 def extract_archives_recursively(root: str, max_depth: int = 3) -> int:
@@ -93,9 +221,18 @@ def process_audio_multiprocess(paths: Sequence[str],
 
 def run_preprocess(cfg: PreprocessConfig,
                    arpa_lookup=None) -> Dict[str, Any]:
-    """Run the full preprocess pipeline; returns the filelist result."""
+    """Run the full preprocess pipeline; returns the filelist result.
+
+    Output-file inventory matches the reference driver
+    (start_preprocess.py:416-675): filelist_train/validation.txt (all-in-
+    one AND per dataset), speaker_info.txt, emotion_info.txt,
+    meta_dump.json, missing_vocab.txt (when a lexicon is given), plus
+    per-clip .dur.npy alignment sidecars when MFA runs.
+    """
     for d in cfg.dataset_dirs:
         extract_archives_recursively(d)
+
+    apply_dataset_fixes(cfg)
 
     wavs: List[str] = []
     for d in cfg.dataset_dirs:
@@ -106,11 +243,22 @@ def run_preprocess(cfg: PreprocessConfig,
               f"(first: {failures[0]})")
 
     result = generate_filelist_from_datasets(
-        cfg.dataset_dirs, min_duration=cfg.min_duration)
+        cfg.dataset_dirs, min_duration=cfg.min_duration,
+        min_speaker_duration=cfg.min_speaker_duration)
+
+    # phonetic transcripts ({ARPA} substitution, reference :530-552)
+    if arpa_lookup is None and cfg.arpa_dict_path \
+            and os.path.exists(cfg.arpa_dict_path):
+        from ..text.cmudict import ARPADict
+        arpa_lookup = ARPADict(cfg.arpa_dict_path).get
     if arpa_lookup is not None:
         for split in ("train", "validation"):
             for m in result[split]:
-                m["arpa"] = arpa_lookup(m["quote"])
+                m["phoneme_transcript"] = arpa_lookup(m["quote"])
+
+    if cfg.use_forced_aligner or cfg.mfa_lexicon or cfg.arpa_dict_path:
+        run_forced_alignment(result, cfg)
+
     write_filelists(result, cfg.out_dir)
     with open(os.path.join(cfg.out_dir, "preprocess_config.json"),
               "w") as f:

@@ -216,3 +216,73 @@ def test_hifigan_denoiser():
                               dw_fake=dw_logit, ds_fake=ds_logit)
     assert np.isfinite(float(total))
     assert "adv" in ld and "spec_L1" in ld
+
+
+def test_preprocess_output_inventory_and_fixes(tmp_path):
+    """run_preprocess reproduces the reference driver's output-file
+    inventory (start_preprocess.py:416-675): all-in-one + per-dataset
+    filelists, speaker/emotion info, meta_dump.json, missing_vocab.txt;
+    dataset-specific fixes delete Clipper noisy clips and pick a VCTK mic."""
+    import numpy as np
+    from cookietts_tpu.data import audio_io
+    from cookietts_tpu.pipeline.preprocess import (PreprocessConfig,
+                                                   run_preprocess)
+
+    sr = 22050
+    t = np.arange(sr) / sr
+
+    def wav(path, f=220.0):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        audio_io.save_wav(path, (0.3 * np.sin(2 * np.pi * f * t)
+                                 ).astype(np.float32), sr)
+
+    # Clipper-style dataset with a noisy clip that must be deleted
+    clip = tmp_path / "Clipper_MLP"
+    good = "00_00_00_Twilight_Neutral__Hello there friend"
+    noisy = "00_00_01_Twilight_Neutral_Noisy_Bad clip here"
+    for stem in (good, noisy):
+        wav(str(clip / f"{stem}.wav"))
+        with open(str(clip / f"{stem}.txt"), "w") as f:
+            f.write(stem.split("_")[-1] + ".")
+
+    # VCTK-style dataset with mic1/mic2 variants
+    vctk = tmp_path / "VCTK"
+    wav(str(vctk / "p225" / "p225_001_mic1.wav"), 300.0)
+    wav(str(vctk / "p225" / "p225_001_mic2.wav"), 300.0)
+    with open(str(vctk / "p225" / "p225_001.txt"), "w") as f:
+        f.write("Please call Stella.")
+
+    # tiny lexicon so the missing-vocab dump has something to check
+    lex = str(tmp_path / "merged.dict")
+    with open(lex, "w") as f:
+        f.write("HELLO HH AH0 L OW1\nPLEASE P L IY1 Z\nCALL K AO1 L\n")
+
+    out = str(tmp_path / "out")
+    cfg = PreprocessConfig(
+        dataset_dirs=[str(clip), str(vctk)], target_sr=sr,
+        min_duration=0.2, out_dir=out, delete_noisy=True,
+        delete_very_noisy=True, arpa_dict_path=lex, trim_passes=1)
+    result = run_preprocess(cfg)
+
+    # fixes applied
+    assert not any("Noisy" in p for p in os.listdir(str(clip)))
+    assert os.path.exists(str(vctk / "p225" / "p225_001.wav"))
+    assert not os.path.exists(str(vctk / "p225" / "p225_001_mic2.wav"))
+
+    # output inventory
+    for fname in ("filelist_train.txt", "filelist_validation.txt",
+                  "speaker_info.txt", "emotion_info.txt", "meta_dump.json",
+                  "missing_vocab.txt", "preprocess_config.json"):
+        assert os.path.exists(os.path.join(out, fname)), fname
+    # per-dataset filelists
+    assert os.path.exists(os.path.join(out, "Clipper_MLP",
+                                       "filelist_train.txt"))
+    # missing vocab: words not in the tiny lexicon
+    missing = open(os.path.join(out, "missing_vocab.txt")).read()
+    assert "stella" in missing and "hello" not in missing
+
+    # phoneme transcripts survive a filelist round-trip
+    entries = load_filelist(os.path.join(out, "filelist_train.txt")) + \
+        load_filelist(os.path.join(out, "filelist_validation.txt"))
+    assert any("{HH AH0 L OW1}" in e.get("phoneme_transcript", "")
+               for e in entries)
