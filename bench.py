@@ -1,19 +1,22 @@
-"""Headline benchmark: WaveGlow batched inference RTF @48 kHz on one chip.
+"""Headline benchmarks on one chip. Prints one JSON line per metric:
 
-Baseline (BASELINE.md): the reference WaveGlow generates 5.19 s of 48 kHz
-audio per wall-clock second at batch 1 (n_flows 48, n_group 24, n_layers 8,
-n_channels 256, fp16, author's RTX-class GPU;
-CookieTTS/scripts/WaveGlowFlow Inference Speed Testing.ipynb cell 6).
+1. waveflow_rtf_48khz_batch1 — WaveFlow best config (n_group 8 / 6 flows /
+   8 layers / 64 ch; BASELINE.md row "best": 7.81x RTF @48 kHz batch 1 on
+   the author's GPU), autoregressive-in-height inverse.
+2. serving_rtf_tacotron2_hifigan_b32 — the BASELINE.json north star:
+   batched Tacotron2 (full tacotron2_tm dims, batch 32, full 512-step
+   decode — no early exit, so the number is honest about per-step cost)
+   feeding HiFi-GAN vocoding (batch 16) at 44.1 kHz / hop 512. Target
+   >= 100x real time on one v5e chip (vs_baseline is RTF / 100).
+3. waveglow_rtf_48khz_batch1 — LAST (the round-over-round headline):
+   reference WaveGlow architecture (48 flows / group 24 / 8 layers /
+   256 ch) in bf16, batch 1, ~5 s clips (baseline 5.19x RTF).
 
-This benchmark runs the SAME architecture (48 flows / group 24 / 8 layers /
-256 channels) in bf16, batch 1, ~5 s clips, and reports steady-state
-RTF = generated_audio_seconds / wall_second: N independent clips are
-generated back-to-back and every output is forced to materialize (a slice
-of each waveform is copied to host — `block_until_ready` alone does not
-reliably synchronize on the tunneled PJRT backend, and a full-waveform
-host copy would bill the tunnel's transfer latency to the TPU).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing protocol: compile+warmup first, then N back-to-back iterations;
+every output is forced to materialize through one fused check program
+(a slice-sum readback — `block_until_ready` alone does not reliably
+synchronize on the tunneled PJRT backend, and a full-waveform host copy
+would bill the tunnel's transfer latency to the TPU).
 """
 import json
 import os
@@ -27,14 +30,38 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import jax
 import jax.numpy as jnp
 
-BASELINE_RTF_48K = 5.1905        # BASELINE.md, WaveGlow @48 kHz batch 1
+BASELINE_WAVEGLOW_RTF_48K = 5.1905   # BASELINE.md WaveGlow batch 1
+BASELINE_WAVEFLOW_RTF_48K = 7.81     # BASELINE.md WaveFlow best config
+NORTH_STAR_SERVING_RTF = 100.0       # BASELINE.json >=100x batched serving
 
 
-def main():
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 4),
+    }), flush=True)
+
+
+def _timed(fn, args_fn, n_iters, check):
+    """Median-free steady-state timing: warmup once, then n back-to-back
+    dispatches forced by one fused readback."""
+    out = fn(*args_fn(0))
+    _ = np.asarray(check([out]))
+    t0 = time.perf_counter()
+    outs = [fn(*args_fn(i)) for i in range(n_iters)]
+    _ = np.asarray(check(outs))
+    return (time.perf_counter() - t0) / n_iters
+
+
+def _check_program(n):
+    return jax.jit(lambda os_: jnp.stack(
+        [jnp.sum(o.astype(jnp.float32)) for o in os_]))
+
+
+def bench_waveglow(on_tpu, dtype):
     from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
-
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     cfg = WaveGlowConfig(
         n_mel_channels=160, n_flows=48, n_group=24,
@@ -45,48 +72,148 @@ def main():
         dtype=dtype,
     )
     model = WaveGlow(cfg)
-
     sr = 48000
-    frames_per_sec = sr / cfg.hop_length            # 80
-    t_mel = 400 if on_tpu else 20                   # 5 s on TPU; tiny on CPU
-    audio_seconds = t_mel / frames_per_sec
-    B = 1
-
+    t_mel = 400 if on_tpu else 20                   # 5 s on TPU
+    audio_seconds = t_mel * cfg.hop_length / sr
     rng = np.random.default_rng(0)
     mel = jnp.asarray(
-        rng.standard_normal((B, t_mel, cfg.n_mel_channels)), jnp.float32)
+        rng.standard_normal((1, t_mel, cfg.n_mel_channels)), jnp.float32)
     tiny_audio = jnp.asarray(
-        rng.standard_normal((B, t_mel * cfg.hop_length)), jnp.float32)
-
+        rng.standard_normal((1, t_mel * cfg.hop_length)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), tiny_audio, mel)
-
     infer = jax.jit(lambda v, m, k: model.apply(v, m, k,
                                                 method=WaveGlow.infer))
     key = jax.random.PRNGKey(1)
-    out = infer(variables, mel, key)               # compile + warmup
-    _ = np.asarray(out[:, :256])                    # force real completion
+    n = 10 if on_tpu else 1
+    elapsed = _timed(lambda k: infer(variables, mel, k),
+                     lambda i: (jax.random.fold_in(key, i),),
+                     n, _check_program(n))
+    _emit("waveglow_rtf_48khz_batch1", audio_seconds / elapsed,
+          "x_realtime", BASELINE_WAVEGLOW_RTF_48K)
 
-    n_iters = 10 if on_tpu else 1
-    # one fused check program: depends on every clip, single readback
-    check = jax.jit(lambda os_: jnp.stack(
-        [jnp.sum(o.astype(jnp.float32)) for o in os_]))
-    _ = np.asarray(check([out] * n_iters))   # compile at the right arity
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(n_iters):
-        outs.append(infer(variables, mel, jax.random.fold_in(key, i)))
-    # force every clip to have fully materialized (1 dispatch + 1 RTT)
-    sums = np.asarray(check(outs))
-    elapsed = (time.perf_counter() - t0) / n_iters
 
-    rtf = (B * audio_seconds) / elapsed
-    assert np.isfinite(sums).all()
-    print(json.dumps({
-        "metric": "waveglow_rtf_48khz_batch1",
-        "value": round(rtf, 4),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / BASELINE_RTF_48K, 4),
-    }))
+def bench_waveflow(on_tpu, dtype):
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=160, n_flows=6, n_group=8,
+        n_early_every=0, n_early_size=0,
+        channel_mixing="permuteheight",
+        n_layers=8, n_channels=64, kernel_size=3,
+        hop_length=600, upsample_strides=(75,),    # 75 * 8 = 600
+        upsample_channels=128, memory_efficient=False,
+        dtype=dtype,
+    )
+    model = WaveGlow(cfg)
+    sr = 48000
+    t_mel = 400 if on_tpu else 16                   # 5 s on TPU
+    audio_seconds = t_mel * cfg.hop_length / sr
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((1, t_mel, cfg.n_mel_channels)), jnp.float32)
+    tiny_audio = jnp.asarray(
+        rng.standard_normal((1, t_mel * cfg.hop_length)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tiny_audio, mel)
+    infer = jax.jit(lambda v, m, k: model.apply(v, m, k,
+                                                method=WaveGlow.infer))
+    key = jax.random.PRNGKey(1)
+    n = 10 if on_tpu else 1
+    elapsed = _timed(lambda k: infer(variables, mel, k),
+                     lambda i: (jax.random.fold_in(key, i),),
+                     n, _check_program(n))
+    _emit("waveflow_rtf_48khz_batch1", audio_seconds / elapsed,
+          "x_realtime", BASELINE_WAVEFLOW_RTF_48K)
+
+
+def bench_serving(on_tpu, dtype):
+    """Batched Tacotron2 -> HiFi-GAN combined serving RTF (north star)."""
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.text import N_SYMBOLS
+
+    sr, hop = 44100, 512
+    if on_tpu:
+        B, T_txt, T_dec, n_iters = 32, 128, 512, 3
+        tcfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype,
+                               max_decoder_steps=T_dec)
+        hcfg = HiFiGANConfig(n_mel_channels=80,
+                             upsample_rates=(8, 8, 4, 2),
+                             upsample_kernel_sizes=(16, 16, 8, 4),
+                             dtype=dtype)
+        VB = 16
+    else:
+        B, T_txt, T_dec, n_iters = 2, 12, 32, 1
+        tcfg = Tacotron2Config(
+            n_symbols=N_SYMBOLS, symbols_embedding_dim=16, n_speakers=4,
+            speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+            encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+            encoder_n_convolutions=1, torchmoji_dim=8,
+            torchmoji_crushed_dim=4, memory_bottleneck_dim=16,
+            prenet_dim=8, attention_rnn_dim=16, decoder_rnn_dim=16,
+            second_decoder_rnn_dim=0, attention_dim=8,
+            windowed_attention_range=4, postnet_embedding_dim=16,
+            postnet_n_convolutions=2, postnet_residual_connections=0,
+            max_decoder_steps=T_dec)
+        hcfg = HiFiGANConfig(n_mel_channels=80,
+                             resblock_kernel_sizes=(3,),
+                             resblock_dilations=((1, 3),),
+                             upsample_rates=(8, 8, 4, 2),
+                             upsample_kernel_sizes=(16, 16, 8, 4),
+                             upsample_initial_channel=32)
+        VB = 2
+
+    taco = Tacotron2(tcfg)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, tcfg.n_symbols, (B, T_txt)),
+                       jnp.int32)
+    text_lengths = jnp.full((B,), T_txt, jnp.int32)
+    speaker_id = jnp.asarray(rng.integers(0, tcfg.n_speakers, (B,)),
+                             jnp.int32)
+    mels_init = jnp.asarray(
+        rng.standard_normal((B, 16, tcfg.n_mel_channels)), jnp.float32)
+    tvars = jax.jit(taco.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=text, text_lengths=text_lengths, mels=mels_init,
+        mel_lengths=jnp.full((B,), 16, jnp.int32), speaker_id=speaker_id,
+        sylps=jnp.full((B,), 4.0), key=jax.random.PRNGKey(2),
+        deterministic=False)
+
+    # full fixed-length decode: honest per-step cost (a trained model's
+    # gates would stop earlier; early_exit only helps, never hurts)
+    t_infer = jax.jit(lambda v, k: taco.apply(
+        v, text, text_lengths, speaker_id, key=k,
+        max_decoder_steps=T_dec,
+        method=Tacotron2.inference)["mel_outputs_postnet"])
+    key = jax.random.PRNGKey(3)
+    taco_elapsed = _timed(lambda k: t_infer(tvars, k),
+                          lambda i: (jax.random.fold_in(key, i),),
+                          n_iters, _check_program(n_iters))
+
+    gen = Generator(hcfg)
+    mel_in = jnp.asarray(
+        rng.standard_normal((VB, T_dec, 80)), jnp.float32)
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(4), mel_in)
+    g_infer = jax.jit(gen.apply)
+    n_voc = max(B // VB, 1)          # vocode all B mels in VB batches
+    voc_elapsed = _timed(lambda m: g_infer(gvars, m),
+                         lambda i: (mel_in,),
+                         n_iters, _check_program(n_iters)) * n_voc
+
+    audio_seconds = B * T_dec * hop / sr
+    rtf = audio_seconds / (taco_elapsed + voc_elapsed)
+    _emit("serving_rtf_tacotron2_hifigan_b32", rtf, "x_realtime",
+          NORTH_STAR_SERVING_RTF)
+
+
+def main():
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    for fn in (bench_waveflow, bench_serving):
+        try:
+            fn(on_tpu, dtype)
+        except Exception as e:     # never lose the headline metric
+            print(f"[bench] {fn.__name__} failed: {e!r}")
+    bench_waveglow(on_tpu, dtype)   # headline LAST (driver parses it)
 
 
 if __name__ == "__main__":

@@ -303,19 +303,36 @@ def _train_waveglow(args, overrides):
 
     rng = np.random.default_rng(0)
     base_lr = float(overrides.get("lr", 1e-4))
+    explosion_thresh = float(overrides.get("loss_explosion_threshold", 1e3))
+    n_restarts = 0
     for it in range(n_iters):
         idx = rng.integers(0, len(dataset), batch_size)
         batch = collate_mel2samp([dataset[int(i)] for i in idx])
         dev = {"audio": jnp.asarray(batch["audio"]),
                "mels": jnp.asarray(batch["mels"])}
-        ctrl = scalars_to_arrays({"lr": base_lr * plateau.scale,
-                                  "grad_clip": 150.0})
-        state, metrics = train_step(state, dev, jax.random.PRNGKey(it),
-                                    ctrl)
+        if wcfg.n_speakers > 0:
+            dev["speaker_id"] = jnp.asarray(batch["speaker_id"])
+        lr = base_lr * plateau.scale / (2.0 ** (n_restarts / 3.0))
+        ctrl = scalars_to_arrays({"lr": lr, "grad_clip": 150.0})
+        new_state, metrics = train_step(state, dev, jax.random.PRNGKey(it),
+                                        ctrl)
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss) or loss > explosion_thresh:
+            # LossExplosion restart: reload best_val_model with decayed LR
+            # (reference _4_mtw/waveglow/train.py:691-707)
+            n_restarts += 1
+            best = os.path.join(args.run_dir, "best_val_model")
+            if os.path.exists(best):
+                from .runtime.checkpoint import restore_train_state
+                state, _ = restore_train_state(new_state, best)
+            print(f"[waveglow] LossExplosion (loss={loss}); restart "
+                  f"#{n_restarts}, lr decay 2^{n_restarts}/3")
+            continue
+        state = new_state
         if it % 10 == 0:
             logger.log_scalars(it, {k: float(v)
                                     for k, v in metrics.items()})
-            print(f"iter {it}: nll={float(metrics['loss']):.4f}")
+            print(f"iter {it}: nll={loss:.4f}")
         if it and it % 200 == 0:
             val = val_step(state, dev, jax.random.PRNGKey(9999 + it))
             val_mse = float(val["val_MSE"])
@@ -324,6 +341,8 @@ def _train_waveglow(args, overrides):
             ckpt.maybe_save_best_val(val_mse, {
                 "step": it,
                 "params": jax.tree_util.tree_map(np.asarray, state.params),
+                "opt_state": jax.tree_util.tree_map(
+                    np.asarray, state.opt_state),
             })
     ckpt.save_periodic(n_iters, {
         "step": n_iters,

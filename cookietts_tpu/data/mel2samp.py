@@ -53,10 +53,33 @@ class Mel2SampConfig:
     dtw_range: int = 3
     max_l1_err: float = 0.0              # 0 disables rejection
     max_mse_err: float = 0.0
+    # hidden-state conditioning: train the vocoder on the TTS model's
+    # decoder hidden states instead of mels (reference mel2samp.py:274-292)
+    load_hidden_from_disk: bool = False
+    # GaussianBlur mel augmentation (reference mel2samp.py:71-78)
+    blur_prob: float = 0.0
+    blur_strength: float = 1.0
 
 
-def load_map_file(path: str) -> List[Tuple[str, Optional[str], int]]:
-    """Parse ``wav|mel|speaker`` lines (GTA map files)."""
+def gaussian_blur_mel(mel: np.ndarray, strength: float = 1.0) -> np.ndarray:
+    """Blur a [T, n_mel] mel along the CHANNEL axis with a CDF-binned
+    gaussian kernel + reflect padding (reference GaussianBlur,
+    mel2samp.py:71-78 blurs the 'height' axis)."""
+    from scipy.stats import norm
+    r = max(int(strength * 3), 1)
+    ks = np.array([norm.cdf(i + 0.5, scale=strength)
+                   - norm.cdf(i - 0.5, scale=strength)
+                   for i in range(-r, r + 1)], np.float64)
+    pad = (len(ks) - 1) // 2
+    x = np.pad(mel, ((0, 0), (pad, pad)), mode="reflect")
+    out = np.apply_along_axis(
+        lambda row: np.convolve(row, ks, mode="valid"), 1, x)
+    return out.astype(mel.dtype)
+
+
+def load_map_file(path: str
+                  ) -> List[Tuple[str, Optional[str], int, Optional[str]]]:
+    """Parse ``wav|mel|speaker[|hidden]`` lines (GTA map files)."""
     entries = []
     with open(path) as f:
         for ln in f:
@@ -66,7 +89,8 @@ def load_map_file(path: str) -> List[Tuple[str, Optional[str], int]]:
             wav = parts[0]
             mel = parts[1] if len(parts) > 1 and parts[1] else None
             spk = int(parts[2]) if len(parts) > 2 and parts[2] else 0
-            entries.append((wav, mel, spk))
+            hdn = parts[3] if len(parts) > 3 and parts[3] else None
+            entries.append((wav, mel, spk, hdn))
     return entries
 
 
@@ -112,11 +136,35 @@ class Mel2Samp:
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         cfg = self.cfg
-        wav_path, mel_path, speaker = self.entries[index]
+        entry = self.entries[index]
+        wav_path, mel_path, speaker = entry[0], entry[1], entry[2]
+        hdn_path = entry[3] if len(entry) > 3 else None
         audio, sr = audio_io.load_wav(wav_path)
         if sr != cfg.sampling_rate:
             raise ValueError(f"{sr} SR doesn't match target "
                              f"{cfg.sampling_rate} SR ({wav_path})")
+
+        if cfg.load_hidden_from_disk and hdn_path is not None:
+            # condition on TTS decoder hidden states instead of mels
+            # (reference mel2samp.py:274-292, '.hdn{offset}.npy' naming)
+            hdn = np.load(hdn_path).astype(np.float32)
+            if hdn.ndim == 2 and hdn.shape[0] < hdn.shape[1]:
+                hdn = hdn.T                               # [T, C]
+            stem = os.path.basename(hdn_path)
+            if ".hdn" in stem and stem.endswith(".npy"):
+                tail = stem.split(".hdn")[-1][:-4]
+                if tail.isdigit():
+                    audio = audio[int(tail):]
+            threshold = float(np.exp(cfg.min_log_std)) * max(
+                1e-5, float(np.abs(audio).max()))
+            for _ in range(20):
+                a_seg, h_seg, _ = self._segment(audio, hdn)
+                if np.std(a_seg) > threshold:
+                    break
+            return {"audio": a_seg.astype(np.float32),
+                    "mel": h_seg.astype(np.float32),
+                    "speaker_id": speaker,
+                    "audiopath": wav_path}
 
         use_gta = (mel_path is not None
                    and self.rng.random() < cfg.load_mel_from_disk)
@@ -165,6 +213,8 @@ class Mel2Samp:
                         cfg.dtw_scale_factor, cfg.dtw_range))[0]
         else:
             mel = self.get_mel(audio_seg)
+            if cfg.blur_prob > 0.0 and self.rng.random() < cfg.blur_prob:
+                mel = gaussian_blur_mel(mel, cfg.blur_strength)
 
         return {"audio": audio_seg.astype(np.float32),
                 "mel": mel.astype(np.float32),

@@ -413,7 +413,11 @@ def make_waveglow_train_step(model, mesh=None, sigma: float = 1.0,
     from ..models.waveglow import waveglow_loss
 
     def loss_fn(params, batch):
-        out = model.apply({"params": params}, batch["audio"], batch["mels"])
+        # speaker conditioning threads through when the model has speaker
+        # embeddings (reference passes speaker_ids from Mel2Samp,
+        # _4_mtw/waveglow/train.py:583-587)
+        out = model.apply({"params": params}, batch["audio"], batch["mels"],
+                          speaker_ids=batch.get("speaker_id"))
         loss, loss_dict = waveglow_loss(out, sigma=sigma)
         return loss, loss_dict
 

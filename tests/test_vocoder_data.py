@@ -130,3 +130,47 @@ def test_waveglow_train_and_val_step(wav_dataset):
     val = val_step(state, batch_dev, jax.random.PRNGKey(9))
     assert np.isfinite(float(val["val_MSE"]))
     assert np.isfinite(float(val["val_MAE"]))
+
+
+def test_gaussian_blur_mel():
+    from cookietts_tpu.data.mel2samp import gaussian_blur_mel
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((6, 20)).astype(np.float32)
+    out = gaussian_blur_mel(mel, strength=1.0)
+    assert out.shape == mel.shape
+    # smoothing reduces channel-axis variation
+    assert np.abs(np.diff(out, axis=1)).mean() < \
+        np.abs(np.diff(mel, axis=1)).mean()
+    # kernel is (nearly) mass-preserving on a constant input
+    const = np.ones((3, 16), np.float32)
+    np.testing.assert_allclose(gaussian_blur_mel(const), const, atol=1e-2)
+
+
+def test_mel2samp_hidden_state_conditioning(tmp_path):
+    """'.hdn{offset}.npy' files replace the mel as vocoder conditioning,
+    with the offset trimming the audio (reference mel2samp.py:274-292)."""
+    from cookietts_tpu.data import audio_io
+    from cookietts_tpu.data.mel2samp import (Mel2Samp, Mel2SampConfig,
+                                             load_map_file)
+    sr = 48000
+    audio = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+             ).astype(np.float32)
+    wav = str(tmp_path / "h.wav")
+    audio_io.save_wav(wav, audio, sr)
+    hdn = np.random.default_rng(0).standard_normal((799, 24)
+                                                   ).astype(np.float32)
+    hdn_path = wav + ".hdn.npy"
+    np.save(hdn_path, hdn)
+    map_path = str(tmp_path / "map.txt")
+    with open(map_path, "w") as f:
+        f.write(f"{wav}||3|{hdn_path}\n")
+    entries = load_map_file(map_path)
+    assert entries[0][3] == hdn_path
+    cfg = Mel2SampConfig(segment_length=2400, filter_length=240,
+                         hop_length=60, win_length=240, n_mel_channels=8,
+                         load_hidden_from_disk=True)
+    ds = Mel2Samp(entries, cfg)
+    item = ds[0]
+    assert item["mel"].shape[1] == 24          # hidden dim, not n_mel
+    assert item["audio"].shape[0] == 2400
+    assert item["speaker_id"] == 3
