@@ -249,7 +249,21 @@ class TTSDataset:
             out["energy"] = np.exp(out["mel"]).mean(axis=1).astype(np.float32)
         if "torchmoji" in self.features:
             if self.torchmoji_fn is not None:
-                out["torchmoji"] = self.torchmoji_fn(e["quote"])
+                # per-file embedding cache, keyed by the transcript
+                # (reference caches torchMoji .pt files,
+                # data_utils.py:714-721)
+                qh = hashlib.md5(e["quote"].encode()).hexdigest()[:8]
+                tm_cache = e["path"] + f".{qh}.tm.npy"
+                if cfg.cache_mels and os.path.exists(tm_cache):
+                    out["torchmoji"] = np.load(tm_cache)
+                else:
+                    out["torchmoji"] = np.asarray(
+                        self.torchmoji_fn(e["quote"]), np.float32)
+                    if cfg.cache_mels:
+                        try:
+                            np.save(tm_cache, out["torchmoji"])
+                        except OSError:
+                            pass
             else:
                 out["torchmoji"] = np.zeros(cfg.torchmoji_dim, np.float32)
         if "durations" in self.features:

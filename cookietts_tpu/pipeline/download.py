@@ -54,24 +54,86 @@ def download_gdrive(file_id: str, dest_path: str) -> str:
     return dest_path
 
 
+MEGATOOLS_LINUX_URL = ("https://megatools.megous.com/builds/experimental/"
+                       "megatools-1.11.0-git-20200503-linux-x86_64.tar.gz")
+
+
+def ensure_megatools(tools_dir: Optional[str] = None) -> Optional[str]:
+    """Locate — or auto-download, like the reference
+    (_0_download/scripts/download_mega.py:1-33) — a megatools binary.
+    Returns the executable path, or None when unavailable."""
+    for name in ("megadl", "megatools"):
+        exe = shutil.which(name)
+        if exe:
+            return exe
+    tools_dir = tools_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "cookietts_tpu")
+    binary_folder = os.path.join(
+        tools_dir, os.path.basename(MEGATOOLS_LINUX_URL)[: -len(".tar.gz")])
+    exe = os.path.join(binary_folder, "megatools")
+    if os.path.exists(exe):
+        return exe
+    try:
+        os.makedirs(tools_dir, exist_ok=True)
+        archive = os.path.join(tools_dir,
+                               os.path.basename(MEGATOOLS_LINUX_URL))
+        download_http(MEGATOOLS_LINUX_URL, archive)
+        extract(archive, tools_dir)
+        return exe if os.path.exists(exe) else None
+    except Exception as e:
+        print(f"[download] megatools auto-download failed: {e!r}")
+        return None
+
+
 def download_mega(url: str, dest_dir: str) -> str:
-    exe = shutil.which("megadl")
+    exe = ensure_megatools()
     if exe is None:
-        raise RuntimeError(f"megatools (megadl) not available for {url} "
-                           "(the reference auto-downloads the binary, "
-                           "_0_download/scripts/download_mega.py:1-33)")
-    subprocess.run([exe, f"--path={dest_dir}", url], check=True)
+        raise RuntimeError(f"megatools not available for {url} and "
+                           "auto-download failed")
+    if os.path.basename(exe).startswith("megadl"):
+        subprocess.run([exe, f"--path={dest_dir}", url], check=True)
+    else:
+        subprocess.run([exe, "dl", "--path", dest_dir, url], check=True)
     return dest_dir
+
+
+def download_clipper_master(entry: Dict[str, Any]) -> List[str]:
+    """The Clipper MLP master-folder special case
+    (_0_download/scripts/download_clipper.py:22-30): one giant mega.nz
+    folder pulled into the dataset dir (multi-day on free bandwidth)."""
+    dest = entry.get("dest", entry["name"])
+    os.makedirs(dest, exist_ok=True)
+    print("[download] Clipper master folder via mega.nz — this can take "
+          "days on free bandwidth limits")
+    download_mega(entry["url"] if "url" in entry else entry["urls"][0],
+                  dest)
+    return [dest]
+
+
+def _select_libritts_urls(entry: Dict[str, Any]) -> List[str]:
+    """LibriTTS clean/other split selection
+    (reference start_download.py:56-68)."""
+    urls: List[str] = []
+    if entry.get("download_clean", True):
+        urls += entry.get("urls_clean", [])
+    if entry.get("download_other", False):
+        urls += entry.get("urls_other", [])
+    return urls
 
 
 def download_dataset(entry: Dict[str, Any],
                      progress: Optional[Callable] = None) -> List[str]:
     """Fetch one config entry. Returns the list of downloaded paths."""
+    method = entry.get("method", "http")
+    if method == "clipper_master":
+        return download_clipper_master(entry)
     dest = entry.get("dest", entry["name"])
     os.makedirs(dest, exist_ok=True)
-    method = entry.get("method", "http")
+    urls = list(entry.get("urls", []))
+    if "urls_clean" in entry or "urls_other" in entry:
+        urls += _select_libritts_urls(entry)
     paths: List[str] = []
-    for url in entry.get("urls", []):
+    for url in urls:
         fname = os.path.join(dest, url.rstrip("/").split("/")[-1])
         if os.path.exists(fname):
             paths.append(fname)

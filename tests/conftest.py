@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Tests measure correctness, not speed: most of the suite's wall time is
+# XLA compilation on the single sandbox core, so turn the optimizer off
+# (numerics are unchanged; every parity test still runs the same ops).
+jax.config.update("jax_disable_most_optimizations", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

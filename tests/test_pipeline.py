@@ -331,3 +331,57 @@ def test_server_full_field_surface(tiny_t2s, tmp_path):
         t.runTest()
     finally:
         t.tearDown()
+
+
+def test_t2s_gst_torchmoji_style_path():
+    """The GST "TP" inference path in serving: a use_gst model conditions
+    on torchMoji hidden states through the style-token attention
+    (reference text2speech.py:497-509 + TPGST ref_mode=3) — different
+    torchMoji embeddings must change the generated mel."""
+    from tests.test_tacotron2 import tiny_cfg
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.text import N_SYMBOLS
+
+    cfg = tiny_cfg(max_decoder_steps=16, n_symbols=N_SYMBOLS,
+                   use_gst=True, gst_token_num=4,
+                   gst_token_embedding_size=8, gst_num_heads=2,
+                   p_prenet_dropout=0.0)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T_txt, T_mel = 2, 10, 12
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T_txt)),
+                         jnp.int32),
+        text_lengths=jnp.full((B,), T_txt, jnp.int32),
+        mels=jnp.asarray(rng.standard_normal((B, T_mel,
+                                              cfg.n_mel_channels)),
+                         jnp.float32),
+        mel_lengths=jnp.full((B,), T_mel, jnp.int32),
+        speaker_id=jnp.asarray([0, 1], jnp.int32),
+        sylps=jnp.full((B,), 4.0),
+        torchmoji_hidden=jnp.asarray(
+            rng.standard_normal((B, cfg.torchmoji_dim)), jnp.float32))
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+
+    t2s_cfg = T2SConfig(batch_size=2, max_attempts=1, step_buckets=(16,),
+                        max_decoder_steps=16, target_score=0.0,
+                        target_segment_length=64)
+
+    def tm_fn_a(text):
+        return np.full(cfg.torchmoji_dim, 0.5, np.float32)
+
+    def tm_fn_b(text):
+        return np.full(cfg.torchmoji_dim, -1.5, np.float32)
+
+    t2s_a = T2S(t2s_cfg, model, variables, {"Alice": 0},
+                torchmoji_fn=tm_fn_a)
+    t2s_b = T2S(t2s_cfg, model, variables, {"Alice": 0},
+                torchmoji_fn=tm_fn_b)
+    r_a = t2s_a.infer("Hello world.", speaker=["Alice"], seed=5)
+    r_b = t2s_b.infer("Hello world.", speaker=["Alice"], seed=5)
+    assert np.all(np.isfinite(r_a["mels"][0]))
+    n = min(r_a["mels"][0].shape[0], r_b["mels"][0].shape[0])
+    assert not np.allclose(r_a["mels"][0][:n], r_b["mels"][0][:n]), \
+        "torchMoji style embedding must condition GST generation"

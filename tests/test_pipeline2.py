@@ -286,3 +286,37 @@ def test_preprocess_output_inventory_and_fixes(tmp_path):
         load_filelist(os.path.join(out, "filelist_validation.txt"))
     assert any("{HH AH0 L OW1}" in e.get("phoneme_transcript", "")
                for e in entries)
+
+
+def test_download_url_selection_and_methods(tmp_path, monkeypatch):
+    """LibriTTS clean/other split selection (start_download.py:56-68) and
+    the Clipper master-folder dispatch (download_clipper.py:22-30)."""
+    from cookietts_tpu.pipeline import download as dl
+
+    fetched = []
+    monkeypatch.setattr(dl, "download_http",
+                        lambda url, dest, progress=None: (
+                            fetched.append(url), dest)[1])
+    entry = {"name": "LibriTTS", "dest": str(tmp_path / "lt"),
+             "urls_clean": ["http://x/clean1.tar", "http://x/clean2.tar"],
+             "urls_other": ["http://x/other.tar"],
+             "download_clean": True, "download_other": False,
+             "extract": False}
+    dl.download_dataset(entry)
+    assert fetched == ["http://x/clean1.tar", "http://x/clean2.tar"]
+
+    fetched.clear()
+    entry["download_other"] = True
+    # already-"downloaded" files are skipped, so point at a fresh dest
+    entry["dest"] = str(tmp_path / "lt2")
+    dl.download_dataset(entry)
+    assert "http://x/other.tar" in fetched
+
+    # clipper master folder dispatches to mega
+    called = {}
+    monkeypatch.setattr(dl, "download_mega",
+                        lambda url, dest: called.update(url=url) or dest)
+    dl.download_dataset({"name": "Clipper_MLP", "method": "clipper_master",
+                         "dest": str(tmp_path / "clip"),
+                         "url": "mega://folder"})
+    assert called["url"] == "mega://folder"
