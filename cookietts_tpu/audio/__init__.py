@@ -6,3 +6,8 @@ from .processing import (  # noqa: F401
     window_sumsquare,
 )
 from .stft import STFT, TacotronSTFT  # noqa: F401
+from .features import (  # noqa: F401
+    estimate_f0,
+    fused_frontend,
+    measure_loudness,
+)

@@ -109,9 +109,20 @@ def cmd_train(args):
         params = jax.tree_util.tree_map(jnp.asarray, params)
         print(f"warm start: {n_l} loaded, {n_s} skipped")
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    tp = int(getattr(args, "tp", 1) or 1)
+    # dp must divide the batch; use the largest divisor the device count
+    # allows (1-chip or indivisible batch -> no mesh)
+    import math
+    dp = math.gcd(batch_size, max(len(jax.devices()) // tp, 1))
+    mesh = (make_mesh(dp=dp, tp=tp, devices=jax.devices()[:dp * tp])
+            if dp * tp > 1 else None)
+    tp_rules = None
+    if mesh is not None and tp > 1:
+        from .parallel.tp import TACOTRON2_TP_RULES
+        tp_rules = TACOTRON2_TP_RULES
     state = TrainState.create(model.apply, params, adam(), mutables)
-    train_step = make_tacotron2_train_step(model, mesh=mesh)
+    train_step = make_tacotron2_train_step(model, mesh=mesh,
+                                           tp_rules=tp_rules)
     eval_step = make_tacotron2_eval_step(model, mesh=mesh)
 
     # held-out validation batch, validated on the live config's
@@ -295,7 +306,15 @@ def _train_waveglow(args, overrides):
                                     dev["mels"])
     tx = lamb() if use_lamb else adam()
     state = TrainState.create(model.apply, variables["params"], tx)
-    train_step = make_waveglow_train_step(model, donate=False)
+    tp = int(getattr(args, "tp", 1) or 1)
+    mesh = tp_rules = None
+    if tp > 1 and len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.tp import WAVEGLOW_TP_RULES
+        mesh = make_mesh(tp=tp)
+        tp_rules = WAVEGLOW_TP_RULES
+    train_step = make_waveglow_train_step(model, mesh=mesh, donate=False,
+                                          tp_rules=tp_rules)
     val_step = make_waveglow_val_step(model)
     logger = MetricsLogger(args.run_dir)
     ckpt = Checkpointer(args.run_dir)
@@ -519,6 +538,9 @@ def main(argv=None):
                         "path, or the latest in --run_dir when bare")
     t.add_argument("--live_config", default=None)
     t.add_argument("--iters", type=int, default=1000)
+    t.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis size (shards the big "
+                        "gate/WN matmuls; data parallel uses the rest)")
     _add_common(t)
     t.set_defaults(fn=cmd_train)
 

@@ -93,6 +93,7 @@ class Tacotron2Config:
     attention_location_n_filters: int = 32
     attention_location_kernel_size: int = 31
     use_pallas_attention: bool = False   # fused TPU attention-step kernel
+    use_pallas_lstm: bool = False        # fused TPU LSTM decode-cell kernel
     num_att_mixtures: int = 1
     delta_offset: float = 0.005
     delta_min_limit: float = 0.0
@@ -249,7 +250,7 @@ class DecoderCell(nn.Module):
         self.attention_rnn = ZoneoutLSTMCell(
             cfg.attention_rnn_dim, zoneout=cfg.attrnn_zoneout,
             dropout=cfg.p_attrnn_dropout, dtype=cfg.dtype,
-            name="attention_rnn")
+            use_pallas=cfg.use_pallas_lstm, name="attention_rnn")
         att_cls = ATTENTION_TYPES[cfg.attention_type]
         if cfg.attention_type == 0:
             self.attention = att_cls(
@@ -278,12 +279,12 @@ class DecoderCell(nn.Module):
         self.decoder_rnn = ZoneoutLSTMCell(
             cfg.decoder_rnn_dim, zoneout=cfg.decrnn_zoneout,
             dropout=cfg.p_decrnn_dropout, dtype=cfg.dtype,
-            name="decoder_rnn")
+            use_pallas=cfg.use_pallas_lstm, name="decoder_rnn")
         if cfg.second_decoder_rnn_dim > 0:
             self.second_decoder_rnn = ZoneoutLSTMCell(
                 cfg.second_decoder_rnn_dim, zoneout=cfg.decrnn_zoneout,
                 dropout=cfg.p_decrnn_dropout, dtype=cfg.dtype,
-                name="second_decoder_rnn")
+                use_pallas=cfg.use_pallas_lstm, name="second_decoder_rnn")
         out_dim = cfg.n_mel_channels * cfg.n_frames_per_step
         self.linear_projection = nn.Dense(out_dim, dtype=cfg.dtype,
                                           name="linear_projection")

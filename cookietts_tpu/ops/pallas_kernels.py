@@ -27,6 +27,11 @@ from jax.experimental import pallas as pl
 NEG = -1e30
 
 
+def _interpret() -> bool:
+    """Pallas must run interpreted off-TPU (the CPU test backend)."""
+    return jax.default_backend() != "tpu"
+
+
 def _attention_kernel(qp_ref, lp_ref, mp_ref, v_ref, mem_ref, mask_ref,
                       ctx_ref, w_ref):
     """One batch row: qp [1, 1, A]; lp/mp [1, T, A]; v [1, A];
@@ -112,6 +117,7 @@ def attention_step(processed_query: jnp.ndarray,
             jax.ShapeDtypeStruct((B, 1, Dp), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, Tp), jnp.float32),
         ),
+        interpret=_interpret(),
     )(qp[:, None, :], lp.reshape(B, Tp, Ap), mp.reshape(B, Tp, Ap), vv,
       mem.reshape(B, Tp, Dp), msk[:, None, :])
     return ctx[:, 0, :D], w[:, 0, :T]
@@ -151,3 +157,137 @@ def _fused_bwd(res, g):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# -- fused LSTM decode cell ----------------------------------------------------
+#
+# The AR decoder's LSTM gate step (reference decode,
+# tacotron2_tm/model.py:668-767, "lstmcell 12.789ms" comments at :744-765)
+# as one Pallas kernel: each grid program streams one H-tile of the
+# [F, 4H] weight matrix, computes its gate slice on the MXU and applies
+# sigmoid/tanh/state-update in-register — the [B, 4H] gate block never
+# materializes in HBM.
+#
+# MEASURED RESULT (TPU v5e, reference attention-RNN dims F=2816 H=1280
+# B=32, f32, 256-step scan): 113 us/step vs stock XLA's 54 us/step.
+# The step is weight-streaming-bound (57 MB/step f32 ~= 70 us at HBM
+# speed of light) and XLA already emits a single fused
+# matmul+epilogue kernel with better DMA pipelining than this grid, so
+# there is NO fusion headroom for a Pallas LSTM cell at these dims —
+# the serving levers are bf16 weights (halves the bytes; the serving
+# configs use dtype=bf16) and batching, both orthogonal to fusion.
+# The kernel is kept as verified opt-in infrastructure
+# (Tacotron2Config.use_pallas_lstm); the fused attention-step kernel
+# above (many small HBM-bound ops -> one VMEM pass) remains the
+# decode-path Pallas win.
+
+
+def _lstm_kernel(xh_ref, wi_ref, wf_ref, wg_ref, wo_ref, b_ref, c_ref,
+                 cn_ref, hn_ref):
+    """One H-tile. xh [B, F]; w* [F, Th] — four views into the SAME
+    untouched [F, 4H] Dense kernel (aliased operands, no host-side
+    reorder, nothing loop-variant for XLA to rematerialize per decode
+    step); b [1, 4, Th]; c [B, Th]."""
+    xh = xh_ref[...]
+    dot = lambda w: jax.lax.dot(xh, w[...],
+                                preferred_element_type=jnp.float32)
+    b = b_ref[...]
+    i = jax.nn.sigmoid(dot(wi_ref) + b[0, 0])
+    f = jax.nn.sigmoid(dot(wf_ref) + b[0, 1] + 1.0)   # forget bias +1
+    g = jnp.tanh(dot(wg_ref) + b[0, 2])
+    o = jax.nn.sigmoid(dot(wo_ref) + b[0, 3])
+    c = f * c_ref[...] + i * g
+    cn_ref[...] = c
+    hn_ref[...] = o * jnp.tanh(c)
+
+
+def _lstm_reference(xh, kernel, bias, c_prev):
+    gates = (xh @ kernel + bias).astype(jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f + 1.0) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return c, h
+
+
+def _pick_tile(H: int, F: int, budget_bytes: int = 4 * 2**20) -> int:
+    """Largest 128-multiple divisor of H whose four [F, Th] f32 weight
+    blocks fit the VMEM budget; 0 if H has no 128-multiple divisor."""
+    cap = max((budget_bytes // (F * 4 * 4)) // 128 * 128, 128)
+    best = 0
+    th = 128
+    while th <= min(H, cap):
+        if H % th == 0:
+            best = th
+        th += 128
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def lstm_gates_step(xh: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                    c_prev: jnp.ndarray, use_pallas: bool = True
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused LSTM gate step: (c_new, h_new) fp32, pre-zoneout.
+
+    xh [B, F] (x and h_prev already concatenated); kernel [F, 4H];
+    bias [4H]; c_prev [B, H].
+    """
+    B, F = xh.shape
+    H = c_prev.shape[-1]
+    Th = _pick_tile(H, F)
+    if not use_pallas or Th == 0 or F % 128 != 0:
+        # non-tile-aligned dims (tiny test configs): identical jnp math
+        return _lstm_reference(xh, kernel, bias, c_prev)
+
+    n_tiles = H // Th
+    Bp = -(-B // 8) * 8
+    xh_p = _pad_to(xh.astype(jnp.float32), 0, 8)
+    c_p = _pad_to(c_prev.astype(jnp.float32), 0, 8)
+    kernel = kernel.astype(jnp.float32)      # [F, 4H], layout untouched
+    b = bias.astype(jnp.float32).reshape(1, 4, H)
+
+    # the [F, 4H] kernel rides in four times — same buffer, four block
+    # views (gate g tile j starts at column g*H + j*Th, and H % Th == 0
+    # makes that a whole block index). No copy, nothing loop-variant.
+    w_spec = lambda g: pl.BlockSpec(
+        (F, Th), lambda j, g=g: (0, g * n_tiles + j))
+    c_new, h_new = pl.pallas_call(
+        _lstm_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Bp, F), lambda j: (0, 0)),
+            w_spec(0), w_spec(1), w_spec(2), w_spec(3),
+            pl.BlockSpec((1, 4, Th), lambda j: (0, 0, j)),
+            pl.BlockSpec((Bp, Th), lambda j: (0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bp, Th), lambda j: (0, j)),
+            pl.BlockSpec((Bp, Th), lambda j: (0, j)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(xh_p, kernel, kernel, kernel, kernel, b, c_p)
+    return c_new[:B], h_new[:B]
+
+
+@jax.custom_vjp
+def fused_lstm_gates(xh, kernel, bias, c_prev):
+    """Differentiable fused LSTM gate step: forward runs the Pallas kernel,
+    backward is the VJP of the mathematically identical jnp expression."""
+    return lstm_gates_step(xh, kernel, bias, c_prev, use_pallas=True)
+
+
+def _lstm_fwd(xh, kernel, bias, c_prev):
+    out = lstm_gates_step(xh, kernel, bias, c_prev, use_pallas=True)
+    return out, (xh, kernel, bias, c_prev)
+
+
+def _lstm_bwd(res, g):
+    xh, kernel, bias, c_prev = res
+    _, vjp = jax.vjp(_lstm_reference, xh, kernel, bias, c_prev)
+    return vjp(g)
+
+
+fused_lstm_gates.defvjp(_lstm_fwd, _lstm_bwd)

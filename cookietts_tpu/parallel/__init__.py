@@ -14,3 +14,9 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .tp import (  # noqa: F401
+    HIFIGAN_TP_RULES,
+    TACOTRON2_TP_RULES,
+    WAVEGLOW_TP_RULES,
+    tree_shardings,
+)

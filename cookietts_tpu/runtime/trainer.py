@@ -40,10 +40,22 @@ def scalars_to_arrays(scalars: Dict[str, float]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v, jnp.float32) for k, v in scalars.items()}
 
 
+def _state_shardings(mesh, tp_rules, state):
+    """Full-tree shardings for a TrainState: tp-rule-matched weights (and
+    their Adam moments) shard over the tp axis, everything else
+    replicates. With no rules, one replicated sharding broadcast over the
+    whole tree."""
+    from ..parallel.tp import tree_shardings
+    if tp_rules:
+        return tree_shardings(state, mesh, tp_rules)
+    return replicated(mesh)
+
+
 def make_tacotron2_train_step(model, mesh=None,
                               gate_positive_weight: float = 10.0,
                               guided_att_sigma: float = 0.5,
-                              donate: bool = True) -> Callable:
+                              donate: bool = True,
+                              tp_rules=None) -> Callable:
     """Build the pjit'd Tacotron2 train step.
 
     step(state, batch, key, ctrl, carry=None) ->
@@ -54,6 +66,8 @@ def make_tacotron2_train_step(model, mesh=None,
     lanes whose ``batch['pres_prev_state']`` is 0 are reset to fresh
     state inside the model (reference model.py:507-608,
     data_utils.py:875-886). The returned carry feeds the next call.
+    ``tp_rules``: parallel/tp.py rules sharding the big gate matmuls over
+    the mesh's tp axis (resolved against the first call's state).
     """
 
     def loss_fn(params, mutables, batch, key, ctrl, carry):
@@ -102,18 +116,24 @@ def make_tacotron2_train_step(model, mesh=None,
 
     if mesh is None:
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        def wrapped(state, batch, key, ctrl, carry=None):
+            return jitted(state, batch, key, ctrl, carry)
     else:
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
-        jitted = jax.jit(
-            step,
-            in_shardings=(rep, bs, rep, rep, bs),
-            out_shardings=(rep, rep, bs, bs),
-            donate_argnums=(0,) if donate else (),
-        )
+        cache = {}
 
-    def wrapped(state, batch, key, ctrl, carry=None):
-        return jitted(state, batch, key, ctrl, carry)
+        def wrapped(state, batch, key, ctrl, carry=None):
+            if "jitted" not in cache:
+                ss = _state_shardings(mesh, tp_rules, state)
+                cache["jitted"] = jax.jit(
+                    step,
+                    in_shardings=(ss, bs, rep, rep, bs),
+                    out_shardings=(ss, rep, bs, bs),
+                    donate_argnums=(0,) if donate else (),
+                )
+            return cache["jitted"](state, batch, key, ctrl, carry)
 
     wrapped.carries_state = True         # Trainer threads the TBPTT carry
     return wrapped
@@ -404,11 +424,13 @@ class Trainer:
 # -- vocoder (WaveGlow/WaveFlow) steps ----------------------------------------
 
 def make_waveglow_train_step(model, mesh=None, sigma: float = 1.0,
-                             donate: bool = True) -> Callable:
+                             donate: bool = True, tp_rules=None) -> Callable:
     """Flow-NLL train step (reference _4_mtw/waveglow/train.py:522-616).
 
     step(state, batch{audio, mels}, key, ctrl{lr, grad_clip}) ->
     (state, metrics, per_item_z_sq)
+    ``tp_rules``: parallel/tp.py rules sharding the WN channel matmuls
+    over the mesh's tp axis.
     """
     from ..models.waveglow import waveglow_loss
 
@@ -435,9 +457,18 @@ def make_waveglow_train_step(model, mesh=None, sigma: float = 1.0,
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
-                   out_shardings=(rep, rep),
-                   donate_argnums=(0,) if donate else ())
+    cache = {}
+
+    def wrapped(state, batch, key, ctrl):
+        if "jitted" not in cache:
+            ss = _state_shardings(mesh, tp_rules, state)
+            cache["jitted"] = jax.jit(
+                step, in_shardings=(ss, bs, rep, rep),
+                out_shardings=(ss, rep),
+                donate_argnums=(0,) if donate else ())
+        return cache["jitted"](state, batch, key, ctrl)
+
+    return wrapped
 
 
 def make_waveglow_val_step(model, stft_windows=((1200, 300, 1200),

@@ -18,10 +18,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env vars above are not always enough: the sandbox's sitecustomize
+# (PYTHONPATH=/root/.axon_site) imports jax at interpreter startup —
+# BEFORE this conftest — so jax's platform config may have captured
+# 'axon' already. jax.config.update works as long as no backend has
+# initialized yet, and forces the suite onto the 8-virtual-device CPU
+# mesh (fast local compiles, no TPU-tunnel round trips).
+jax.config.update("jax_platforms", "cpu")
+
 # Tests measure correctness, not speed: most of the suite's wall time is
 # XLA compilation on the single sandbox core, so turn the optimizer off
 # (numerics are unchanged; every parity test still runs the same ops).
-jax.config.update("jax_disable_most_optimizations", True)
+# COOKIETTS_DISABLE_OPTS=0 opts back into full XLA optimization.
+if os.environ.get("COOKIETTS_DISABLE_OPTS", "1") != "0":
+    jax.config.update("jax_disable_most_optimizations", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

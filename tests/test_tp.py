@@ -1,0 +1,139 @@
+"""Tensor parallelism: a (dp=4, tp=2) mesh must produce the same losses
+and updated params as the dp-only (8, 1) mesh — TP only changes WHERE the
+matmuls run, never the math. Runs on the 8-virtual-device CPU mesh from
+conftest.py."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cookietts_tpu.parallel import (TACOTRON2_TP_RULES, WAVEGLOW_TP_RULES,
+                                    make_mesh, shard_batch, tree_shardings)
+from cookietts_tpu.runtime.optim import adam
+from cookietts_tpu.runtime.train_state import TrainState
+from cookietts_tpu.runtime.trainer import (make_tacotron2_train_step,
+                                           make_waveglow_train_step,
+                                           scalars_to_arrays)
+
+
+def _leaves_close(a, b, atol):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_waveglow_tp_matches_dp():
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=16, n_flows=2, n_group=4, n_early_every=4,
+        n_early_size=2, n_layers=2, n_channels=32, hop_length=32,
+        upsample_strides=(4, 2), upsample_channels=24,
+        memory_efficient=False)
+    model = WaveGlow(cfg)
+    rng = np.random.default_rng(0)
+    B, t_mel = 8, 6
+    batch = {
+        "audio": jnp.asarray(
+            rng.standard_normal((B, t_mel * cfg.hop_length)), jnp.float32),
+        "mels": jnp.asarray(
+            rng.standard_normal((B, t_mel, cfg.n_mel_channels)), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["audio"],
+                           batch["mels"])
+    ctrl = scalars_to_arrays({"lr": 1e-3, "grad_clip": 100.0})
+    key = jax.random.PRNGKey(1)
+
+    results = {}
+    for name, (dp, tp, rules) in {
+        "dp": (8, 1, None), "tp": (4, 2, WAVEGLOW_TP_RULES),
+    }.items():
+        mesh = make_mesh(dp=dp, tp=tp)
+        state = TrainState.create(model.apply, variables["params"], adam())
+        step = make_waveglow_train_step(model, mesh=mesh, donate=False,
+                                        tp_rules=rules)
+        with mesh:
+            new_state, metrics = step(state, shard_batch(batch, mesh),
+                                      key, ctrl)
+        results[name] = (float(metrics["loss"]),
+                         jax.device_get(new_state.params))
+
+    # something actually got tp-sharded
+    mesh = make_mesh(dp=4, tp=2)
+    shd = tree_shardings(variables["params"], mesh, WAVEGLOW_TP_RULES)
+    n_sharded = sum(
+        any(s is not None for s in s_.spec)
+        for s_ in jax.tree_util.tree_leaves(shd))
+    assert n_sharded > 0, "no weight matched the WaveGlow tp rules"
+
+    assert np.isclose(results["dp"][0], results["tp"][0], atol=1e-4)
+    _leaves_close(results["dp"][1], results["tp"][1], atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tacotron2_tp_matches_dp():
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.losses import DEFAULT_LOSS_SCALARS
+
+    cfg = Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=10,
+        encoder_speaker_embed_dim=4, encoder_conv_hidden_dim=16,
+        encoder_lstm_dim=16, encoder_n_convolutions=1,
+        torchmoji_dim=12, torchmoji_crushed_dim=4,
+        memory_bottleneck_dim=16, prenet_dim=8, attention_rnn_dim=16,
+        decoder_rnn_dim=12, second_decoder_rnn_dim=0, attention_dim=8,
+        windowed_attention_range=4, postnet_embedding_dim=16,
+        postnet_n_convolutions=2, postnet_residual_connections=0)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T_txt, T_mel = 8, 12, 16
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T_txt)),
+                         jnp.int32),
+        text_lengths=jnp.full((B,), T_txt, jnp.int32),
+        mels=jnp.asarray(
+            rng.standard_normal((B, T_mel, cfg.n_mel_channels)), jnp.float32),
+        mel_lengths=jnp.full((B,), T_mel, jnp.int32),
+        speaker_id=jnp.zeros((B,), jnp.int32),
+        sylps=jnp.full((B,), 4.0, jnp.float32),
+        torchmoji=jnp.asarray(rng.standard_normal((B, cfg.torchmoji_dim)),
+                              jnp.float32),
+        gate_target=(jnp.arange(T_mel)[None, :]
+                     >= T_mel - 1).astype(jnp.float32)
+        * jnp.ones((B, 1), jnp.float32),
+        pres_prev_state=jnp.zeros((B,), jnp.float32),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=batch["text"], text_lengths=batch["text_lengths"],
+        mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+        speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+        torchmoji_hidden=batch["torchmoji"], key=jax.random.PRNGKey(2),
+        deterministic=False)
+    params = variables["params"]
+    mutables = {k: v for k, v in variables.items() if k != "params"}
+    ctrl = scalars_to_arrays({
+        "lr": 1e-4, "grad_clip": 1.0, "p_teacher_forcing": 1.0,
+        "teacher_force_till": 20, "drop_frame_rate": 0.0,
+        **DEFAULT_LOSS_SCALARS})
+    key = jax.random.PRNGKey(3)
+
+    losses = {}
+    for name, (dp, tp, rules) in {
+        "dp": (8, 1, None), "tp": (4, 2, TACOTRON2_TP_RULES),
+    }.items():
+        mesh = make_mesh(dp=dp, tp=tp)
+        state = TrainState.create(model.apply, params, adam(), mutables)
+        step = make_tacotron2_train_step(model, mesh=mesh, donate=False,
+                                         tp_rules=rules)
+        with mesh:
+            _, loss_dict, _, _ = step(state, shard_batch(batch, mesh),
+                                      key, ctrl)
+        losses[name] = float(loss_dict["loss"])
+
+    assert np.isclose(losses["dp"], losses["tp"], atol=1e-4), losses
