@@ -58,6 +58,10 @@ class UnTTSConfig:
     use_varglow: bool = False
     varglow_n_group: int = 4
     varglow_n_flows: int = 4
+    # Flow-TTS positional attention (flowtts/model.py:113): soft
+    # frame<-char alignment instead of the hard duration expansion
+    use_positional_attention: bool = False
+    pos_attention_heads: int = 2
     # decoder flow
     dec_n_flows: int = 6
     dec_n_layers: int = 3
@@ -122,6 +126,41 @@ class TemporalPredictor(nn.Module):
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         out = nn.Dense(1, dtype=self.dtype, name="fc")(h)[..., 0]
         return out * mask
+
+
+class PositionalAttention(nn.Module):
+    """Flow-TTS positional attention (reference flowtts/model.py:113):
+    expand char-rate encodings to frame rate WITHOUT hard durations —
+    sinusoidal frame-position queries attend over the encoder states with
+    multi-head dot-product attention. Durations are still predicted, but
+    only their SUM (total length) is consumed at inference; the soft
+    alignment replaces the interval-matmul length regulator."""
+    out_dim: int
+    num_heads: int = 2
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def _sinusoid(t_out: int, dim: int) -> np.ndarray:
+        pos = np.arange(t_out)[:, None]
+        div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
+        pe = np.zeros((t_out, dim), np.float32)
+        pe[:, 0::2] = np.sin(pos * div)
+        pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
+        return pe
+
+    @nn.compact
+    def __call__(self, enc: jnp.ndarray, char_mask: jnp.ndarray,
+                 t_out: int, deterministic: bool = True) -> jnp.ndarray:
+        B, N, D = enc.shape
+        q = jnp.asarray(self._sinusoid(t_out, D), self.dtype)     # [T, D]
+        q = jnp.broadcast_to(q[None], (B, t_out, D))
+        attn_mask = char_mask[:, None, None, :]                   # [B,1,1,N]
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=D, out_features=D,
+            dtype=self.dtype, deterministic=deterministic,
+            name="mha")(q, enc, mask=attn_mask.astype(bool))
+        y = nn.LayerNorm(dtype=self.dtype, name="ln")(y + q)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(y)
 
 
 def length_regulate(char_feats: jnp.ndarray, durations: jnp.ndarray,
@@ -228,6 +267,10 @@ class UnTTS(nn.Module):
                 name="energy_predictor")
         self.cond_proj = nn.Dense(cfg.dec_n_channels, dtype=cfg.dtype,
                                   name="cond_proj")
+        if cfg.use_positional_attention:
+            self.pos_attention = PositionalAttention(
+                cfg.dec_n_channels, cfg.pos_attention_heads, cfg.dtype,
+                name="pos_attention")
         if cfg.use_varglow:
             n_ch = 1 + int(cfg.predict_f0)     # (log-dur [, f0])
             self.varglow = VarGlow(
@@ -287,9 +330,14 @@ class UnTTS(nn.Module):
                         "varglow_logdet_w": vlw, "varglow_n": vn})
 
         T = mels.shape[1]
-        frames, _ = length_regulate(enc, durations, T)
         frame_mask = get_mask_from_lengths(mel_lengths, T)
-        cond = self.cond_proj(frames)
+        if cfg.use_positional_attention:
+            cond = self.pos_attention(enc, char_mask, T,
+                                      deterministic=deterministic)
+            cond = cond * frame_mask[:, :, None]
+        else:
+            frames, _ = length_regulate(enc, durations, T)
+            cond = self.cond_proj(frames)
         z, log_s, logdet_w, n_valid = self.decoder.forward(
             mels, cond, frame_mask)
         out.update({"z": z, "log_s_sum": log_s, "logdet_w_sum": logdet_w,
@@ -321,8 +369,16 @@ class UnTTS(nn.Module):
         dur = jnp.round(jnp.exp(log_dur) * duration_scale)
         dur = jnp.clip(dur, 0.0, cfg.max_frames_per_char) * char_mask
         dur = dur.astype(jnp.int32)
-        frames, frame_mask = length_regulate(enc, dur, max_frames)
-        cond = self.cond_proj(frames)
+        if cfg.use_positional_attention:
+            # durations only set the TOTAL length (Flow-TTS semantics)
+            total = jnp.minimum(jnp.sum(dur, axis=1), max_frames)   # [B]
+            frame_mask = (jnp.arange(max_frames)[None, :]
+                          < total[:, None])
+            cond = self.pos_attention(enc, char_mask, max_frames, True)
+            cond = cond * frame_mask[:, :, None]
+        else:
+            frames, frame_mask = length_regulate(enc, dur, max_frames)
+            cond = self.cond_proj(frames)
         z = sigma * jax.random.normal(
             key, (text.shape[0], max_frames, cfg.n_mel_channels), cfg.dtype)
         mel = self.decoder.inverse(z, cond)

@@ -38,17 +38,36 @@ from flax import linen as nn
 # ---------------------------------------------------------------------------
 # gated-unit zoo (glow_ax.py:36-198). Each takes (a, b) pre-activation halves.
 # ---------------------------------------------------------------------------
+def _tanhshrink(x):
+    return x - jnp.tanh(x)
+
+
 GATED_UNITS = {
+    # (a, b) are the two pre-activation halves of the WN conv output; the
+    # formulas are the reference's unit spec table, glow_ax.py:36-170.
     "GTU": lambda a, b: jnp.tanh(a) * jax.nn.sigmoid(b),
     "GTRU": lambda a, b: jnp.tanh(a) * nn.relu(b),
     "GLU": lambda a, b: a * jax.nn.sigmoid(b),
     "TTU": lambda a, b: jnp.tanh(a) * jnp.tanh(b),
-    "STU": lambda a, b: jax.nn.sigmoid(a) * jnp.tanh(b),
-    "GTSU": lambda a, b: jnp.tanh(a) * jax.nn.softsign(b),
-    "SPTU": lambda a, b: jax.nn.softplus(a) * jnp.tanh(b),
-    "GSIU": lambda a, b: jax.nn.softsign(a) * jax.nn.sigmoid(b),
-    "GSIRU": lambda a, b: jax.nn.softsign(a) * nn.relu(b),
-    "GTLRU": lambda a, b: jnp.tanh(a) * nn.leaky_relu(b, 0.1),
+    "STU": lambda a, b: jnp.tanh(a) * jax.nn.selu(b),
+    "GTSU": lambda a, b: _tanhshrink(a) * jax.nn.sigmoid(b),
+    "SPTU": lambda a, b: jnp.tanh(a) * jax.nn.softplus(b),
+    "GSIU": lambda a, b: jnp.sin(a) * jax.nn.sigmoid(b),
+    # SIREN units scale the sin pre-activation by 16 outside autograd
+    # (glow_ax.py:112-114 detach().mul_(16)); stop_gradient reproduces
+    # the "modify without telling autograd" trick exactly
+    "GSIRU": lambda a, b: jnp.sin(
+        a + jax.lax.stop_gradient(15.0 * a)) * jax.nn.sigmoid(b),
+    "GTSRU": lambda a, b: _tanhshrink(a) * nn.relu(b),
+    "GSIRRU": lambda a, b: jnp.sin(
+        a + jax.lax.stop_gradient(15.0 * a)) * nn.relu(b),
+    "GSIRLRU": lambda a, b: jnp.sin(
+        a + jax.lax.stop_gradient(15.0 * a)) * nn.leaky_relu(b, 0.01),
+    # rrelu(0.01, 0.1) at its deterministic expectation slope (eval-mode
+    # semantics of torch's randomized leaky relu)
+    "GSIRRLRU": lambda a, b: jnp.sin(
+        a + jax.lax.stop_gradient(15.0 * a)) * nn.leaky_relu(b, 0.055),
+    "GTLRU": lambda a, b: jnp.tanh(a) * nn.leaky_relu(b, 0.01),
     "linear": lambda a, b: a,
 }
 

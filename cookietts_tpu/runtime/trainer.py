@@ -210,6 +210,11 @@ class TrainerConfig:
     log_every: int = 10
     seed: int = 1234
     n_restarts_max: int = 10
+    # profiling (reference only has wall-clock prints, train.py:750-758;
+    # here: smoothed s/iter scalars + an optional jax.profiler trace of
+    # iterations [start, stop) written under run_dir/profile)
+    profile_start: Optional[int] = None
+    profile_stop: Optional[int] = None
 
 
 class Trainer:
@@ -234,6 +239,8 @@ class Trainer:
         self.n_restarts = 0
         self.key = jax.random.PRNGKey(cfg.seed)
         self.carry = None        # TBPTT decoder state carried across iters
+        self._iter_time_ema = None   # smoothed s/iter (tracing subsystem)
+        self._profiling = False
 
     def resume(self, path: Optional[str] = None) -> int:
         """Full resume (params + optimizer + step) from ``path`` or the
@@ -270,9 +277,27 @@ class Trainer:
         ctrl.update(weights)
         return scalars_to_arrays(ctrl)
 
+    # -- profiling ------------------------------------------------------------
+    def _maybe_profile(self, it: int) -> None:
+        """Start/stop a jax.profiler trace around the configured iteration
+        window (TensorBoard-readable, run_dir/profile)."""
+        cfg = self.cfg
+        if cfg.profile_start is None:
+            return
+        import os
+        if not self._profiling and it == cfg.profile_start:
+            jax.profiler.start_trace(os.path.join(cfg.run_dir, "profile"))
+            self._profiling = True
+        elif self._profiling and (cfg.profile_stop is None
+                                  or it >= cfg.profile_stop):
+            jax.profiler.stop_trace()
+            self._profiling = False
+
     # -- one iteration -------------------------------------------------------
     def step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        t_start = time.perf_counter()
         it = int(self.state.step)
+        self._maybe_profile(it)
         if it % 5 == 0:
             self.live.poll({"iteration": it})
         self.key, sub = jax.random.split(self.key)
@@ -305,8 +330,12 @@ class Trainer:
             self.file_db.update(
                 paths, {k: np.asarray(v) for k, v in file_losses.items()})
         metrics = {k: float(v) for k, v in loss_dict.items()}
+        dt = time.perf_counter() - t_start
+        self._iter_time_ema = (dt if self._iter_time_ema is None
+                               else 0.95 * self._iter_time_ema + 0.05 * dt)
         if it % self.cfg.log_every == 0:
             metrics["lr"] = float(ctrl["lr"])
+            metrics["s_per_iter"] = self._iter_time_ema
             self.logger.log_scalars(it, metrics)
         if self.ckpt.manual_save_requested():
             self.save(periodic=True)

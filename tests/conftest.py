@@ -26,6 +26,28 @@ import jax  # noqa: E402
 # mesh (fast local compiles, no TPU-tunnel round trips).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistently cache EVERY compile (the suite is compile-bound on a
+# 1-core sandbox): a re-run of the suite skips nearly all XLA work.
+# A pre-warmed cache snapshot ships in-repo (.jax_cache/, ~27 MB) so even
+# the FIRST run on a fresh sandbox skips most compiles — seed the working
+# cache from it (keys include jax version/backend/flags, so a mismatched
+# environment just recompiles; nothing can break).
+_snapshot = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+if os.path.isdir(_snapshot):
+    import shutil
+    os.makedirs(_cache_dir, exist_ok=True)
+    have = set(os.listdir(_cache_dir))
+    for name in os.listdir(_snapshot):
+        if name not in have:
+            try:
+                shutil.copy(os.path.join(_snapshot, name), _cache_dir)
+            except OSError:
+                break
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 # Tests measure correctness, not speed: most of the suite's wall time is
 # XLA compilation on the single sandbox core, so turn the optimizer off
 # (numerics are unchanged; every parity test still runs the same ops).

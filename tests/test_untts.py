@@ -258,3 +258,49 @@ def test_untts_train_step_decreases_loss(setup):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_flowtts_positional_attention_variant():
+    """Flow-TTS mode (reference flowtts/model.py:113): soft positional
+    attention replaces the hard duration expansion; durations only set
+    the total inference length. Train step reaches a finite loss and
+    inference produces mels of the predicted length."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cookietts_tpu.models.untts import UnTTS, UnTTSConfig, untts_loss
+
+    cfg = UnTTSConfig(
+        n_symbols=30, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=10, enc_layers=1,
+        enc_heads=2, enc_ffn_dim=32, predictor_filter_size=16,
+        predictor_layers=1, predict_f0=False, predict_energy=False,
+        dec_n_flows=2, dec_n_layers=1, dec_n_channels=16,
+        use_positional_attention=True, pos_attention_heads=2)
+    model = UnTTS(cfg)
+    rng = np.random.default_rng(0)
+    B, N, T = 2, 7, 20
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, 30, (B, N)), jnp.int32),
+        text_lengths=jnp.asarray([N, N - 2], jnp.int32),
+        mels=jnp.asarray(rng.standard_normal((B, T, 10)), jnp.float32),
+        mel_lengths=jnp.asarray([T, T - 6], jnp.int32),
+        speaker_id=jnp.zeros((B,), jnp.int32),
+        durations=jnp.asarray(rng.integers(1, 4, (B, N)), jnp.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, deterministic=False)
+    out = model.apply(variables, **batch, deterministic=True)
+    total, loss_dict = untts_loss(out, {"durations": batch["durations"]})
+    assert np.isfinite(float(total)), loss_dict
+
+    inf = model.apply(variables, batch["text"], batch["text_lengths"],
+                      batch["speaker_id"], key=jax.random.PRNGKey(2),
+                      max_frames=32, method=UnTTS.inference)
+    assert inf["mel_outputs"].shape == (B, 32, 10)
+    lens = np.asarray(inf["mel_lengths"])
+    assert np.all(lens >= 1) and np.all(lens <= 32)
+    # frames past the predicted length are zero (masked cond/mel)
+    mel = np.asarray(inf["mel_outputs"])
+    for b in range(B):
+        assert np.allclose(mel[b, lens[b]:], 0.0, atol=1e-5)

@@ -135,3 +135,30 @@ def test_waveflow_causality():
     # sits at permuted position 2 -> affects permuted rows >= 2 plus its own
     # affine output; rows 0 and 1 must be untouched
     assert 0 not in diff_rows and 1 not in diff_rows, diff_rows
+
+
+def test_gated_unit_zoo_finite_and_differentiable():
+    """Every unit in the zoo (reference glow_ax.py:36-170 spec table)
+    produces finite values and gradients; SIREN units' x16 pre-scale is
+    outside autograd (stop_gradient), matching the reference's
+    detach().mul_(16) trick."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cookietts_tpu.models.waveglow import GATED_UNITS
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    assert len(GATED_UNITS) >= 15
+    for name, fn in GATED_UNITS.items():
+        out = fn(a, b)
+        assert np.all(np.isfinite(np.asarray(out))), name
+        ga, gb = jax.grad(lambda a, b: jnp.sum(fn(a, b)), argnums=(0, 1))(a, b)
+        assert np.all(np.isfinite(np.asarray(ga))), name
+        assert np.all(np.isfinite(np.asarray(gb))), name
+    # SIREN pre-scale is invisible to autograd: d/da sin(16a) records
+    # cos(16a) * 1, not * 16
+    g = jax.grad(lambda x: jnp.sum(GATED_UNITS["GSIRU"](x, b)))(a)
+    expect = jnp.cos(16.0 * a) * jax.nn.sigmoid(b)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expect), atol=1e-5)
