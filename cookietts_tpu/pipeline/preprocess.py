@@ -48,6 +48,19 @@ class PreprocessConfig:
     use_forced_aligner: bool = False
     mfa_binary: Optional[str] = None
     mfa_lexicon: Optional[str] = None        # defaults to arpa_dict_path
+    # fused on-device feature extraction (audio/features.py): batch all
+    # clips through ONE jitted XLA program per length bucket and dump
+    # .mel.npy / .f0.npy / .energy.npy sidecars the TTSDataset consumes
+    # as caches — the TPU-native replacement for the reference's
+    # per-file pyworld/pyloudnorm/librosa host loop
+    on_device_features: bool = False
+    feature_batch: int = 16
+    filter_length: int = 2048
+    hop_length: int = 512
+    win_length: int = 2048
+    n_mel_channels: int = 80
+    mel_fmin: float = 20.0
+    mel_fmax: Optional[float] = 11025.0
 
 
 def apply_dataset_fixes(cfg: PreprocessConfig) -> Dict[str, int]:
@@ -219,6 +232,70 @@ def process_audio_multiprocess(paths: Sequence[str],
     return [r for r in results if r]
 
 
+def dump_features_on_device(paths: Sequence[str],
+                            cfg: PreprocessConfig) -> int:
+    """Fused on-device feature extraction over all clips.
+
+    Groups files into length buckets (padded static shapes -> one XLA
+    compile per bucket), runs audio/features.py:fused_frontend on the
+    accelerator, and writes ``<wav>.gt.mel.npy`` / ``.gt.f0.npy`` /
+    ``.gt.energy.npy`` sidecars. Replaces the reference's per-file host
+    loop (pyworld :815-838, pyloudnorm :786-803, librosa mel :571-577)
+    with batched MXU work. Returns the number of clips processed.
+    """
+    import numpy as np
+
+    from ..audio.features import fused_frontend
+    from ..audio.stft import TacotronSTFT
+
+    stft = TacotronSTFT(
+        filter_length=cfg.filter_length, hop_length=cfg.hop_length,
+        win_length=cfg.win_length, n_mel_channels=cfg.n_mel_channels,
+        sampling_rate=cfg.target_sr, mel_fmin=cfg.mel_fmin,
+        mel_fmax=cfg.mel_fmax)
+    fn = fused_frontend(stft, sr=cfg.target_sr,
+                        target_lufs=cfg.target_lufs)
+
+    loaded = []
+    for p in paths:
+        try:
+            audio, _ = audio_io.load_wav(p, target_sr=cfg.target_sr)
+            loaded.append((p, audio))
+        except Exception as e:
+            print(f"[preprocess] feature dump skip {p}: {e!r}")
+    loaded.sort(key=lambda pa: len(pa[1]))
+
+    def bucket_len(n):      # next power-of-two hop multiple: few compiles
+        t = cfg.hop_length * 8
+        while t < n:
+            t *= 2
+        return t
+
+    done = 0
+    i = 0
+    while i < len(loaded):
+        chunk = loaded[i:i + cfg.feature_batch]
+        i += cfg.feature_batch
+        T = bucket_len(max(len(a) for _, a in chunk))
+        batch = np.zeros((len(chunk), T), np.float32)
+        lengths = np.zeros((len(chunk),), np.int32)
+        for j, (_, a) in enumerate(chunk):
+            batch[j, :len(a)] = a
+            lengths[j] = len(a)
+        out = fn(batch, lengths)
+        mel = np.asarray(out["mel"], np.float32)
+        f0 = np.asarray(out["f0"], np.float32)
+        energy = np.asarray(out["energy"], np.float32)
+        for j, (p, a) in enumerate(chunk):
+            n_frames = len(a) // cfg.hop_length + 1
+            n = min(n_frames, mel.shape[1])
+            np.save(p + ".gt.mel.npy", mel[j, :n])
+            np.save(p + ".gt.f0.npy", f0[j, :n])
+            np.save(p + ".gt.energy.npy", energy[j, :n])
+            done += 1
+    return done
+
+
 def run_preprocess(cfg: PreprocessConfig,
                    arpa_lookup=None) -> Dict[str, Any]:
     """Run the full preprocess pipeline; returns the filelist result.
@@ -241,6 +318,10 @@ def run_preprocess(cfg: PreprocessConfig,
     if failures:
         print(f"[preprocess] {len(failures)} file failures "
               f"(first: {failures[0]})")
+
+    if cfg.on_device_features:
+        n = dump_features_on_device(sorted(set(wavs)), cfg)
+        print(f"[preprocess] on-device features dumped for {n} clips")
 
     result = generate_filelist_from_datasets(
         cfg.dataset_dirs, min_duration=cfg.min_duration,

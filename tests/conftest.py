@@ -34,6 +34,8 @@ jax.config.update("jax_platforms", "cpu")
 # environment just recompiles; nothing can break).
 _snapshot = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 _cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+if os.environ.get("COOKIETTS_NO_CACHE_SEED"):   # escape hatch
+    _snapshot = ""
 if os.path.isdir(_snapshot):
     import shutil
     os.makedirs(_cache_dir, exist_ok=True)

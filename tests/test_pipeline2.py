@@ -320,3 +320,42 @@ def test_download_url_selection_and_methods(tmp_path, monkeypatch):
                          "dest": str(tmp_path / "clip"),
                          "url": "mega://folder"})
     assert called["url"] == "mega://folder"
+
+
+def test_preprocess_on_device_feature_dump(tmp_path):
+    """The fused on-device feature step dumps .gt.{mel,f0,energy}.npy
+    sidecars whose mel matches the host numpy mirror."""
+    import numpy as np
+    from cookietts_tpu.audio.stft import TacotronSTFT
+    from cookietts_tpu.data import audio_io
+    from cookietts_tpu.pipeline.preprocess import (PreprocessConfig,
+                                                   dump_features_on_device)
+
+    sr = 16000
+    paths = []
+    for i, secs in enumerate((0.5, 0.9)):
+        t = np.arange(int(sr * secs)) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t)).astype(
+            np.float32)
+        p = str(tmp_path / f"c{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        paths.append(p)
+
+    cfg = PreprocessConfig(
+        target_sr=sr, target_lufs=None, on_device_features=True,
+        feature_batch=2, filter_length=512, hop_length=128,
+        win_length=512, n_mel_channels=20, mel_fmin=0.0, mel_fmax=8000.0)
+    n = dump_features_on_device(paths, cfg)
+    assert n == 2
+    stft = TacotronSTFT(512, 128, 512, 20, sr, 0.0, 8000.0)
+    for p in paths:
+        mel = np.load(p + ".gt.mel.npy")
+        f0 = np.load(p + ".gt.f0.npy")
+        energy = np.load(p + ".gt.energy.npy")
+        assert mel.shape[0] == f0.shape[0] == energy.shape[0]
+        audio, _ = audio_io.load_wav(p, target_sr=sr)
+        host = stft.mel_spectrogram_np(audio)
+        # trim the tail frames whose window context differs (device mel
+        # sees the batch zero-padding, host sees reflection)
+        m = min(len(host), len(mel)) - (512 // 128 + 1)
+        np.testing.assert_allclose(mel[:m], host[:m], atol=2e-3, rtol=1e-3)

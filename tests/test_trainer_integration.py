@@ -264,3 +264,59 @@ def test_validation_cadence_from_live_config(tmp_path):
     # validation scalars were logged
     with open(os.path.join(str(tmp_path), "events.jsonl")) as f:
         assert any('"prefix": "validation"' in line for line in f)
+
+
+def test_bf16_training_step():
+    """Mixed precision (SURVEY §2.6): bf16 compute dtype trains with
+    finite f32 losses and f32 optimizer state — TPU's no-loss-scaler
+    regime (the reference needs apex AMP + DynamicLossScaler for fp16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cookietts_tpu.losses import DEFAULT_LOSS_SCALARS
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (make_tacotron2_train_step,
+                                               scalars_to_arrays)
+    from tests.test_tacotron2 import make_batch, tiny_cfg
+
+    cfg = tiny_cfg(dtype=jnp.bfloat16)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    batch = dict(make_batch(rng, cfg, B=2, T_txt=8, T_mel=12))
+    batch["gate_target"] = (
+        jnp.arange(12)[None, :] >= batch["mel_lengths"][:, None] - 1
+    ).astype(jnp.float32)
+    batch["pres_prev_state"] = jnp.zeros((2,), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **{k: v for k, v in batch.items()
+           if k not in ("gate_target", "pres_prev_state")},
+        key=jax.random.PRNGKey(2), deterministic=False)
+    params = variables["params"]
+    # params stay f32 (master weights); compute casts to bf16 per dtype
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(params))
+    state = TrainState.create(
+        model.apply, params,
+        adam(), {k: v for k, v in variables.items() if k != "params"})
+    step = make_tacotron2_train_step(model, donate=False)
+    ctrl = scalars_to_arrays({
+        "lr": 1e-3, "grad_clip": 1.0, "p_teacher_forcing": 1.0,
+        "teacher_force_till": 20, "drop_frame_rate": 0.0,
+        **DEFAULT_LOSS_SCALARS})
+    losses = []
+    for i in range(3):
+        state, loss_dict, _, _ = step(state, batch, jax.random.PRNGKey(i),
+                                      ctrl)
+        losses.append(float(loss_dict["loss"]))
+        assert jnp.asarray(loss_dict["loss"]).dtype == jnp.float32
+    assert all(np.isfinite(l) for l in losses), losses
+    # optimizer moments stay f32 (the step counter is int32)
+    assert all(l.dtype == jnp.float32 for l in
+               jax.tree_util.tree_leaves(state.opt_state)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    # per-step dropout/TF keys make the loss noisy on a 2-sample batch;
+    # bf16 health check = no explosion, not monotonic descent
+    assert losses[-1] < 100.0, losses
