@@ -83,9 +83,13 @@ class ZoneoutLSTMCell(nn.Module):
 
         if self.zoneout > 0.0:
             if deterministic or key is None:
-                # expectation blend (reference layers.py eval path)
-                c_new = self.zoneout * c_prev + (1.0 - self.zoneout) * c_new
-                h_new = self.zoneout * h_prev + (1.0 - self.zoneout) * h_new
+                # eval mode: plain LSTM output, NO zoneout blend — the
+                # reference's eval branch computes the cell without any
+                # zoneout term (layers.py:351-372); parity-tested against
+                # the actual torch cell in tests/test_reference_parity.py.
+                # (The zoneout paper's expectation blend is a documented
+                # alternative the reference does not use.)
+                pass
             else:
                 kc, kh = jax.random.split(key)
                 zc = jax.random.bernoulli(kc, self.zoneout, c_new.shape)

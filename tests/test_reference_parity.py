@@ -1,0 +1,205 @@
+"""DIRECT numerical parity against the reference implementation.
+
+These tests import the actual CookiePPP/cookietts torch modules from
+/root/reference (torch-only imports — the audio/text stacks need
+librosa/unidecode which aren't installed) and assert our JAX rebuilds
+produce the same numbers with mapped weights. This is the strongest
+parity evidence available without reference checkpoints.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_zoneout_lstm_cell_matches_reference_eval():
+    """ZoneoutLSTMCell (deterministic) == the reference's
+    LSTMCellWithZoneout in eval mode (layers.py:351-372 — plain LSTM, no
+    zoneout term at eval), with weights mapped:
+      ours.gates.kernel = [weight_ih.T ; weight_hh.T]
+      ours.gates.bias   = bias_ih + bias_hh − 1 on the forget block
+    (our cell adds a +1 forget bias in-graph)."""
+    from CookieTTS.utils.model.layers import LSTMCellWithZoneout
+
+    from cookietts_tpu.ops.lstm import ZoneoutLSTMCell
+
+    In, H, B = 12, 16, 3
+    torch.manual_seed(0)
+    ref = LSTMCellWithZoneout(In, H, bias=True, dropout=0.2, zoneout=0.1)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, In)).astype(np.float32)
+    h0 = rng.standard_normal((B, H)).astype(np.float32) * 0.3
+    c0 = rng.standard_normal((B, H)).astype(np.float32) * 0.3
+
+    with torch.no_grad():
+        # ref.forward calls check_forward_input, removed in modern torch;
+        # invoke the scripted cell body (the actual math) directly
+        h_ref, c_ref = ref.lstm_cell(
+            torch.from_numpy(x),
+            (torch.from_numpy(h0), torch.from_numpy(c0)),
+            ref.weight_ih, ref.weight_hh, ref.dropout, ref.zoneout,
+            False, ref.bias_ih, ref.bias_hh)
+
+    w_ih = ref.weight_ih.detach().numpy()          # [4H, In]
+    w_hh = ref.weight_hh.detach().numpy()          # [4H, H]
+    bias = (ref.bias_ih + ref.bias_hh).detach().numpy()    # [4H]
+    kernel = np.concatenate([w_ih.T, w_hh.T], axis=0)      # [In+H, 4H]
+    bias = bias.copy()
+    bias[H:2 * H] -= 1.0        # cancel our in-graph forget +1
+
+    cell = ZoneoutLSTMCell(H, zoneout=0.1, dropout=0.2)
+    variables = {"params": {"gates": {"kernel": jnp.asarray(kernel),
+                                      "bias": jnp.asarray(bias)}}}
+    (c1, h1), y = cell.apply(variables,
+                             (jnp.asarray(c0), jnp.asarray(h0)),
+                             jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(h1), h_ref.numpy(),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), c_ref.numpy(),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), h_ref.numpy(),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_alignment_metric_matches_reference():
+    """ops/metrics.py:alignment_metric == the reference's
+    utils/model/utils.py:59-120 on random soft alignments with padding."""
+    from CookieTTS.utils.model.utils import alignment_metric as ref_metric
+
+    from cookietts_tpu.ops.metrics import alignment_metric
+
+    rng = np.random.default_rng(1)
+    B, T_dec, T_enc = 3, 25, 11
+    logits = rng.standard_normal((B, T_dec, T_enc)).astype(np.float32) * 2
+    att = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    in_len = np.array([11, 8, 5], np.int64)
+    out_len = np.array([25, 19, 12], np.int64)
+
+    ref = ref_metric(torch.from_numpy(att.copy()),
+                     torch.from_numpy(in_len),
+                     torch.from_numpy(out_len))
+    ours = alignment_metric(jnp.asarray(att), jnp.asarray(in_len),
+                            jnp.asarray(out_len))
+
+    for key in ("diagonalitys", "avg_prob", "encoder_max_focus",
+                "encoder_min_focus", "encoder_avg_focus", "p_missing_enc"):
+        np.testing.assert_allclose(
+            np.asarray(ours[key], np.float64),
+            ref[key].numpy().astype(np.float64),
+            atol=1e-4, rtol=1e-4, err_msg=key)
+
+
+def test_gate_argmax_matches_reference():
+    """get_first_over_thresh parity (utils/model/utils.py:47-56). The
+    reference's torch-version sniffing (utils.py:53) crashes on modern
+    torch ('2.13.0+cpu'), so its >=1.7 branch is inlined verbatim-in-
+    behavior here."""
+    from cookietts_tpu.ops.masking import get_first_over_thresh
+
+    def ref_fn(x, threshold):      # utils.py:47-56, modern-torch branch
+        x = x.clone().cpu().float()
+        x[:, -1] = threshold
+        x[x > threshold] = threshold
+        return x.argmax(dim=1).int()
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (4, 30)).astype(np.float32)
+    x[2] *= 0.3      # one row never crosses
+    ref = ref_fn(torch.from_numpy(x.copy()), 0.5).numpy()
+    ours = np.asarray(get_first_over_thresh(jnp.asarray(x), 0.5))
+    crossed = (x >= 0.5).any(axis=1)
+    np.testing.assert_array_equal(ours[crossed], ref[crossed])
+    # documented deviation: never-crossing rows return T (exclusive stop)
+    # where the reference clamps to T-1 (utils.py:51 sets the last frame
+    # to threshold)
+    np.testing.assert_array_equal(ours[~crossed], ref[~crossed] + 1)
+
+
+def test_wn_coupling_network_matches_reference():
+    """Our WN (models/waveglow.py:139-187) == the reference's WN
+    (_4_mtw/waveglow/glow.py:110-222) with mapped weights.
+
+    Mapping notes:
+    - reference cond path is THREE k=1 convs with no nonlinearity
+      (glow.py:152-166) -> composes into one linear map == our single
+      fused cond_layer Dense.
+    - reference WN returns (b, log_s) (end.chunk(2,1), coupling use at
+      glow.py:305); ours returns (log_s, t) -> end-kernel halves swap.
+    - torch convs are [out, in, k]; flax are [k, in, out].
+    """
+    from CookieTTS._4_mtw.waveglow.glow import WN as RefWN
+
+    from cookietts_tpu.models.waveglow import WN
+
+    C_half, mel, L, C, K = 4, 8, 3, 16, 3
+    torch.manual_seed(0)
+    ref = RefWN(n_in_channels=C_half, n_mel_channels=mel, n_layers=L,
+                n_channels=C, kernel_size=K, speaker_embed_dim=0,
+                rezero=False)
+    ref.eval()
+    for m in list(ref.in_layers) + list(ref.res_skip_layers) + \
+            list(ref.cond_layers) + [ref.start]:
+        torch.nn.utils.remove_weight_norm(m)
+    # zero-init end does nothing interesting; randomize it
+    with torch.no_grad():
+        ref.end.weight.normal_(0, 0.3)
+        ref.end.bias.normal_(0, 0.1)
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 13
+    x = rng.standard_normal((B, C_half, T)).astype(np.float32) * 0.5
+    spect = rng.standard_normal((B, mel, T)).astype(np.float32)
+    with torch.no_grad():
+        b_ref, log_s_ref = ref(torch.from_numpy(x), torch.from_numpy(spect))
+
+    def conv_w(m):      # torch [out, in, k] -> flax [k, in, out]
+        return np.transpose(m.weight.detach().numpy(), (2, 1, 0))
+
+    def lin_w(m):       # k=1 conv -> Dense kernel [in, out]
+        return m.weight.detach().numpy()[:, :, 0].T
+
+    # compose the reference's linear cond MLP into one Dense
+    Ws = [m.weight.detach().numpy()[:, :, 0] for m in ref.cond_layers]
+    bs = [m.bias.detach().numpy() for m in ref.cond_layers]
+    W_eff, b_eff = Ws[0], bs[0]
+    for Wn_, bn_ in zip(Ws[1:], bs[1:]):
+        b_eff = Wn_ @ b_eff + bn_
+        W_eff = Wn_ @ W_eff
+    # end halves swapped: ref returns (b, log_s), ours (log_s, t=b)
+    end_w = ref.end.weight.detach().numpy()[:, :, 0]   # [2*C_half, C]
+    end_b = ref.end.bias.detach().numpy()
+    end_w_sw = np.concatenate([end_w[C_half:], end_w[:C_half]], axis=0)
+    end_b_sw = np.concatenate([end_b[C_half:], end_b[:C_half]])
+
+    params = {
+        "start": {"kernel": lin_w(ref.start),
+                  "bias": ref.start.bias.detach().numpy()},
+        "cond_layer": {"kernel": W_eff.T, "bias": b_eff},
+        "end": {"kernel": end_w_sw.T, "bias": end_b_sw},
+    }
+    for i in range(L):
+        params[f"in_layer{i}"] = {
+            "kernel": conv_w(ref.in_layers[i]),
+            "bias": ref.in_layers[i].bias.detach().numpy()}
+        params[f"res_skip{i}"] = {
+            "kernel": conv_w(ref.res_skip_layers[i]),
+            "bias": ref.res_skip_layers[i].bias.detach().numpy()}
+
+    wn = WN(n_in_channels=C_half, n_layers=L, n_channels=C, kernel_size=K,
+            gated_unit="GTU")
+    out = wn.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                   jnp.asarray(np.transpose(x, (0, 2, 1))),
+                   jnp.asarray(np.transpose(spect, (0, 2, 1))))
+    log_s_ours, t_ours = np.split(np.asarray(out), 2, axis=-1)
+    np.testing.assert_allclose(np.transpose(log_s_ours, (0, 2, 1)),
+                               log_s_ref.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.transpose(t_ours, (0, 2, 1)),
+                               b_ref.numpy(), atol=2e-5, rtol=1e-4)
