@@ -1,0 +1,3 @@
+"""Checkpoint converters: load reference (torch) checkpoints into this
+framework's params so existing trained models carry over."""
+from .waveglow_torch import convert_waveglow_state_dict  # noqa: F401

@@ -92,6 +92,17 @@ class WaveGlowConfig:
     upsample_channels: int = 256
     cond_residual: bool = False    # shared residual cond stack (glow_ax 72-112)
     cond_layers: int = 1
+    # reference-checkpoint compatibility (vanilla glow.py semantics; used
+    # by convert/waveglow_torch.py so trained reference/NVIDIA WaveGlow
+    # checkpoints load directly):
+    # - 'single' upsampling = ONE ConvTranspose (mel->mel, kernel
+    #   upsample_win_length, stride hop), cond = raw unfolded mel*n_group
+    #   (glow.py:237-241,275-281)
+    # - couple_transform='second' transforms audio_1 conditioned on
+    #   audio_0 (glow.py:297-308); ours defaults to the mirrored choice
+    upsample_mode: str = "multi"      # 'multi' | 'single'
+    upsample_win_length: int = 0      # 'single' kernel size (e.g. 1024)
+    couple_transform: str = "first"   # 'first' | 'second'
     # speaker conditioning (reference efficient_model_ax speaker_embed)
     n_speakers: int = 0            # 0 disables
     speaker_embed_dim: int = 32
@@ -364,19 +375,23 @@ class WaveGlow(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.waveflow = cfg.channel_mixing == "permuteheight"
-        up_prod = int(np.prod(cfg.upsample_strides))
-        if self.waveflow:
-            # cond at width rate W = T / n_group => strides*1 == hop/n_group
-            assert up_prod * cfg.n_group == cfg.hop_length, (
-                f"prod(upsample_strides)={up_prod} * n_group={cfg.n_group} "
-                f"must equal hop_length={cfg.hop_length}")
+        if cfg.upsample_mode == "single":
+            # reference vanilla upsampler (glow.py:237-241): one wide
+            # ConvTranspose at audio rate; cond is the unfolded
+            # [mel * n_group] per flow-time position
+            assert cfg.upsample_win_length > 0
+            self.upsample_single = nn.ConvTranspose(
+                cfg.n_mel_channels, (cfg.upsample_win_length,),
+                strides=(cfg.hop_length,), padding="VALID",
+                dtype=cfg.dtype, name="upsample_single")
         else:
+            up_prod = int(np.prod(cfg.upsample_strides))
             assert up_prod * cfg.n_group == cfg.hop_length, (
                 f"prod(upsample_strides)={up_prod} * n_group={cfg.n_group} "
                 f"must equal hop_length={cfg.hop_length}")
-        self.upsample = UpsampleNet(cfg.upsample_strides,
-                                    cfg.upsample_channels,
-                                    dtype=cfg.dtype, name="upsample")
+            self.upsample = UpsampleNet(cfg.upsample_strides,
+                                        cfg.upsample_channels,
+                                        dtype=cfg.dtype, name="upsample")
         if cfg.n_speakers > 0:
             self.speaker_embed = nn.Embed(
                 cfg.n_speakers, cfg.speaker_embed_dim, dtype=cfg.dtype,
@@ -419,7 +434,20 @@ class WaveGlow(nn.Module):
     def _cond(self, mel: jnp.ndarray,
               speaker_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """[B, T_mel, M] -> [B, T/G, C] conditioning at group rate."""
-        cond = self.upsample(mel)
+        cfg = self.cfg
+        if cfg.upsample_mode == "single":
+            up = self.upsample_single(mel)          # [B, >=T_mel*hop, M]
+            B = up.shape[0]
+            t = mel.shape[1] * cfg.hop_length       # trim conv overhang to
+            up = up[:, :t]                          # the audio length
+            G = cfg.n_group
+            # unfold: [B, T/G, G, M] -> feature index = m*G + g, matching
+            # the reference's unfold/view order (glow.py:280-281)
+            up = up.reshape(B, t // G, G, cfg.n_mel_channels)
+            cond = jnp.swapaxes(up, 2, 3).reshape(
+                B, t // G, cfg.n_mel_channels * G)
+        else:
+            cond = self.upsample(mel)
         if self.cfg.n_speakers > 0:
             if speaker_ids is None:
                 speaker_ids = jnp.zeros((mel.shape[0],), jnp.int32)
@@ -463,9 +491,16 @@ class WaveGlow(nn.Module):
                 y, logdet_w = self.convinv[k](x)
                 half = self._half[k]
                 xa, xb = y[..., :half], y[..., half:]
-                st = self.wn[k](xb, cond)
-                log_s, t = jnp.split(st, 2, axis=-1)
-                xa = xa * jnp.exp(log_s) + t
+                if self.cfg.couple_transform == "second":
+                    # reference order (glow.py:297-308): transform
+                    # audio_1 conditioned on audio_0
+                    st = self.wn[k](xa, cond)
+                    log_s, t = jnp.split(st, 2, axis=-1)
+                    xb = xb * jnp.exp(log_s) + t
+                else:
+                    st = self.wn[k](xb, cond)
+                    log_s, t = jnp.split(st, 2, axis=-1)
+                    xa = xa * jnp.exp(log_s) + t
                 out = jnp.concatenate([xa, xb], axis=-1)
                 return out, jnp.sum(log_s.astype(jnp.float32)), \
                     logdet_w.astype(jnp.float32)
@@ -493,9 +528,14 @@ class WaveGlow(nn.Module):
         for k in reversed(range(cfg.n_flows)):
             half = self._half[k]
             xa, xb = x[..., :half], x[..., half:]
-            st = self.wn[k](xb, cond)
-            log_s, t = jnp.split(st, 2, axis=-1)
-            xa = (xa - t) * jnp.exp(-log_s)
+            if cfg.couple_transform == "second":
+                st = self.wn[k](xa, cond)
+                log_s, t = jnp.split(st, 2, axis=-1)
+                xb = (xb - t) * jnp.exp(-log_s)
+            else:
+                st = self.wn[k](xb, cond)
+                log_s, t = jnp.split(st, 2, axis=-1)
+                xa = (xa - t) * jnp.exp(-log_s)
             x = jnp.concatenate([xa, xb], axis=-1)
             x, _ = self.convinv[k](x, inverse=True)
             if self._early[k]:

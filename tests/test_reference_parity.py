@@ -203,3 +203,64 @@ def test_wn_coupling_network_matches_reference():
                                log_s_ref.numpy(), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.transpose(t_ours, (0, 2, 1)),
                                b_ref.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_waveglow_checkpoint_conversion_full_model():
+    """convert_waveglow_state_dict: a randomly-initialized reference
+    WaveGlow (glow.py:224-315) and our model with converted weights
+    produce the same z and log-det totals on the same (mel, audio) —
+    trained reference/NVIDIA checkpoints load directly."""
+    from CookieTTS._4_mtw.waveglow.glow import WaveGlow as RefWaveGlow
+
+    from cookietts_tpu.convert import convert_waveglow_state_dict
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+
+    mel_ch, n_flows, G = 8, 4, 8
+    win, hop = 32, 8
+    torch.manual_seed(0)
+    ref = RefWaveGlow(
+        None, None, n_mel_channels=mel_ch, n_flows=n_flows, n_group=G,
+        n_early_every=2, n_early_size=2, memory_efficient=False,
+        spect_scaling=False, upsample_mode="normal",
+        WN_config=dict(n_layers=2, n_channels=16, kernel_size=3,
+                       speaker_embed_dim=0, rezero=False),
+        win_length=win, hop_length=hop)
+    ref.eval()
+    with torch.no_grad():        # end layers are zero-init; randomize
+        for wn_m in ref.WN:
+            wn_m.end.weight.normal_(0, 0.3)
+            wn_m.end.bias.normal_(0, 0.1)
+
+    rng = np.random.default_rng(0)
+    B, T_mel = 2, 6
+    spect = rng.standard_normal((B, mel_ch, T_mel)).astype(np.float32)
+    audio = rng.standard_normal((B, T_mel * hop)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        z_ref, log_s_list, log_det_list = ref(
+            torch.from_numpy(spect.copy()), torch.from_numpy(audio))
+    log_s_total = float(sum(ls.sum() for ls in log_s_list))
+    log_det_total = float(sum(float(ld) for ld in log_det_list))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, hints = convert_waveglow_state_dict(sd)
+    assert hints["n_flows"] == n_flows and hints["n_group"] == G
+    assert hints["n_early_every"] == 2 and hints["n_early_size"] == 2
+    assert hints["upsample_win_length"] == win
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=mel_ch, n_flows=n_flows, n_group=G,
+        n_early_every=2, n_early_size=2, n_layers=2, n_channels=16,
+        kernel_size=3, hop_length=hop, upsample_mode="single",
+        upsample_win_length=win, couple_transform="second",
+        memory_efficient=False, n_speakers=0)
+    model = WaveGlow(cfg)
+    out = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(audio), jnp.asarray(np.transpose(spect, (0, 2, 1))))
+
+    z_ours = np.transpose(np.asarray(out["z"]), (0, 2, 1))   # [B, G, T/G]
+    np.testing.assert_allclose(z_ours, z_ref.numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(out["log_s_sum"]), log_s_total,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(out["logdet_w_sum"]), log_det_total,
+                               rtol=1e-4, atol=1e-3)
