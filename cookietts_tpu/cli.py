@@ -493,6 +493,55 @@ def cmd_gta(args):
     print(gen.write_map(lines))
 
 
+def cmd_convert(args):
+    """Convert a reference (torch) checkpoint into this framework's
+    checkpoint format. Accepts .pt/.pth (needs torch installed) or an
+    .npz of the state dict ({k: tensor.cpu().numpy()})."""
+    import numpy as np
+
+    from .runtime.checkpoint import save_checkpoint
+
+    path = args.torch_ckpt
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        for key in ("state_dict", "model"):
+            if isinstance(ckpt, dict) and key in ckpt:
+                ckpt = ckpt[key]
+                break
+        if hasattr(ckpt, "state_dict"):        # a whole nn.Module
+            ckpt = ckpt.state_dict()
+        sd = {k: v.detach().cpu().numpy() for k, v in ckpt.items()}
+
+    if args.model == "waveglow":
+        from .convert import convert_waveglow_state_dict
+        params, hints = convert_waveglow_state_dict(sd)
+        meta = {"model_config": {k: v for k, v in hints.items()
+                                 if k != "cond_in_channels"}}
+        tree = {"step": 0, "params": params}
+    elif args.model == "tacotron2":
+        from .convert import convert_tacotron2_state_dict
+        params, batch_stats = convert_tacotron2_state_dict(sd)
+        meta = {}
+        tree = {"step": 0, "params": params,
+                "mutables": {"batch_stats": batch_stats}}
+    else:
+        raise SystemExit(f"no converter for model {args.model!r}")
+    save_checkpoint(args.output, tree, meta)
+    n = sum(1 for _ in _iter_leaves(params))
+    print(f"converted {n} tensors -> {args.output}")
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    else:
+        yield tree
+
+
 def cmd_server(args):
     import json as _json
     import jax
@@ -560,6 +609,16 @@ def main(argv=None):
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
+
+    c = sub.add_parser(
+        "convert", help="convert a reference torch checkpoint "
+        "(tacotron2_tm / WaveGlow) into this framework's format")
+    c.add_argument("--model", choices=("tacotron2", "waveglow"),
+                   required=True)
+    c.add_argument("--torch_ckpt", required=True,
+                   help=".pt/.pth (torch required) or .npz state dict")
+    c.add_argument("-o", "--output", required=True)
+    c.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -26,14 +26,17 @@ class SylpsNet(nn.Module):
         h = x
         n = len(self.layer_dims)
         for i, dim in enumerate(self.layer_dims):
-            out_dim = 2 if i == n - 1 else dim
+            # the LAST layer outputs 1 and broadcasts onto (mu, logvar) —
+            # reference SylpsNet.py:16-19,38 adds the same scalar residual
+            # to both channels
+            out_dim = 1 if i == n - 1 else dim
             h = nn.Dense(out_dim, dtype=self.dtype,
                          kernel_init=nn.initializers.xavier_uniform())(h)
             if i != n - 1:
                 h = nn.leaky_relu(h, negative_slope=0.05)
         res_weight = self.param("res_weight",
                                 nn.initializers.constant(0.01), ())
-        return x + res_weight * h                          # [B, 2]
+        return x + res_weight * h                          # [B,2]+[B,1]
 
     def __call__(self, sylps: jnp.ndarray, key: jax.Array | None = None,
                  deterministic: bool = True

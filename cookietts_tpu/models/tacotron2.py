@@ -129,7 +129,9 @@ class Prenet(nn.Module):
     def __call__(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         cfg = self.cfg
         for i in range(cfg.prenet_layers):
-            x = nn.Dense(cfg.prenet_dim, dtype=cfg.dtype, name=f"fc{i}")(x)
+            # bias-free like the reference (model.py:169-170)
+            x = nn.Dense(cfg.prenet_dim, use_bias=False, dtype=cfg.dtype,
+                         name=f"fc{i}")(x)
             x = nn.relu(x)
             key, sub = jax.random.split(key)
             keep = jax.random.bernoulli(sub, 1.0 - cfg.p_prenet_dropout, x.shape)
@@ -138,9 +140,14 @@ class Prenet(nn.Module):
 
 
 class Postnet(nn.Module):
-    """Conv stack with residual blocks every N layers.
+    """Residual-accumulating conv stack. Returns the REFINED MEL (not a
+    correction): "output layers" (every ``postnet_residual_connections``-th
+    conv, incl. i=0, and the last) project to mel channels and add into a
+    running ``x_orig``; the layers between run
+    conv+BN+tanh+dropout at ``postnet_embedding_dim``.
 
-    Reference model.py:196-228 (postnet_residual_connections=3).
+    Exact rebuild of reference model.py:196-228 (parity-tested with
+    converted weights in tests/test_reference_parity.py).
     """
     cfg: Tacotron2Config
 
@@ -148,24 +155,24 @@ class Postnet(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
         n = cfg.postnet_n_convolutions
-        res_every = cfg.postnet_residual_connections
+        b_res = cfg.postnet_residual_connections
+        x_orig = x
         h = x
-        block_in = h
         for i in range(n):
-            last = i == n - 1
-            out_ch = cfg.n_mel_channels if last else cfg.postnet_embedding_dim
-            h = nn.Conv(out_ch, (cfg.postnet_kernel_size,), padding="SAME",
+            is_output = (bool(b_res) and i % b_res == 0) or i == n - 1
+            out_ch = (cfg.n_mel_channels if is_output
+                      else cfg.postnet_embedding_dim)
+            y = nn.Conv(out_ch, (cfg.postnet_kernel_size,), padding="SAME",
                         dtype=cfg.dtype, name=f"conv{i}")(h)
-            h = nn.BatchNorm(use_running_average=deterministic,
-                             dtype=cfg.dtype, name=f"bn{i}")(h)
-            if not last:
-                h = jnp.tanh(h)
-                h = nn.Dropout(0.5, deterministic=deterministic)(h)
-            if res_every and (i + 1) % res_every == 0 and not last:
-                if block_in.shape[-1] == h.shape[-1]:
-                    h = h + block_in
-                block_in = h
-        return h
+            if is_output:
+                x_orig = x_orig + y
+                h = x_orig
+            else:
+                y = nn.BatchNorm(use_running_average=deterministic,
+                                 dtype=cfg.dtype, name=f"bn{i}")(y)
+                h = nn.Dropout(0.5, deterministic=deterministic)(
+                    jnp.tanh(y))
+        return x_orig
 
 
 class Encoder(nn.Module):
@@ -192,7 +199,16 @@ class Encoder(nn.Module):
             x = jnp.concatenate([x, spk], axis=-1)
 
         for i in range(cfg.encoder_n_convolutions):
-            x = nn.Conv(cfg.encoder_conv_hidden_dim,
+            # the LAST conv widens to the LSTM input dim (reference
+            # model.py:258-265: output_dim = encoder_LSTM_dim, minus the
+            # speaker embed when it concats before the LSTM)
+            if i == cfg.encoder_n_convolutions - 1:
+                out_dim = cfg.encoder_lstm_dim
+                if cfg.encoder_concat_speaker_embed == "before_lstm":
+                    out_dim -= cfg.encoder_speaker_embed_dim
+            else:
+                out_dim = cfg.encoder_conv_hidden_dim
+            x = nn.Conv(out_dim,
                         (cfg.encoder_kernel_size,), padding="SAME",
                         dtype=cfg.dtype, name=f"conv{i}")(x * mask)
             x = nn.BatchNorm(use_running_average=deterministic,
@@ -621,9 +637,12 @@ class Tacotron2(nn.Module):
         spk = self.speaker_embedding(speaker_id)                   # [B, S]
         if torchmoji_hidden is None:
             torchmoji_hidden = jnp.zeros((B, cfg.torchmoji_dim), cfg.dtype)
-        tm = self.tm_linear(torchmoji_hidden)
+        # reference order: BatchNorm the raw 2304-d torchMoji hidden,
+        # THEN crush to torchMoji_crushedDim (model.py:1009-1011)
+        tm = torchmoji_hidden
         if cfg.torchmoji_batchnorm:
             tm = self.tm_bn(tm, use_running_average=deterministic)
+        tm = self.tm_linear(tm)
 
         parts = [
             encoder_outputs,
@@ -729,8 +748,10 @@ class Tacotron2(nn.Module):
 
         mel_outputs = dec_out["mel_outputs"]
         if cfg.use_postnet:
-            postnet_out = mel_outputs + self.postnet(
-                mel_outputs, deterministic=deterministic)
+            # the postnet returns the refined mel (residual accumulated
+            # internally, reference model.py:218-228)
+            postnet_out = self.postnet(mel_outputs,
+                                       deterministic=deterministic)
         else:
             postnet_out = mel_outputs
 
@@ -771,8 +792,7 @@ class Tacotron2(nn.Module):
             gate_threshold=gate_threshold, gate_delay=gate_delay)
         mel_outputs = dec_out["mel_outputs"]
         if cfg.use_postnet:
-            postnet_out = mel_outputs + self.postnet(mel_outputs,
-                                                     deterministic=True)
+            postnet_out = self.postnet(mel_outputs, deterministic=True)
         else:
             postnet_out = mel_outputs
         return {

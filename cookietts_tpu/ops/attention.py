@@ -46,10 +46,13 @@ class AttentionState(NamedTuple):
     mu: jnp.ndarray            # [B, K]      GMM means (or [B, 1] placeholder)
 
 
-def _init_weights(batch: int, t_enc: int) -> jnp.ndarray:
-    # attention starts fully on the first token (reference
-    # initialize_decoder_states, model.py:507-608)
-    return jnp.zeros((batch, t_enc), jnp.float32).at[:, 0].set(1.0)
+def _init_weights(batch: int, t_enc: int,
+                  first_token: bool = False) -> jnp.ndarray:
+    # reference initialize_decoder_states (model.py:565-588): weights
+    # start at ZERO for location-sensitive attention; only DCA
+    # (attention_type 2) seeds a one-hot on the first token
+    w = jnp.zeros((batch, t_enc), jnp.float32)
+    return w.at[:, 0].set(1.0) if first_token else w
 
 
 class LocationSensitiveAttention(nn.Module):
@@ -64,7 +67,6 @@ class LocationSensitiveAttention(nn.Module):
     windowed_att_pos_learned: bool = True
     windowed_att_pos_offset: float = 0.0
     learn_temperature: bool = False
-    smoothing_factor: float = 0.25        # exp smoothing of tracked position
     use_pallas: bool = False              # fused TPU kernel (no learned temp)
     dtype: jnp.dtype = jnp.float32
 
@@ -83,6 +85,13 @@ class LocationSensitiveAttention(nn.Module):
         if self.windowed_att_pos_learned:
             self.pos_offset = self.param(
                 "window_offset", nn.initializers.zeros, (1,), jnp.float32)
+        if self.windowed_attention_range > 0:
+            # learned position smoothing: new = sigmoid(p)*old +
+            # (1-sigmoid(p))*expected; init 0 -> 0.5/0.5 (reference
+            # exp_smoothing_factor, model.py:399-400,735-737)
+            self.exp_smoothing_factor = self.param(
+                "exp_smoothing_factor", nn.initializers.zeros, (1,),
+                jnp.float32)
         if self.learn_temperature:
             self.inv_temperature = self.param(
                 "inv_temperature", nn.initializers.ones, (1,), jnp.float32)
@@ -93,6 +102,7 @@ class LocationSensitiveAttention(nn.Module):
         return {
             "processed_memory": self.memory_layer(memory),  # [B, T, A]
             "mask": jnp.arange(T_enc)[None, :] < memory_lengths[:, None],
+            "lengths": memory_lengths,
         }
 
     def init_state(self, batch: int, t_enc: int) -> AttentionState:
@@ -102,6 +112,31 @@ class LocationSensitiveAttention(nn.Module):
             position=jnp.zeros((batch,), jnp.float32),
             mu=jnp.zeros((batch, 1), jnp.float32),
         )
+
+    def _window_mask(self, position: jnp.ndarray, lengths: jnp.ndarray,
+                     t_enc: int) -> jnp.ndarray:
+        """Reference window semantics (model.py:131-146): offset the
+        tracked position, clamp it into [range, len-1-range], then mask
+        to the INCLUSIVE [round(pos-range), +2*range] index window."""
+        r = float(self.windowed_attention_range)
+        pos = position
+        if self.windowed_att_pos_learned:
+            pos = pos + self.pos_offset[0]
+        elif self.windowed_att_pos_offset:
+            pos = pos + self.windowed_att_pos_offset
+        max_end = lengths.astype(jnp.float32) - 1.0 - r
+        pos = jnp.minimum(jnp.maximum(pos, r), max_end)
+        start = jnp.round(jnp.maximum(pos - r, 0.0))[:, None]    # [B, 1]
+        end = start + 2.0 * r
+        idx = jnp.arange(t_enc, dtype=jnp.float32)[None, :]
+        return (idx >= start) & (idx <= end)
+
+    def _smooth_position(self, old: jnp.ndarray,
+                         expected: jnp.ndarray) -> jnp.ndarray:
+        if self.windowed_attention_range > 0:
+            s = jax.nn.sigmoid(self.exp_smoothing_factor[0])
+            return old * s + expected * (1.0 - s)
+        return expected
 
     def __call__(self, query: jnp.ndarray, memory: jnp.ndarray,
                  const: Dict[str, Any], state: AttentionState,
@@ -123,15 +158,8 @@ class LocationSensitiveAttention(nn.Module):
             from .pallas_kernels import fused_attention
             full_mask = mask
             if self.windowed_attention_range > 0:
-                center = state.position
-                if self.windowed_att_pos_learned:
-                    center = center + self.pos_offset[0]
-                else:
-                    center = center + self.windowed_att_pos_offset
-                idx = jnp.arange(T_enc, dtype=jnp.float32)[None, :]
-                in_window = jnp.abs(idx - center[:, None]) <= float(
-                    self.windowed_attention_range)
-                full_mask = mask & in_window
+                full_mask = mask & self._window_mask(
+                    state.position, const["lengths"], T_enc)
             v_vec = self.v.variables["params"]["kernel"][:, 0]
             context, weights = fused_attention(
                 processed_query[:, 0].astype(jnp.float32),
@@ -143,11 +171,10 @@ class LocationSensitiveAttention(nn.Module):
             expected_pos = jnp.sum(
                 weights * jnp.arange(T_enc, dtype=jnp.float32)[None, :],
                 axis=-1)
-            a = self.smoothing_factor
             new_state = AttentionState(
                 weights=weights,
                 weights_cum=state.weights_cum + weights,
-                position=a * expected_pos + (1.0 - a) * state.position,
+                position=self._smooth_position(state.position, expected_pos),
                 mu=state.mu)
             return context, weights, new_state
 
@@ -161,23 +188,16 @@ class LocationSensitiveAttention(nn.Module):
         fill = _score_mask_value(jnp.float32)
         energies = jnp.where(mask, energies, fill)
         if self.windowed_attention_range > 0:
-            center = state.position
-            if self.windowed_att_pos_learned:
-                center = center + self.pos_offset[0]
-            else:
-                center = center + self.windowed_att_pos_offset
-            idx = jnp.arange(T_enc, dtype=jnp.float32)[None, :]
-            in_window = jnp.abs(idx - center[:, None]) <= float(
-                self.windowed_attention_range)
+            in_window = self._window_mask(state.position, const["lengths"],
+                                          T_enc)
             energies = jnp.where(in_window, energies, fill)
 
         weights = jax.nn.softmax(energies, axis=-1)
         context = jnp.einsum("bt,btd->bd", weights.astype(memory.dtype), memory)
         expected_pos = jnp.sum(
             weights * jnp.arange(T_enc, dtype=jnp.float32)[None, :], axis=-1)
-        # exp-smoothed position track (reference model.py:736-737)
-        a = self.smoothing_factor
-        new_pos = a * expected_pos + (1.0 - a) * state.position
+        # exp-smoothed position track (reference model.py:735-737)
+        new_pos = self._smooth_position(state.position, expected_pos)
         new_state = AttentionState(
             weights=weights,
             weights_cum=state.weights_cum + weights,
@@ -310,7 +330,8 @@ class DynamicConvolutionAttention(nn.Module):
 
     def init_state(self, batch: int, t_enc: int) -> AttentionState:
         return AttentionState(
-            weights=_init_weights(batch, t_enc),
+            # DCA seeds the first token (reference model.py:583-588)
+            weights=_init_weights(batch, t_enc, first_token=True),
             weights_cum=jnp.zeros((batch, t_enc), jnp.float32),
             position=jnp.zeros((batch,), jnp.float32),
             mu=jnp.zeros((batch, 1), jnp.float32),

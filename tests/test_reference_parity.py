@@ -264,3 +264,172 @@ def test_waveglow_checkpoint_conversion_full_model():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(float(out["logdet_w_sum"]), log_det_total,
                                rtol=1e-4, atol=1e-3)
+
+
+def _ref_tacotron_hparams():
+    """Reference create_hparams at tiny dims, all stochastic paths off.
+
+    The reference text stack needs unidecode/inflect (not installed) —
+    stub them before hparams import; only symbol COUNTS matter here.
+    """
+    import types
+    sys.modules.setdefault(
+        "unidecode", types.SimpleNamespace(unidecode=lambda s: s))
+    sys.modules.setdefault("inflect", types.SimpleNamespace(
+        engine=lambda: types.SimpleNamespace(
+            number_to_words=lambda n, **k: str(n))))
+    from CookieTTS._2_ttm.tacotron2_tm.hparams import create_hparams
+    h = create_hparams()
+    overrides = dict(
+        n_symbols=40, symbols_embedding_dim=16,
+        n_speakers=4, speaker_embedding_dim=8,
+        n_mel_channels=10, n_frames_per_step=1,
+        encoder_speaker_embed_dim=4,
+        encoder_concat_speaker_embed="before_conv",
+        encoder_kernel_size=5, encoder_n_convolutions=2,
+        encoder_conv_hidden_dim=12, encoder_LSTM_dim=16,
+        sylpsnet_layer_dims=[8, 8],
+        torchMoji_attDim=12, torchMoji_crushedDim=4,
+        torchMoji_BatchNorm=True,
+        use_memory_bottleneck=True, memory_bottleneck_dim=16,
+        memory_bottleneck_bias=False,
+        prenet_dim=8, prenet_layers=2, p_prenet_dropout=0.0,
+        prenet_batchnorm=False, prenet_noise=0.0,
+        attention_rnn_dim=16, AttRNN_extra_decoder_input=True,
+        AttRNN_hidden_dropout_type="dropout", p_AttRNN_hidden_dropout=0.0,
+        decoder_rnn_dim=12, DecRNN_hidden_dropout_type="dropout",
+        p_DecRNN_hidden_dropout=0.0, decoder_residual_connection=False,
+        second_decoder_rnn_dim=12, second_decoder_residual_connection=True,
+        attention_type=0, attention_dim=8,
+        attention_location_n_filters=6, attention_location_kernel_size=5,
+        windowed_attention_range=4, windowed_att_pos_learned=True,
+        attention_learned_temperature=False,
+        postnet_embedding_dim=16, postnet_kernel_size=5,
+        postnet_n_convolutions=3, postnet_residual_connections=3,
+        drop_frame_rate=0.0, p_teacher_forcing=1.0, teacher_force_till=0,
+        context_frames=1, hide_startstop_tokens=False,
+        mask_padding=False, fp16_run=False,
+    )
+    for k, v in overrides.items():
+        setattr(h, k, v)
+    return h
+
+
+def test_tacotron2_checkpoint_conversion_full_model():
+    """convert_tacotron2_state_dict: the reference Tacotron2
+    (tacotron2_tm/model.py:919-1042) and our model with converted weights
+    produce the same teacher-forced mels / gates / alignments (all
+    dropout paths zeroed; full lengths — the reference does not mask
+    padding inside its encoder convs, we do, so boundary halos differ on
+    ragged batches by design)."""
+    from CookieTTS._2_ttm.tacotron2_tm.model import Tacotron2 as RefT2
+    from CookieTTS.utils.model.layers import LSTMCellWithZoneout
+
+    from cookietts_tpu.convert import convert_tacotron2_state_dict
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+    # torch removed RNNCellBase.check_forward_* that the reference's
+    # forward still calls — restore them as no-ops (validation only)
+    LSTMCellWithZoneout.check_forward_input = lambda self, *a, **k: None
+    LSTMCellWithZoneout.check_forward_hidden = lambda self, *a, **k: None
+
+    h = _ref_tacotron_hparams()
+    torch.manual_seed(0)
+    ref = RefT2(h)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    B, T_txt, T_mel = 2, 9, 12
+    text = rng.integers(1, 40, (B, T_txt)).astype(np.int64)
+    text_lengths = np.full((B,), T_txt, np.int64)
+    mels = rng.standard_normal((B, 10, T_mel)).astype(np.float32)
+    mel_lengths = np.full((B,), T_mel, np.int64)
+    speaker_id = np.array([1, 3], np.int64)
+    sylps = np.array([4.0, 5.5], np.float32)
+    tm_hdn = rng.standard_normal((B, 12)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(mels.copy()), torch.from_numpy(mel_lengths),
+            torch.from_numpy(text), torch.from_numpy(text_lengths),
+            torch.from_numpy(speaker_id), torch.from_numpy(sylps),
+            torch.from_numpy(tm_hdn),
+            pres_prev_state=torch.zeros(B), cont_next_iter=torch.zeros(B),
+            init_mel=None, teacher_force_till=0, p_teacher_forcing=1.0,
+            drop_frame_rate=0.0)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, batch_stats = convert_tacotron2_state_dict(sd)
+
+    cfg = Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=10,
+        encoder_speaker_embed_dim=4,
+        encoder_concat_speaker_embed="before_conv",
+        encoder_kernel_size=5, encoder_n_convolutions=2,
+        encoder_conv_hidden_dim=12, encoder_lstm_dim=16,
+        sylpsnet_layer_dims=(8, 8), torchmoji_dim=12,
+        torchmoji_crushed_dim=4, torchmoji_batchnorm=True,
+        use_memory_bottleneck=True, memory_bottleneck_dim=16,
+        memory_bottleneck_bias=False, prenet_dim=8, prenet_layers=2,
+        p_prenet_dropout=0.0, attention_rnn_dim=16,
+        attrnn_extra_decoder_input=True, p_attrnn_dropout=0.0,
+        decoder_rnn_dim=12, p_decrnn_dropout=0.0,
+        decoder_residual_connection=False, second_decoder_rnn_dim=12,
+        second_decoder_residual_connection=True, attention_type=0,
+        attention_dim=8, attention_location_n_filters=6,
+        attention_location_kernel_size=5, windowed_attention_range=4,
+        windowed_att_pos_learned=True,
+        postnet_embedding_dim=16, postnet_kernel_size=5,
+        postnet_n_convolutions=3, postnet_residual_connections=3)
+    model = Tacotron2(cfg)
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats),
+    }
+    (out, _), = [model.apply(
+        variables,
+        text=jnp.asarray(text, jnp.int32),
+        text_lengths=jnp.asarray(text_lengths, jnp.int32),
+        mels=jnp.asarray(np.transpose(mels, (0, 2, 1))),
+        mel_lengths=jnp.asarray(mel_lengths, jnp.int32),
+        speaker_id=jnp.asarray(speaker_id, jnp.int32),
+        sylps=jnp.asarray(sylps),
+        torchmoji_hidden=jnp.asarray(tm_hdn),
+        key=jax.random.PRNGKey(0), p_teacher_forcing=1.0,
+        teacher_force_till=10000, deterministic=True,
+        rngs={"dropout": jax.random.PRNGKey(1)})]
+
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out["mel_outputs"]), (0, 2, 1)),
+        out_ref["pred_mel"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["gate_outputs"]),
+        out_ref["pred_gate_logits"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["alignments"]),
+        out_ref["alignments"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out["mel_outputs_postnet"]), (0, 2, 1)),
+        out_ref["pred_mel_postnet"].numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """`cookietts_tpu convert` ingests a reference torch .pt checkpoint
+    and writes a loadable framework checkpoint."""
+    from CookieTTS._2_ttm.tacotron2_tm.model import Tacotron2 as RefT2
+
+    from cookietts_tpu import cli
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+
+    h = _ref_tacotron_hparams()
+    torch.manual_seed(1)
+    ref = RefT2(h)
+    pt = str(tmp_path / "ref.pt")
+    torch.save({"state_dict": ref.state_dict(), "iteration": 123}, pt)
+    out = str(tmp_path / "converted.ckpt")
+    cli.main(["convert", "--model", "tacotron2", "--torch_ckpt", pt,
+              "-o", out])
+    tree, _ = load_checkpoint(out)
+    assert "params" in tree and "mutables" in tree
+    assert tree["params"]["embedding"]["embedding"].shape == (40, 16)
