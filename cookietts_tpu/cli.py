@@ -527,6 +527,11 @@ def cmd_convert(args):
         meta = {}
         tree = {"step": 0, "params": params,
                 "mutables": {"batch_stats": batch_stats}}
+    elif args.model == "hifigan":
+        from .convert import convert_hifigan_state_dict
+        params, hints = convert_hifigan_state_dict(sd)
+        meta = {"model_config": hints}
+        tree = {"step": 0, "params": params}
     else:
         raise SystemExit(f"no converter for model {args.model!r}")
     save_checkpoint(args.output, tree, meta)
@@ -613,7 +618,8 @@ def main(argv=None):
     c = sub.add_parser(
         "convert", help="convert a reference torch checkpoint "
         "(tacotron2_tm / WaveGlow) into this framework's format")
-    c.add_argument("--model", choices=("tacotron2", "waveglow"),
+    c.add_argument("--model",
+                   choices=("tacotron2", "waveglow", "hifigan"),
                    required=True)
     c.add_argument("--torch_ckpt", required=True,
                    help=".pt/.pth (torch required) or .npz state dict")

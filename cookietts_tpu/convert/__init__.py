@@ -1,4 +1,5 @@
 """Checkpoint converters: load reference (torch) checkpoints into this
 framework's params so existing trained models carry over."""
+from .hifigan_torch import convert_hifigan_state_dict  # noqa: F401
 from .tacotron2_torch import convert_tacotron2_state_dict  # noqa: F401
 from .waveglow_torch import convert_waveglow_state_dict  # noqa: F401

@@ -96,7 +96,9 @@ class Generator(nn.Module):
                                 name=f"resblock{i}_{j}")(h)
                 acc = out if acc is None else acc + out
             h = acc / len(cfg.resblock_kernel_sizes)
-        h = nn.leaky_relu(h, cfg.lrelu_slope)
+        # the FINAL activation uses torch's default 0.01 slope, not
+        # LRELU_SLOPE — reference models.py:134 `F.leaky_relu(x)`
+        h = nn.leaky_relu(h, 0.01)
         h = _wn_conv(1, 7, "conv_post", cfg.dtype)(h)
         return jnp.tanh(h)[..., 0]
 

@@ -433,3 +433,45 @@ def test_cli_convert_roundtrip(tmp_path):
     tree, _ = load_checkpoint(out)
     assert "params" in tree and "mutables" in tree
     assert tree["params"]["embedding"]["embedding"].shape == (40, 16)
+
+
+def test_hifigan_checkpoint_conversion_full_model():
+    """convert_hifigan_state_dict: the reference Generator
+    (_4_mtw/hifigan/models.py:97-147 == upstream jik876/hifi-gan) and
+    ours with converted weights produce the same waveform."""
+    import types
+
+    from CookieTTS._4_mtw.hifigan.models import Generator as RefGen
+
+    from cookietts_tpu.convert import convert_hifigan_state_dict
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    h = types.SimpleNamespace(
+        num_mels=8, resblock="1", resblock_kernel_sizes=[3, 5],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+        upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4],
+        upsample_initial_channel=16)
+    torch.manual_seed(0)
+    ref = RefGen(h)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    B, T_mel = 2, 7
+    mel = rng.standard_normal((B, 8, T_mel)).astype(np.float32)
+    with torch.no_grad():
+        audio_ref = ref(torch.from_numpy(mel)).numpy()[:, 0, :]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, hints = convert_hifigan_state_dict(sd)
+    assert hints["n_upsamples"] == 2 and hints["num_kernels"] == 2
+
+    cfg = HiFiGANConfig(
+        n_mel_channels=8, resblock_kernel_sizes=(3, 5),
+        resblock_dilations=((1, 3, 5), (1, 3, 5)), upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=16)
+    gen = Generator(cfg)
+    audio = gen.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(np.transpose(mel, (0, 2, 1))))
+    np.testing.assert_allclose(np.asarray(audio), audio_ref,
+                               atol=5e-5, rtol=1e-3)
