@@ -208,21 +208,31 @@ class LocationSensitiveAttention(nn.Module):
 
 
 class GMMAttention(nn.Module):
-    """Monotonic mixture-of-gaussians attention (GMMv2b parameterization).
-
-    Energies are a mixture of K gaussians whose means only move forward:
-    ``mu_t = mu_{t-1} + softplus(delta)``. Built for long-form stability.
-    Reference: utils/model/layers.py:149-246.
+    """Monotonic mixture-of-gaussians attention — the reference's exact
+    "erf window" formulation (utils/model/layers.py:149-246, active
+    branch :210-216): the query predicts per-mixture (w, delta, scale);
+    the location only moves FORWARD (loc += sigmoid(delta) [+offset]);
+    each mixture contributes the probability mass an erf-CDF window of
+    width 1 places on every encoder index; sigmoid mixture weights; a
+    final softmax over encoder positions. Parity-tested with converted
+    weights in tests/test_reference_parity.py.
     """
     n_mixtures: int = 5
     attention_dim: int = 128
     delta_min: float = 0.0
     delta_offset: float = 0.0
+    attention_layers: int = 1      # reference hparams.py:262
+    lin_bias: bool = False         # reference hparams.py:265
+    normalize_attention_input: bool = True   # hparams.py:267
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.f = nn.Dense(self.attention_dim, dtype=self.dtype, name="F")
-        self.g = nn.Dense(3 * self.n_mixtures, dtype=self.dtype, name="G")
+        if self.attention_layers == 2:
+            self.f2 = nn.Dense(self.attention_dim, use_bias=False,
+                               dtype=self.dtype, name="F2")
+        self.lin = nn.Dense(3 * self.n_mixtures, use_bias=self.lin_bias,
+                            dtype=self.dtype, name="lin")
 
     def precompute(self, memory: jnp.ndarray,
                    memory_lengths: jnp.ndarray) -> Dict[str, Any]:
@@ -244,22 +254,30 @@ class GMMAttention(nn.Module):
         mask = const["mask"]
         B, T_enc = state.weights.shape
 
-        p = self.g(jnp.tanh(self.f(query))).astype(jnp.float32)   # [B, 3K]
+        q = query
+        if self.normalize_attention_input:
+            q = jnp.tanh(q)
+        h = self.f(q)
+        if self.attention_layers == 2:
+            h = self.f2(h)
+        p = self.lin(jnp.tanh(h)).astype(jnp.float32)             # [B, 3K]
         w_hat, delta_hat, scale_hat = jnp.split(p, 3, axis=-1)
-        w = jax.nn.softmax(w_hat, axis=-1)                        # mixture weights
-        delta = self.delta_min + jax.nn.softplus(
-            delta_hat + self.delta_offset)                        # forward step
-        sigma = jnp.clip(jax.nn.softplus(scale_hat) + 1e-3, 1e-3, None)
-        mu = state.mu + delta                                     # [B, K]
+        delta = jax.nn.sigmoid(delta_hat)
+        if self.delta_min:
+            delta = jnp.maximum(delta, self.delta_min)
+        if self.delta_offset:
+            delta = delta + self.delta_offset
+        loc = state.mu + delta                                    # [B, K]
+        scale = jax.nn.sigmoid(scale_hat) * 2.0 + 1.0             # [B, K]
+        w = jax.nn.sigmoid(w_hat)
 
-        pos = jnp.arange(T_enc, dtype=jnp.float32)[None, :, None]  # [1, T, 1]
-        z = (pos - mu[:, None, :]) / sigma[:, None, :]
-        phi = w[:, None, :] * jnp.exp(-0.5 * z * z) / (
-            sigma[:, None, :] * np.sqrt(2.0 * np.pi))
-        weights = jnp.sum(phi, axis=-1)                           # [B, T]
-        weights = jnp.where(mask, weights, 0.0)
-        weights = weights / jnp.maximum(
-            jnp.sum(weights, axis=-1, keepdims=True), 1e-8)
+        pos = jnp.arange(T_enc, dtype=jnp.float32)[None, :, None]  # [1,T,1]
+        d = loc[:, None, :] - pos                                  # [B,T,K]
+        z = 0.5 * (jax.lax.erf((d + 0.5) * scale[:, None, :])
+                   - jax.lax.erf((d - 0.5) * scale[:, None, :]))
+        energies = jnp.einsum("btk,bk->bt", z, w)
+        energies = jnp.where(mask, energies, 0.0)   # score_mask_value=0
+        weights = jax.nn.softmax(energies, axis=-1)
 
         context = jnp.einsum("bt,btd->bd", weights.astype(memory.dtype), memory)
         expected_pos = jnp.sum(
@@ -268,7 +286,7 @@ class GMMAttention(nn.Module):
             weights=weights,
             weights_cum=state.weights_cum + weights,
             position=expected_pos,
-            mu=mu,
+            mu=loc,
         )
         return context, weights, new_state
 
@@ -297,6 +315,14 @@ class DynamicConvolutionAttention(nn.Module):
     where dynamic filters are generated from the query each step and the
     prior is a beta-binomial "move forward ~1 token/step" filter.
     Reference: utils/model/layers.py:6-146.
+
+    DELIBERATE DEVIATION: the reference's DCA is a self-described "first
+    attempt" whose active branch replaces the dynamic convolution with
+    ``prev_att.repeat(1,1,L) @ filt`` (layers.py:70-72) — all L columns
+    are identical, so it degenerates to prev_att * sum_k(filt), a scalar
+    gate, and the prior filter is disabled (`if False`, :110). This class
+    implements the actual Battenberg et al. DCA the reference cites, so
+    no weight-mapped parity test exists for it (unlike LSA/GMM).
     """
     attention_dim: int = 128
     static_channels: int = 8

@@ -475,3 +475,55 @@ def test_hifigan_checkpoint_conversion_full_model():
         jnp.asarray(np.transpose(mel, (0, 2, 1))))
     np.testing.assert_allclose(np.asarray(audio), audio_ref,
                                atol=5e-5, rtol=1e-3)
+
+
+def test_gmm_attention_matches_reference():
+    """GMMAttention single step == reference layers.py:149-246 (active
+    erf-window branch) with mapped weights."""
+    import types
+
+    from CookieTTS.utils.model.layers import GMMAttention as RefGMM
+
+    from cookietts_tpu.ops.attention import GMMAttention
+
+    K, rnn_dim, att_dim, D = 3, 16, 8, 12
+    h = types.SimpleNamespace(
+        normalize_attention_input=True, delta_min_limit=0.0,
+        delta_offset=0.005, lin_bias=False, initial_gain="relu")
+    torch.manual_seed(0)
+    ref = RefGMM(K, 1, rnn_dim, D, att_dim, 6, 5, h)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 11
+    query = rng.standard_normal((B, rnn_dim)).astype(np.float32)
+    memory = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.array([11, 7], np.int64)
+    pad_mask = np.arange(T)[None, :] >= lengths[:, None]
+    prev_loc = np.zeros((B, 1, K), np.float32)
+    with torch.no_grad():
+        ctx_ref, w_ref, loc_ref = ref(
+            torch.from_numpy(query), torch.from_numpy(memory),
+            torch.from_numpy(prev_loc), torch.from_numpy(pad_mask))
+
+    params = {
+        "F": {"kernel": ref.F[0].linear_layer.weight.detach().numpy().T,
+              "bias": ref.F[0].linear_layer.bias.detach().numpy()},
+        "lin": {"kernel": ref.F[2].weight.detach().numpy().T},
+    }
+    ours = GMMAttention(n_mixtures=K, attention_dim=att_dim,
+                        delta_min=0.0, delta_offset=0.005,
+                        attention_layers=1, lin_bias=False,
+                        normalize_attention_input=True)
+    state = ours.init_state(B, T)
+    const = {"mask": jnp.asarray(~pad_mask)}
+    ctx, w, new_state = ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(query), jnp.asarray(memory), const, state)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ctx), ctx_ref.numpy(),
+                               atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_state.mu),
+                               loc_ref.numpy()[:, 0, :],
+                               atol=2e-5, rtol=1e-4)
