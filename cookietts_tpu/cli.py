@@ -68,6 +68,11 @@ def cmd_train(args):
         Trainer, TrainerConfig, make_tacotron2_eval_step,
         make_tacotron2_train_step)
 
+    from .parallel.launch import initialize as dist_initialize
+    if dist_initialize():
+        print(f"[train] multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
+
     overrides = parse_override_string(args.hparams) if args.hparams else {}
     if args.model == "waveglow":
         return _train_waveglow(args, overrides)

@@ -13,6 +13,15 @@ whole step into ONE VMEM-resident pass per batch row: one read of the
 Grid: one program per batch item. T and feature dims should be padded to
 lane multiples (128) by the caller; `attention_step` handles the padding.
 Falls back to pure-jnp math (identical results) off-TPU.
+
+MEASURED (TPU v5e, full reference dims, bf16, B=32, 512-step decode):
+the full decode runs 63 us/step with stock XLA vs 84 us/step with this
+kernel enabled — XLA's own fusion of the attention step is already
+better at these shapes (the kernel's f32 VMEM staging and per-row grid
+lose to XLA's batched fused matmuls). Like the LSTM cell below, it is
+kept as verified OPT-IN infrastructure (use_pallas_attention); the
+decode at B=32 is ~5900x realtime either way, so serving is bound by
+the vocoder, not this loop.
 """
 from __future__ import annotations
 

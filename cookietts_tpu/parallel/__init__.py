@@ -14,6 +14,7 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .launch import global_batch_slice, initialize  # noqa: F401
 from .tp import (  # noqa: F401
     HIFIGAN_TP_RULES,
     TACOTRON2_TP_RULES,

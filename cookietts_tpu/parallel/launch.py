@@ -1,0 +1,57 @@
+"""Multi-host launch glue.
+
+The reference spawns one process per GPU with ``multiproc.py`` and a
+NCCL TCP rendezvous (tacotron2_tm/multiproc.py:8-57, train.py:91-103).
+On TPU pods the runtime is one process per HOST: call
+:func:`initialize` first thing, then build the global mesh — JAX wires
+ICI within the slice and DCN across hosts, and every jitted function is
+automatically SPMD across all chips.
+
+Typical pod run (same command on every host; the TPU runtime provides
+coordinator discovery, so no arguments are needed):
+
+    python -m cookietts_tpu train --model tacotron2 ... --tp 2
+
+with ``initialize()`` called by the CLI when it detects a multi-host
+environment.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize the distributed runtime when running multi-host.
+
+    No-ops (returns False) in single-process settings: already
+    initialized, a single-host TPU, or the CPU/GPU dev backends without
+    explicit coordination args. On TPU pods all arguments are
+    auto-discovered from the runtime.
+    """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return True
+    explicit = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0 \
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if not explicit and not on_pod:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
+
+
+def global_batch_slice(global_batch: int) -> slice:
+    """The half-open row range of the global batch this host should
+    feed. With batch sharded over dp and dp laid out process-major, each
+    host loads only its local rows (the reference's DistributedSampler
+    equivalent, train.py:158)."""
+    per = global_batch // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -137,3 +137,13 @@ def test_tacotron2_tp_matches_dp():
         losses[name] = float(loss_dict["loss"])
 
     assert np.isclose(losses["dp"], losses["tp"], atol=1e-4), losses
+
+
+def test_launch_helpers_single_process():
+    """initialize() no-ops off-pod; global_batch_slice covers the batch."""
+    from cookietts_tpu.parallel import global_batch_slice, initialize
+
+    assert initialize() in (False, True)     # no crash, no hang
+    s = global_batch_slice(16)
+    assert (s.stop - s.start) * jax.process_count() == 16
+    assert s.start == jax.process_index() * (s.stop - s.start)
