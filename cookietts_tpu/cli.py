@@ -152,6 +152,13 @@ def cmd_train(args):
         for segs in sampler:
             items = [dataset[s.file_idx] for s in segs]
             batch = collate(items, dcfg, segments=segs)
+            if jax.process_count() > 1:
+                # multi-host: every host plans the same global schedule
+                # but materializes only its dp rows; shard_batch stitches
+                # the local shards into global arrays
+                from .parallel.launch import global_batch_slice
+                sl = global_batch_slice(batch_size)
+                batch = {k: v[sl] for k, v in batch.items()}
             if mesh is not None:
                 batch = {k: (shard_batch(jnp.asarray(v), mesh)
                              if k != "audiopath" else v)

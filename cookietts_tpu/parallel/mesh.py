@@ -41,10 +41,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of [B, ...] arrays with B sharded over dp."""
+    """Put a pytree of [B, ...] arrays on the mesh with B sharded over dp.
+
+    Single-process: a plain device_put. Multi-host (TPU pod): ``batch``
+    must hold only THIS host's rows (see
+    :func:`cookietts_tpu.parallel.launch.global_batch_slice`); the local
+    shards are assembled into one global array per leaf — the JAX
+    equivalent of the reference's DistributedSampler feeding each rank
+    its slice (tacotron2_tm/train.py:158).
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
 
     def put(x):
-        return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
 
     return jax.tree_util.tree_map(put, batch)

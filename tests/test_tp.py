@@ -147,3 +147,16 @@ def test_launch_helpers_single_process():
     s = global_batch_slice(16)
     assert (s.stop - s.start) * jax.process_count() == 16
     assert s.start == jax.process_index() * (s.stop - s.start)
+
+
+def test_shard_batch_process_local_assembly():
+    """The multi-host leaf path (make_array_from_process_local_data)
+    produces the same global array device_put does single-process."""
+    from cookietts_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(dp=8)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    a = jax.make_array_from_process_local_data(batch_sharding(mesh), x)
+    assert a.shape == (16, 3)
+    assert a.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+    assert np.allclose(np.asarray(a), x)
