@@ -15,8 +15,45 @@ import subprocess
 from typing import Dict, List, Optional, Tuple
 
 
+MFA_LINUX_URL = ("https://github.com/MontrealCorpusTools/"
+                 "Montreal-Forced-Aligner/releases/download/v1.0.1/"
+                 "montreal-forced-aligner_linux.tar.gz")
+
+
 def find_mfa() -> Optional[str]:
     return shutil.which("mfa_align") or shutil.which("mfa")
+
+
+def ensure_mfa(dest_dir: str, url: str = MFA_LINUX_URL) -> str:
+    """Auto-download MFA v1.0.1 into ``dest_dir`` and return the
+    ``mfa_align`` binary path (reference MFA.py:1-46, incl. the
+    libpython3.6m.so hotfix hard-link). Reuses an existing install;
+    requires network egress otherwise."""
+    root = os.path.join(dest_dir, "montreal-forced-aligner")
+    binary = os.path.join(root, "bin", "mfa_align")
+    if os.path.exists(binary):
+        return binary
+    os.makedirs(dest_dir, exist_ok=True)
+    archive = os.path.join(dest_dir, url.rsplit("/", 1)[-1])
+    if not os.path.exists(archive):
+        import urllib.request
+        try:
+            urllib.request.urlretrieve(url, archive)
+        except OSError as e:
+            raise RuntimeError(
+                f"MFA auto-download failed ({e}); install MFA manually "
+                f"and pass mfa_binary") from e
+    from .extract import extract
+    extract(archive, dest_dir)
+    os.unlink(archive)
+    # v1.0.1 ships lib/libpython3.6m.so.1.0 but the binary links
+    # lib/libpython3.6m.so (MFA issue #149)
+    so = os.path.join(root, "lib", "libpython3.6m.so")
+    if not os.path.exists(so) and os.path.exists(so + ".1.0"):
+        os.link(so + ".1.0", so)
+    if not os.path.exists(binary):
+        raise RuntimeError(f"MFA archive extracted but {binary} missing")
+    return binary
 
 
 def run_alignment(corpus_dir: str, lexicon_path: str, out_dir: str,
@@ -72,6 +109,49 @@ def durations_from_textgrid(tiers: Dict[str, List[Tuple[float, float, str]]],
         acc = exact - frames
         out.append(max(frames, 0))
     return out
+
+
+def arpa_from_alignment(
+        quote: str,
+        words: List[Tuple[float, float, str]],
+        phones: List[Tuple[float, float, str]],
+        punc: str = "!?,.;:␤#-_'\"()[]\n") -> str:
+    """Rebuild the transcript with each aligned word replaced by its
+    ``{PH PH ...}`` phone string, punctuation peeled and re-attached
+    (reference MFA.py:49-101 get/get_arpa).
+
+    ``words``/``phones`` are (start, end, label) interval lists from
+    :func:`parse_textgrid`; silence phones (``sil``/``sp``/empty) are
+    skipped. Words in ``quote`` with no aligned interval left are kept
+    as graphemes.
+    """
+    content = [(s, e, t) for s, e, t in phones
+               if t and t not in ("sil", "sp")]
+    word_phones: List[str] = []
+    for ws, we, wt in words:
+        if not wt:
+            continue
+        mine = [t for s, e, t in content
+                if s >= ws - 1e-6 and e <= we + 1e-6]
+        word_phones.append(" ".join(mine))
+    out = []
+    for token in quote.split(" "):
+        head, tail, core = "", "", token
+        while core and any(c in punc for c in core) and len(core) > 1:
+            if core[-1] in punc:
+                tail = core[-1] + tail
+                core = core[:-1]
+            elif core[0] in punc:
+                head = head + core[0]
+                core = core[1:]
+            else:
+                break
+        if word_phones:
+            ph = word_phones.pop(0)
+            if ph:
+                core = "{" + ph + "}"
+        out.append((head + core + tail).rstrip())
+    return " ".join(out)
 
 
 def oov_words(transcripts: List[str], lexicon: Dict[str, str]) -> List[str]:

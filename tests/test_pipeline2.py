@@ -126,6 +126,29 @@ def test_oov_words():
     assert oov_words(["Hello zorp"], lex) == ["zorp"]
 
 
+def test_arpa_from_alignment():
+    from cookietts_tpu.data.mfa import arpa_from_alignment
+
+    words = [(0.0, 0.4, "hello"), (0.4, 0.5, ""), (0.5, 1.0, "world")]
+    phones = [(0.0, 0.2, "HH"), (0.2, 0.4, "AH0"), (0.4, 0.5, "sp"),
+              (0.5, 0.7, "W"), (0.7, 1.0, "ER1")]
+    out = arpa_from_alignment('Hello, "world!"', words, phones)
+    # punctuation peeled and re-attached around the phone groups
+    assert out == '{HH AH0}, "{W ER1}!"'
+    # words with no remaining alignment stay as graphemes
+    assert arpa_from_alignment("hello world extra", words, phones) \
+        == "{HH AH0} {W ER1} extra"
+
+
+def test_ensure_mfa_reuses_existing(tmp_path):
+    from cookietts_tpu.data.mfa import ensure_mfa
+
+    binary = tmp_path / "montreal-forced-aligner" / "bin" / "mfa_align"
+    binary.parent.mkdir(parents=True)
+    binary.write_text("#!/bin/sh\n")
+    assert ensure_mfa(str(tmp_path)) == str(binary)
+
+
 def test_plotting_images():
     from cookietts_tpu.runtime.plotting import (
         plot_alignment, plot_gate, plot_spectrogram)
