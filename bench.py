@@ -190,13 +190,16 @@ def bench_serving(on_tpu, dtype):
                           n_iters, _check_program(n_iters))
 
     gen = Generator(hcfg)
-    mel_in = jnp.asarray(
-        rng.standard_normal((VB, T_dec, 80)), jnp.float32)
-    gvars = jax.jit(gen.init)(jax.random.PRNGKey(4), mel_in)
+    # distinct mel per iteration: the tunneled PJRT backend has been
+    # observed to collapse back-to-back dispatches with identical
+    # arguments, which silently inflates the measured rate
+    mel_ins = [jnp.asarray(rng.standard_normal((VB, T_dec, 80)),
+                           jnp.float32) for _ in range(n_iters + 1)]
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(4), mel_ins[0])
     g_infer = jax.jit(gen.apply)
     n_voc = max(B // VB, 1)          # vocode all B mels in VB batches
     voc_elapsed = _timed(lambda m: g_infer(gvars, m),
-                         lambda i: (mel_in,),
+                         lambda i: (mel_ins[i + 1],),
                          n_iters, _check_program(n_iters)) * n_voc
 
     audio_seconds = B * T_dec * hop / sr
