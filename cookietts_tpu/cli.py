@@ -80,6 +80,8 @@ def cmd_train(args):
         return _train_hifigan(args, overrides)
     if args.model == "untts":
         return _train_untts(args, overrides)
+    if args.model == "gantts":
+        return _train_gantts(args, overrides)
     if args.model != "tacotron2":
         raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
                          "use the runtime factories directly")
@@ -272,6 +274,90 @@ def _train_untts(args, overrides):
         "step": n_iters,
         "params": jax.tree_util.tree_map(np.asarray, state.params)},
         metadata={"model": "untts"})
+    print(f"done: checkpoints in {args.run_dir}")
+
+
+def _train_gantts(args, overrides):
+    """GAN-TTS adversarial training from a filelist with MFA durations
+    (reference _2_ttm/GANTTS/train.py surface: alternating BCE D/G
+    steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data.dataset import DataConfig, TTSDataset, collate
+    from .data.filelist import load_filelist
+    from .models.gantts import (GANTTSConfig, GANTTSDiscriminator,
+                                GANTTSGenerator)
+    from .runtime.checkpoint import Checkpointer
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.optim import adam
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import make_gantts_train_steps, scalars_to_arrays
+    from .text import N_SYMBOLS
+
+    batch_size = int(overrides.get("batch_size", 8))
+    n_iters = int(overrides.get("n_iters", args.iters))
+
+    entries = load_filelist(args.filelist)
+    d_valid = set(DataConfig.__dataclass_fields__)
+    dcfg = DataConfig(**{k: v for k, v in overrides.items() if k in d_valid})
+    dataset = TTSDataset(
+        entries, dcfg,
+        features=("text", "mel", "speaker_id", "durations"))
+
+    m_valid = set(GANTTSConfig.__dataclass_fields__)
+    gcfg = GANTTSConfig(
+        n_symbols=N_SYMBOLS, n_mel_channels=dcfg.n_mel_channels,
+        **{k: v for k, v in overrides.items()
+           if k in m_valid and k not in ("n_symbols", "n_mel_channels")})
+    gen = GANTTSGenerator(gcfg)
+    disc = GANTTSDiscriminator(gcfg)
+
+    def make_batch(idx):
+        b = collate([dataset[int(i)] for i in idx], dcfg)
+        keys = ("text", "text_lengths", "mels", "mel_lengths",
+                "speaker_id", "durations")
+        return {k: jnp.asarray(b[k]) for k in keys if k in b}
+
+    rng = np.random.default_rng(0)
+    dev = make_batch(rng.integers(0, len(dataset), batch_size))
+    g_vars = jax.jit(gen.init, static_argnames=("t_out", "deterministic"))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=dev["text"], text_lengths=dev["text_lengths"],
+        speaker_id=dev["speaker_id"], durations=dev["durations"],
+        t_out=int(dev["mels"].shape[1]), key=jax.random.PRNGKey(2),
+        deterministic=False)
+    d_vars = jax.jit(disc.init)(jax.random.PRNGKey(3), dev["mels"],
+                                key=jax.random.PRNGKey(4))
+    g_state = TrainState.create(gen.apply, g_vars["params"], adam())
+    d_state = TrainState.create(disc.apply, d_vars["params"], adam())
+
+    d_step, g_step = make_gantts_train_steps(
+        gen, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
+    logger = MetricsLogger(args.run_dir)
+    ckpt = Checkpointer(args.run_dir)
+    base_lr = float(overrides.get("lr", 1e-4))
+    # reference scales the D lr separately (train.py:344)
+    d_lr_scale = float(overrides.get("d_lr_scale", 1.0))
+    for it in range(n_iters):
+        batch = make_batch(rng.integers(0, len(dataset), batch_size))
+        key = jax.random.PRNGKey(it)
+        d_state, d_m = d_step(d_state, g_state, batch, key, scalars_to_arrays(
+            {"lr": base_lr * d_lr_scale, "grad_clip": 10.0}))
+        g_state, g_m = g_step(g_state, d_state, batch, key, scalars_to_arrays(
+            {"lr": base_lr, "grad_clip": 10.0}))
+        if it % 10 == 0:
+            metrics = {**{k: float(v) for k, v in d_m.items()},
+                       **{k: float(v) for k, v in g_m.items()}}
+            logger.log_scalars(it, metrics)
+            print(f"iter {it}: g_loss={metrics['g_loss']:.4f} "
+                  f"d_loss={metrics['d_loss']:.4f}")
+    ckpt.save_periodic(n_iters, {
+        "step": n_iters,
+        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
+        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
+        metadata={"model": "gantts"})
     print(f"done: checkpoints in {args.run_dir}")
 
 
@@ -596,7 +682,8 @@ def main(argv=None):
 
     t = sub.add_parser("train")
     t.add_argument("--model", default="tacotron2",
-                   choices=["tacotron2", "waveglow", "hifigan", "untts"])
+                   choices=["tacotron2", "waveglow", "hifigan", "untts",
+                            "gantts"])
     t.add_argument("--filelist", required=True)
     t.add_argument("--warm_start", default=None)
     t.add_argument("--resume", nargs="?", const="auto", default=None,

@@ -820,3 +820,85 @@ def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
         return g_state, metrics
 
     return d_step, g_step
+
+
+# -- GAN-TTS steps -----------------------------------------------------------
+
+def make_gantts_train_steps(gen, disc, mel_weight: float = 1.0
+                            ) -> Tuple[Callable, Callable]:
+    """(d_step, g_step) for GAN-TTS adversarial training.
+
+    Reference _2_ttm/GANTTS/train.py:344-395: plain BCE on the
+    discriminator's fakeness — the generator drives its samples toward
+    the "real" label (:359), the discriminator drives real->real and
+    fake->fake (:385-389). Our window-discriminator ensemble returns
+    per-window LOGITS, so the BCE is computed with logits; a masked mel
+    L1 term (``mel_weight``, 0 disables) anchors the generator the way
+    the reference's teacher-forced variants do.
+
+    batch = {text, text_lengths, speaker_id, durations, mels [B,T,M],
+             mel_lengths}; both steps take (state, other_state, batch,
+    key, ctrl) and return (state, metrics).
+    """
+    def _bce_logits(logits, target):
+        # mean softplus BCE: target 1 = real
+        x = logits.astype(jnp.float32)
+        return jnp.mean(jax.nn.softplus(x) - target * x)
+
+    def _gen_mel(g_params, batch, key):
+        return gen.apply(
+            {"params": g_params}, text=batch["text"],
+            text_lengths=batch["text_lengths"],
+            speaker_id=batch["speaker_id"], durations=batch["durations"],
+            t_out=batch["mels"].shape[1], key=key, deterministic=False,
+            rngs={"dropout": key})
+
+    def g_loss_fn(g_params, d_params, batch, key):
+        fake, frame_mask = _gen_mel(g_params, batch, key)
+        logits = disc.apply({"params": d_params}, fake,
+                            key=jax.random.fold_in(key, 1))
+        g_adv = sum(_bce_logits(l, 1.0) for l in logits) / len(logits)
+        m = frame_mask[:, :, None].astype(jnp.float32)
+        mel_l1 = jnp.sum(jnp.abs(fake - batch["mels"]) * m) \
+            / jnp.maximum(jnp.sum(m) * fake.shape[-1], 1.0)
+        total = g_adv + mel_weight * mel_l1
+        return total, {"g_adv": g_adv, "g_mel_l1": mel_l1,
+                       "g_loss": total}
+
+    def d_loss_fn(d_params, g_params, batch, key):
+        fake, _ = _gen_mel(g_params, batch, key)
+        fake = jax.lax.stop_gradient(fake)
+        wkey = jax.random.fold_in(key, 1)
+        real_logits = disc.apply({"params": d_params}, batch["mels"],
+                                 key=wkey)
+        fake_logits = disc.apply({"params": d_params}, fake, key=wkey)
+        d_real = sum(_bce_logits(l, 1.0) for l in real_logits)
+        d_fake = sum(_bce_logits(l, 0.0) for l in fake_logits)
+        loss = (d_real + d_fake) / len(real_logits)
+        return loss, {"d_loss": loss,
+                      "d_real_logit": jnp.mean(real_logits[0]),
+                      "d_fake_logit": jnp.mean(fake_logits[0])}
+
+    @jax.jit
+    def d_step(d_state, g_state, batch, key, ctrl):
+        (loss, metrics), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params, g_state.params,
+                                     batch, key)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        d_state = d_state.apply_gradients(grads, ctrl["lr"])
+        metrics = dict(metrics)
+        metrics["d_grad_norm"] = gn
+        return d_state, metrics
+
+    @jax.jit
+    def g_step(g_state, d_state, batch, key, ctrl):
+        (loss, metrics), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params, d_state.params,
+                                     batch, key)
+        grads, gn = clip_by_global_norm(grads, ctrl["grad_clip"])
+        g_state = g_state.apply_gradients(grads, ctrl["lr"])
+        metrics = dict(metrics)
+        metrics["g_grad_norm"] = gn
+        return g_state, metrics
+
+    return d_step, g_step

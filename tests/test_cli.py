@@ -142,3 +142,27 @@ def test_cli_train_untts(tts_dataset, tmp_path):
     files = os.listdir(run_dir)
     assert any(f.startswith("checkpoint_") for f in files)
     assert "events.jsonl" in files
+
+
+TINY_GANTTS_HPARAMS = (
+    "batch_size=2,n_iters=2,"
+    "sampling_rate=22050,filter_length=512,hop_length=128,win_length=512,"
+    "n_mel_channels=20,mel_fmax=8000.0,"
+    "symbols_embedding_dim=16,n_speakers=4,speaker_embedding_dim=8,"
+    "z_dim=8,enc_layers=1,enc_heads=2,enc_ffn_dim=24,"
+    "g_channels=[16,16],d_channels=[8,8],d_windows=[8,16],"
+    "text_buckets=[48],mel_buckets=[192],max_segment_frames=192"
+)
+
+
+def test_cli_train_gantts(tts_dataset, tmp_path):
+    """GAN-TTS adversarial training from the CLI (reference
+    _2_ttm/GANTTS/train.py surface)."""
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_gantts")
+    cli.main(["train", "--model", "gantts", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_GANTTS_HPARAMS])
+    files = os.listdir(run_dir)
+    assert any(f.startswith("checkpoint_") for f in files)
+    assert "events.jsonl" in files
