@@ -82,6 +82,8 @@ def cmd_train(args):
         return _train_untts(args, overrides)
     if args.model == "gantts":
         return _train_gantts(args, overrides)
+    if args.model == "hifigan_denoiser":
+        return _train_hifigan_denoiser(args, overrides)
     if args.model != "tacotron2":
         raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
                          "use the runtime factories directly")
@@ -358,6 +360,99 @@ def _train_gantts(args, overrides):
         "params": jax.tree_util.tree_map(np.asarray, g_state.params),
         "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
         metadata={"model": "gantts"})
+    print(f"done: checkpoints in {args.run_dir}")
+
+
+def _train_hifigan_denoiser(args, overrides):
+    """Staged HiFiGAN-Denoiser training (reference
+    _4_mtw/HiFiGAN_Denoiser/train.py + model.py:38-60): stage <2 trains
+    the WN generator on multi-res spectral L1+MSE over synthetic
+    noisy/clean pairs; stage >=2 adds the wave + spectrogram critics.
+    ``--filelist`` is a list of CLEAN wavs (pipe-separated filelists
+    use the first field); ``noise_dir=<path>`` adds real noise mixing."""
+    import glob as globlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data.denoiser_data import (DenoiserDataConfig, DenoiserDataset,
+                                     collate_denoiser)
+    from .models.hifigan_denoiser import (DenoiserWN, HiFiGANDenoiserConfig,
+                                          MultiResSpect, SpectDiscriminator,
+                                          WaveDiscriminator)
+    from .runtime.checkpoint import Checkpointer
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.optim import adam
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import (make_hifigan_denoiser_train_steps,
+                                  scalars_to_arrays)
+
+    batch_size = int(overrides.get("batch_size", 4))
+    n_iters = int(overrides.get("n_iters", args.iters))
+    stage = int(overrides.get("stage", 0))
+
+    with open(args.filelist) as f:
+        clean_files = [ln.split("|")[0].strip() for ln in f
+                       if ln.strip() and not ln.startswith("#")]
+    noise_files = []
+    if overrides.get("noise_dir"):
+        noise_files = sorted(globlib.glob(
+            os.path.join(str(overrides["noise_dir"]), "**", "*.wav"),
+            recursive=True))
+
+    d_valid = set(DenoiserDataConfig.__dataclass_fields__)
+    dcfg = DenoiserDataConfig(
+        **{k: v for k, v in overrides.items() if k in d_valid})
+    dataset = DenoiserDataset(clean_files, dcfg, noise_files=noise_files)
+
+    m_valid = set(HiFiGANDenoiserConfig.__dataclass_fields__)
+    mcfg = HiFiGANDenoiserConfig(
+        stage=stage,
+        **{k: v for k, v in overrides.items()
+           if k in m_valid and k != "stage"})
+    gen = DenoiserWN(mcfg)
+    dw = WaveDiscriminator(mcfg)
+    ds = SpectDiscriminator(mcfg)
+    mrs = MultiResSpect(mcfg.window_lengths, mcfg.hop_lengths)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        idx = rng.integers(0, len(dataset), batch_size)
+        b = collate_denoiser([dataset[int(i)] for i in idx])
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    dev = make_batch()
+    g_vars = jax.jit(gen.init)(jax.random.PRNGKey(0), dev["noisy"])
+    dw_vars = jax.jit(dw.init)(jax.random.PRNGKey(1), dev["clean"])
+    ds_vars = jax.jit(ds.init)(jax.random.PRNGKey(2),
+                               mrs(dev["clean"])[0])
+    g_state = TrainState.create(gen.apply, g_vars["params"], adam())
+    d_state = TrainState.create(
+        None, (dw_vars["params"], ds_vars["params"]), adam())
+
+    d_step, g_step = make_hifigan_denoiser_train_steps(
+        gen, dw, ds, mrs, stage=stage)
+    logger = MetricsLogger(args.run_dir)
+    ckpt = Checkpointer(args.run_dir)
+    base_lr = float(overrides.get("lr", 2e-4))
+    for it in range(n_iters):
+        batch = make_batch()
+        ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": 100.0})
+        d_state, d_m = d_step(d_state, g_state, batch, ctrl)
+        g_state, g_m = g_step(g_state, d_state, batch, ctrl)
+        if it % 10 == 0:
+            metrics = {**{k: float(v) for k, v in d_m.items()},
+                       **{k: float(v) for k, v in g_m.items()}}
+            logger.log_scalars(it, metrics)
+            print(f"iter {it}: loss={metrics['loss']:.4f} "
+                  f"d_loss={metrics['d_loss']:.4f}")
+    ckpt.save_periodic(n_iters, {
+        "step": n_iters,
+        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
+        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
+        metadata={"model": "hifigan_denoiser", "stage": stage})
     print(f"done: checkpoints in {args.run_dir}")
 
 
@@ -683,7 +778,7 @@ def main(argv=None):
     t = sub.add_parser("train")
     t.add_argument("--model", default="tacotron2",
                    choices=["tacotron2", "waveglow", "hifigan", "untts",
-                            "gantts"])
+                            "gantts", "hifigan_denoiser"])
     t.add_argument("--filelist", required=True)
     t.add_argument("--warm_start", default=None)
     t.add_argument("--resume", nargs="?", const="auto", default=None,

@@ -155,6 +155,43 @@ TINY_GANTTS_HPARAMS = (
 )
 
 
+def test_cli_train_hifigan_denoiser(tmp_path):
+    """Staged denoiser training from a clean-wav filelist with a real
+    noise folder (reference _4_mtw/HiFiGAN_Denoiser/train.py surface)."""
+    sr = 16000
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(2):
+        t = np.arange(sr // 2) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 250 * (i + 1) * t)
+                 ).astype(np.float32)
+        p = str(tmp_path / f"d{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(p)
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    audio_io.save_wav(
+        str(noise_dir / "hum.wav"),
+        (0.1 * rng.standard_normal(sr // 2)).astype(np.float32), sr)
+    filelist = str(tmp_path / "clean.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(lines))
+    run_dir = str(tmp_path / "run_dn")
+    cli.main(["train", "--model", "hifigan_denoiser",
+              "--filelist", filelist, "--iters", "2",
+              "--run_dir", run_dir,
+              "--hparams",
+              f"batch_size=2,n_iters=2,segment_length=1024,"
+              f"sampling_rate={sr},noise_dir='{noise_dir}',"
+              "min_augmented_sample_rate=8000,"
+              f"max_augmented_sample_rate={sr},"
+              "n_layers=2,n_channels=8,window_lengths=[64,128],"
+              "hop_lengths=[16,32],dw_channels=[4,8],ds_channels=[4]"])
+    files = os.listdir(run_dir)
+    assert any(f.startswith("checkpoint_") for f in files)
+    assert "events.jsonl" in files
+
+
 def test_cli_train_gantts(tts_dataset, tmp_path):
     """GAN-TTS adversarial training from the CLI (reference
     _2_ttm/GANTTS/train.py surface)."""

@@ -126,6 +126,40 @@ def test_oov_words():
     assert oov_words(["Hello zorp"], lex) == ["zorp"]
 
 
+def test_denoiser_dataset(tmp_path):
+    """Noisy/clean pair synthesis (reference HiFiGAN_Denoiser
+    mel2samp.py:216-248): static segment shapes, corruption applied,
+    SNR-scaled noise mixing when noise files are given."""
+    from cookietts_tpu.data import audio_io
+    from cookietts_tpu.data.denoiser_data import (DenoiserDataConfig,
+                                                  DenoiserDataset,
+                                                  collate_denoiser)
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    clean_path = str(tmp_path / "c.wav")
+    audio_io.save_wav(clean_path,
+                      (0.4 * np.sin(2 * np.pi * 200 * t)).astype(np.float32),
+                      sr)
+    noise_path = str(tmp_path / "n.wav")
+    rng = np.random.default_rng(0)
+    audio_io.save_wav(noise_path,
+                      (0.2 * rng.standard_normal(sr // 4)).astype(np.float32),
+                      sr)   # shorter than a segment -> exercises tiling
+
+    cfg = DenoiserDataConfig(
+        segment_length=2048, sampling_rate=sr, min_snr_db=0.0,
+        max_snr_db=10.0, min_augmented_sample_rate=4000,
+        max_augmented_sample_rate=sr)
+    ds = DenoiserDataset([clean_path], cfg, noise_files=[noise_path])
+    batch = collate_denoiser([ds[0], ds[0]])
+    assert batch["noisy"].shape == batch["clean"].shape == (2, 2048)
+    assert np.all(np.abs(batch["noisy"]) <= 1.0)
+    # corruption actually happened and differs between draws
+    assert not np.allclose(batch["noisy"][0], batch["clean"][0])
+    assert not np.allclose(batch["noisy"][0], batch["noisy"][1])
+
+
 def test_arpa_from_alignment():
     from cookietts_tpu.data.mfa import arpa_from_alignment
 
