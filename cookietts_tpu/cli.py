@@ -84,6 +84,8 @@ def cmd_train(args):
         return _train_gantts(args, overrides)
     if args.model == "hifigan_denoiser":
         return _train_hifigan_denoiser(args, overrides)
+    if args.model == "gan_postnet":
+        return _train_gan_postnet(args, overrides)
     if args.model != "tacotron2":
         raise SystemExit(f"training CLI for {args.model!r} not wired yet; "
                          "use the runtime factories directly")
@@ -360,6 +362,127 @@ def _train_gantts(args, overrides):
         "params": jax.tree_util.tree_map(np.asarray, g_state.params),
         "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
         metadata={"model": "gantts"})
+    print(f"done: checkpoints in {args.run_dir}")
+
+
+def _train_gan_postnet(args, overrides):
+    """Adversarial mel-refinement postnet training from a GTA map file
+    (reference tacotron2_ssvae/model.py:183-316: the postnet pulls
+    teacher-forced decoder mels toward ground truth while fooling a
+    speaker-conditioned fakeness discriminator).
+
+    ``--filelist`` is a ``wav|mel|speaker`` GTA map; decoder mels come
+    from the ``.mel*.npy`` sidecars, ground-truth mels from the audio.
+    Speaker conditioning uses fixed seeded per-speaker code vectors
+    (standing in for the ssvae model's learned speaker embedding, which
+    lives in the Tacotron2 checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .audio.stft import TacotronSTFT
+    from .data.audio_io import load_wav
+    from .data.mel2samp import load_map_file
+    from .models.gan_postnet import (GANDiscriminator, GANPostnet,
+                                     GANPostnetConfig)
+    from .runtime.checkpoint import Checkpointer
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.optim import adam
+    from .runtime.train_state import TrainState
+    from .runtime.trainer import (make_gan_postnet_train_steps,
+                                  scalars_to_arrays)
+
+    batch_size = int(overrides.get("batch_size", 8))
+    n_iters = int(overrides.get("n_iters", args.iters))
+    seg = int(overrides.get("postnet_segment_frames", 64))
+    sr = int(overrides.get("sampling_rate", 44100))
+
+    stft = TacotronSTFT(
+        filter_length=int(overrides.get("filter_length", 2048)),
+        hop_length=int(overrides.get("hop_length", 512)),
+        win_length=int(overrides.get("win_length", 2048)),
+        n_mel_channels=int(overrides.get("n_mel_channels", 80)),
+        sampling_rate=sr,
+        mel_fmax=float(overrides.get("mel_fmax", 11025.0)))
+
+    entries = [(w, m, s) for w, m, s, _ in load_map_file(args.filelist)
+               if m is not None]
+    if not entries:
+        raise SystemExit("map file has no mel sidecars; run gta first")
+
+    m_valid = set(GANPostnetConfig.__dataclass_fields__)
+    pcfg = GANPostnetConfig(
+        n_mel_channels=stft.n_mel_channels,
+        **{k: v for k, v in overrides.items()
+           if k in m_valid and k != "n_mel_channels"})
+    post = GANPostnet(pcfg)
+    disc = GANDiscriminator(pcfg)
+
+    def speaker_code(sid: int) -> np.ndarray:
+        return np.random.default_rng(1000 + sid).standard_normal(
+            pcfg.speaker_embedding_dim).astype(np.float32)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        dec, gt, spk = [], [], []
+        for i in rng.integers(0, len(entries), batch_size):
+            wav_path, mel_path, sid = entries[int(i)]
+            dmel = np.load(mel_path).astype(np.float32)       # [T, M]
+            audio, _ = load_wav(wav_path, target_sr=sr)
+            gmel = stft.mel_spectrogram_np(audio).astype(np.float32)
+            n = min(dmel.shape[0], gmel.shape[0])
+            if n >= seg:
+                s = int(rng.integers(0, n - seg + 1))
+                d, g = dmel[s:s + seg], gmel[s:s + seg]
+            else:
+                pad = ((0, seg - n), (0, 0))
+                d = np.pad(dmel[:n], pad)
+                g = np.pad(gmel[:n], pad)
+            dec.append(d)
+            gt.append(g)
+            spk.append(speaker_code(sid))
+        return {"decoder_mel": jnp.asarray(np.stack(dec)),
+                "gt_mel": jnp.asarray(np.stack(gt)),
+                "speaker_embed": jnp.asarray(np.stack(spk))}
+
+    dev = make_batch()
+    g_vars = post.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dev["decoder_mel"], dev["speaker_embed"],
+        key=jax.random.PRNGKey(2), deterministic=False)
+    d_vars = disc.init(
+        {"params": jax.random.PRNGKey(3)}, dev["gt_mel"],
+        dev["speaker_embed"], deterministic=False)
+    g_state = TrainState.create(
+        post.apply, g_vars["params"], adam(),
+        {k: v for k, v in g_vars.items() if k != "params"})
+    d_state = TrainState.create(
+        disc.apply, d_vars["params"], adam(),
+        {k: v for k, v in d_vars.items() if k != "params"})
+
+    d_step, g_step = make_gan_postnet_train_steps(
+        post, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
+    logger = MetricsLogger(args.run_dir)
+    ckpt = Checkpointer(args.run_dir)
+    base_lr = float(overrides.get("lr", 2e-4))
+    ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": 10.0})
+    for it in range(n_iters):
+        batch = make_batch()
+        key = jax.random.PRNGKey(it)
+        d_state, d_m = d_step(d_state, g_state, batch, key, ctrl)
+        g_state, g_m = g_step(g_state, d_state, batch, key, ctrl)
+        if it % 10 == 0:
+            metrics = {**{k: float(v) for k, v in d_m.items()},
+                       **{k: float(v) for k, v in g_m.items()}}
+            logger.log_scalars(it, metrics)
+            print(f"iter {it}: g_loss={metrics['g_loss']:.4f} "
+                  f"d_loss={metrics['d_loss']:.4f}")
+    ckpt.save_periodic(n_iters, {
+        "step": n_iters,
+        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
+        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
+        metadata={"model": "gan_postnet"})
     print(f"done: checkpoints in {args.run_dir}")
 
 
@@ -778,7 +901,7 @@ def main(argv=None):
     t = sub.add_parser("train")
     t.add_argument("--model", default="tacotron2",
                    choices=["tacotron2", "waveglow", "hifigan", "untts",
-                            "gantts", "hifigan_denoiser"])
+                            "gantts", "hifigan_denoiser", "gan_postnet"])
     t.add_argument("--filelist", required=True)
     t.add_argument("--warm_start", default=None)
     t.add_argument("--resume", nargs="?", const="auto", default=None,

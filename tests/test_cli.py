@@ -192,6 +192,47 @@ def test_cli_train_hifigan_denoiser(tmp_path):
     assert "events.jsonl" in files
 
 
+def test_cli_train_gan_postnet(tmp_path):
+    """Adversarial postnet refinement trains from a GTA map file
+    (reference tacotron2_ssvae/model.py:183-316 surface)."""
+    from cookietts_tpu.audio.stft import TacotronSTFT
+
+    sr = 16000
+    stft = TacotronSTFT(filter_length=512, hop_length=128, win_length=512,
+                        n_mel_channels=16, sampling_rate=sr, mel_fmax=8000.0)
+    rng = np.random.default_rng(4)
+    lines = []
+    for i in range(2):
+        t = np.arange(sr // 2) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 200 * (i + 1) * t)
+                 ).astype(np.float32)
+        wav = str(tmp_path / f"p{i}.wav")
+        audio_io.save_wav(wav, audio, sr)
+        # fake teacher-forced decoder mel = gt mel + noise
+        gmel = stft.mel_spectrogram_np(audio).astype(np.float32)
+        dmel = gmel + 0.3 * rng.standard_normal(gmel.shape).astype(
+            np.float32)
+        mel = str(tmp_path / f"p{i}.mel.npy")
+        np.save(mel, dmel)
+        lines.append(f"{wav}|{mel}|{i}")
+    map_file = str(tmp_path / "map_train_0.txt")
+    with open(map_file, "w") as f:
+        f.write("\n".join(lines))
+    run_dir = str(tmp_path / "run_pn")
+    cli.main(["train", "--model", "gan_postnet", "--filelist", map_file,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams",
+              f"batch_size=2,n_iters=2,sampling_rate={sr},"
+              "filter_length=512,hop_length=128,win_length=512,"
+              "n_mel_channels=16,mel_fmax=8000.0,"
+              "postnet_segment_frames=24,speaker_embedding_dim=8,"
+              "noise_dim=4,n_convolutions=3,embedding_dim=16,"
+              "residual_connections=0"])
+    files = os.listdir(run_dir)
+    assert any(f.startswith("checkpoint_") for f in files)
+    assert "events.jsonl" in files
+
+
 def test_cli_train_gantts(tts_dataset, tmp_path):
     """GAN-TTS adversarial training from the CLI (reference
     _2_ttm/GANTTS/train.py surface)."""
