@@ -155,9 +155,15 @@ def cmd_train(args):
                    for i in range(min(len(dataset), 512))]
         sampler = TBPTTSampler(lengths, batch_size,
                                dcfg.max_segment_frames, seed=epoch)
-        for segs in sampler:
+        from .data.prefetch import Prefetcher
+
+        def _load(segs):
             items = [dataset[s.file_idx] for s in segs]
-            batch = collate(items, dcfg, segments=segs)
+            return collate(items, dcfg, segments=segs)
+
+        # background batch prep overlaps host IO/mel work with the TPU
+        # step (reference DataLoader num_workers, train.py:160-166)
+        for batch in Prefetcher(_load, sampler, depth=2):
             if jax.process_count() > 1:
                 # multi-host: every host plans the same global schedule
                 # but materializes only its dp rows; shard_batch stitches

@@ -243,3 +243,47 @@ def test_mesh_and_shard_batch():
     batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
     sharded = shard_batch(batch, mesh)
     np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
+
+
+# -- prefetch ------------------------------------------------------------------
+
+def test_prefetcher_order_and_exceptions():
+    import time
+
+    from cookietts_tpu.data.prefetch import Prefetcher
+
+    def slow_double(x):
+        time.sleep(0.02 if x % 3 == 0 else 0.0)   # jitter completion order
+        return x * 2
+
+    out = list(Prefetcher(slow_double, range(10), depth=3, workers=3))
+    assert out == [x * 2 for x in range(10)]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("bad item")
+        return x
+
+    loader = iter(Prefetcher(boom, range(6), depth=2, workers=2))
+    got = [next(loader), next(loader), next(loader)]
+    assert got == [0, 1, 2]
+    try:
+        next(loader)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_prefetcher_early_break_stops_workers():
+    import threading
+
+    from cookietts_tpu.data.prefetch import Prefetcher
+
+    before = threading.active_count()
+    for batch in Prefetcher(lambda x: x, range(100), depth=2, workers=2):
+        if batch == 5:
+            break
+    # workers wind down after the consumer abandons the loop
+    import time
+    time.sleep(0.1)
+    assert threading.active_count() <= before + 2
