@@ -854,6 +854,12 @@ def cmd_convert(args):
         params, hints = convert_hifigan_state_dict(sd)
         meta = {"model_config": hints}
         tree = {"step": 0, "params": params}
+    elif args.model == "torchmoji":
+        from .models.torchmoji import convert_torch_checkpoint
+        params = convert_torch_checkpoint(sd)
+        meta = {"model_config": {
+            "nb_tokens": int(params["embed"]["embedding"].shape[0])}}
+        tree = {"step": 0, "params": params}
     else:
         raise SystemExit(f"no converter for model {args.model!r}")
     save_checkpoint(args.output, tree, meta)
@@ -942,7 +948,8 @@ def main(argv=None):
         "convert", help="convert a reference torch checkpoint "
         "(tacotron2_tm / WaveGlow) into this framework's format")
     c.add_argument("--model",
-                   choices=("tacotron2", "waveglow", "hifigan"),
+                   choices=("tacotron2", "waveglow", "hifigan",
+                            "torchmoji"),
                    required=True)
     c.add_argument("--torch_ckpt", required=True,
                    help=".pt/.pth (torch required) or .npz state dict")

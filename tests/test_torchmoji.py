@@ -92,3 +92,41 @@ def test_encoder_wrapper(tiny_moji):
     enc = TorchMojiEncoder(vocab, variables, maxlen=6)
     feat = enc("hello there")
     assert feat.shape == (FEATURE_DIM,)
+
+
+def test_cli_convert_torchmoji(tmp_path):
+    """'convert --model torchmoji' maps the published pytorch layout into
+    a loadable framework checkpoint that runs."""
+    from cookietts_tpu import cli
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+
+    nb = 64
+    rng = np.random.default_rng(1)
+    sd = {"embed.weight": rng.standard_normal((nb, EMBED_DIM)),
+          "attention_layer.attention_vector":
+              rng.standard_normal((FEATURE_DIM,))}
+    for i in (0, 1):
+        in_dim = EMBED_DIM if i == 0 else 2 * HIDDEN
+        for sfx in ("", "_reverse"):
+            sd[f"lstm_{i}.weight_ih_l0{sfx}"] = \
+                rng.standard_normal((4 * HIDDEN, in_dim))
+            sd[f"lstm_{i}.weight_hh_l0{sfx}"] = \
+                rng.standard_normal((4 * HIDDEN, HIDDEN))
+            sd[f"lstm_{i}.bias_ih_l0{sfx}"] = \
+                rng.standard_normal((4 * HIDDEN,))
+            sd[f"lstm_{i}.bias_hh_l0{sfx}"] = \
+                rng.standard_normal((4 * HIDDEN,))
+    npz = str(tmp_path / "pytorch_model.npz")
+    np.savez(npz, **{k: np.asarray(v, np.float32) for k, v in sd.items()})
+    out = str(tmp_path / "torchmoji.ckpt")
+    cli.main(["convert", "--model", "torchmoji",
+              "--torch_ckpt", npz, "-o", out])
+
+    tree, meta = load_checkpoint(out)
+    assert meta["model_config"]["nb_tokens"] == nb
+    model = TorchMoji(nb_tokens=nb)
+    ids = jnp.asarray([[5, 9, 2, 0, 0, 0]], jnp.int32)
+    params = jax.tree_util.tree_map(jnp.asarray, tree["params"])
+    feats = model.apply({"params": params}, ids)
+    assert feats.shape == (1, FEATURE_DIM)
+    assert np.isfinite(np.asarray(feats)).all()
