@@ -121,12 +121,27 @@ def cmd_train(args):
         print(f"warm start: {n_l} loaded, {n_s} skipped")
 
     tp = int(getattr(args, "tp", 1) or 1)
-    # dp must divide the batch; use the largest divisor the device count
-    # allows (1-chip or indivisible batch -> no mesh)
     import math
-    dp = math.gcd(batch_size, max(len(jax.devices()) // tp, 1))
-    mesh = (make_mesh(dp=dp, tp=tp, devices=jax.devices()[:dp * tp])
-            if dp * tp > 1 else None)
+    if jax.process_count() > 1:
+        # multi-host: the mesh MUST span every global device (each host
+        # only addresses its own chips) and the batch must divide
+        # evenly over processes and dp — anything else would silently
+        # drop rows or build a sharding with unaddressable devices
+        n_dev = len(jax.devices())
+        if n_dev % tp:
+            raise SystemExit(f"{n_dev} devices not divisible by tp={tp}")
+        dp = n_dev // tp
+        if batch_size % dp or batch_size % jax.process_count():
+            raise SystemExit(
+                f"batch_size={batch_size} must divide evenly over "
+                f"dp={dp} and {jax.process_count()} processes")
+        mesh = make_mesh(dp=dp, tp=tp)
+    else:
+        # dp must divide the batch; use the largest divisor the device
+        # count allows (1-chip or indivisible batch -> no mesh)
+        dp = math.gcd(batch_size, max(len(jax.devices()) // tp, 1))
+        mesh = (make_mesh(dp=dp, tp=tp, devices=jax.devices()[:dp * tp])
+                if dp * tp > 1 else None)
     tp_rules = None
     if mesh is not None and tp > 1:
         from .parallel.tp import TACOTRON2_TP_RULES
@@ -165,9 +180,13 @@ def cmd_train(args):
         # step (reference DataLoader num_workers, train.py:160-166)
         for batch in Prefetcher(_load, sampler, depth=2):
             if jax.process_count() > 1:
-                # multi-host: every host plans the same global schedule
-                # but materializes only its dp rows; shard_batch stitches
-                # the local shards into global arrays
+                # multi-host: every host COLLATES the full global batch
+                # (bucket choice depends on all rows' lengths, and the
+                # padded shapes must agree across hosts) but ships only
+                # its dp rows; shard_batch stitches the local shards
+                # into global arrays. KNOWN COST: host feature work is
+                # not yet sharded — fine at these model sizes, revisit
+                # if the data pipeline becomes the bottleneck.
                 from .parallel.launch import global_batch_slice
                 sl = global_batch_slice(batch_size)
                 batch = {k: v[sl] for k, v in batch.items()}
@@ -299,11 +318,9 @@ def _train_gantts(args, overrides):
     from .data.filelist import load_filelist
     from .models.gantts import (GANTTSConfig, GANTTSDiscriminator,
                                 GANTTSGenerator)
-    from .runtime.checkpoint import Checkpointer
-    from .runtime.logging_util import MetricsLogger
     from .runtime.optim import adam
     from .runtime.train_state import TrainState
-    from .runtime.trainer import make_gantts_train_steps, scalars_to_arrays
+    from .runtime.trainer import make_gantts_train_steps
     from .text import N_SYMBOLS
 
     batch_size = int(overrides.get("batch_size", 8))
@@ -345,30 +362,57 @@ def _train_gantts(args, overrides):
 
     d_step, g_step = make_gantts_train_steps(
         gen, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
-    logger = MetricsLogger(args.run_dir)
-    ckpt = Checkpointer(args.run_dir)
-    base_lr = float(overrides.get("lr", 1e-4))
-    # reference scales the D lr separately (train.py:344)
-    d_lr_scale = float(overrides.get("d_lr_scale", 1.0))
+    _run_gan_training(
+        d_step, g_step,
+        lambda: make_batch(rng.integers(0, len(dataset), batch_size)),
+        g_state, d_state, n_iters, args.run_dir,
+        base_lr=float(overrides.get("lr", 1e-4)), grad_clip=10.0,
+        # reference scales the D lr separately (train.py:344)
+        d_lr_scale=float(overrides.get("d_lr_scale", 1.0)),
+        model_name="gantts")
+
+
+def _run_gan_training(d_step, g_step, make_batch, g_state, d_state,
+                      n_iters, run_dir, base_lr, grad_clip,
+                      d_lr_scale=1.0, pass_key=True, model_name="gan",
+                      extra_meta=None, loss_key="g_loss"):
+    """Shared alternating D/G training tail for the adversarial models
+    (gantts / gan_postnet / hifigan_denoiser): step loop, scalar
+    logging, and the G+D checkpoint payload."""
+    import jax
+    import numpy as np
+
+    from .runtime.checkpoint import Checkpointer
+    from .runtime.logging_util import MetricsLogger
+    from .runtime.trainer import scalars_to_arrays
+
+    logger = MetricsLogger(run_dir)
+    ckpt = Checkpointer(run_dir)
+    d_ctrl = scalars_to_arrays({"lr": base_lr * d_lr_scale,
+                                "grad_clip": grad_clip})
+    g_ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": grad_clip})
     for it in range(n_iters):
-        batch = make_batch(rng.integers(0, len(dataset), batch_size))
-        key = jax.random.PRNGKey(it)
-        d_state, d_m = d_step(d_state, g_state, batch, key, scalars_to_arrays(
-            {"lr": base_lr * d_lr_scale, "grad_clip": 10.0}))
-        g_state, g_m = g_step(g_state, d_state, batch, key, scalars_to_arrays(
-            {"lr": base_lr, "grad_clip": 10.0}))
+        batch = make_batch()
+        if pass_key:
+            key = jax.random.PRNGKey(it)
+            d_state, d_m = d_step(d_state, g_state, batch, key, d_ctrl)
+            g_state, g_m = g_step(g_state, d_state, batch, key, g_ctrl)
+        else:
+            d_state, d_m = d_step(d_state, g_state, batch, d_ctrl)
+            g_state, g_m = g_step(g_state, d_state, batch, g_ctrl)
         if it % 10 == 0:
             metrics = {**{k: float(v) for k, v in d_m.items()},
                        **{k: float(v) for k, v in g_m.items()}}
             logger.log_scalars(it, metrics)
-            print(f"iter {it}: g_loss={metrics['g_loss']:.4f} "
+            print(f"iter {it}: {loss_key}={metrics[loss_key]:.4f} "
                   f"d_loss={metrics['d_loss']:.4f}")
     ckpt.save_periodic(n_iters, {
         "step": n_iters,
         "params": jax.tree_util.tree_map(np.asarray, g_state.params),
         "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
-        metadata={"model": "gantts"})
-    print(f"done: checkpoints in {args.run_dir}")
+        metadata={"model": model_name, **(extra_meta or {})})
+    print(f"done: checkpoints in {run_dir}")
+    return g_state, d_state
 
 
 def _train_gan_postnet(args, overrides):
@@ -391,12 +435,9 @@ def _train_gan_postnet(args, overrides):
     from .data.mel2samp import load_map_file
     from .models.gan_postnet import (GANDiscriminator, GANPostnet,
                                      GANPostnetConfig)
-    from .runtime.checkpoint import Checkpointer
-    from .runtime.logging_util import MetricsLogger
     from .runtime.optim import adam
     from .runtime.train_state import TrainState
-    from .runtime.trainer import (make_gan_postnet_train_steps,
-                                  scalars_to_arrays)
+    from .runtime.trainer import make_gan_postnet_train_steps
 
     batch_size = int(overrides.get("batch_size", 8))
     n_iters = int(overrides.get("n_iters", args.iters))
@@ -469,27 +510,10 @@ def _train_gan_postnet(args, overrides):
 
     d_step, g_step = make_gan_postnet_train_steps(
         post, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
-    logger = MetricsLogger(args.run_dir)
-    ckpt = Checkpointer(args.run_dir)
-    base_lr = float(overrides.get("lr", 2e-4))
-    ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": 10.0})
-    for it in range(n_iters):
-        batch = make_batch()
-        key = jax.random.PRNGKey(it)
-        d_state, d_m = d_step(d_state, g_state, batch, key, ctrl)
-        g_state, g_m = g_step(g_state, d_state, batch, key, ctrl)
-        if it % 10 == 0:
-            metrics = {**{k: float(v) for k, v in d_m.items()},
-                       **{k: float(v) for k, v in g_m.items()}}
-            logger.log_scalars(it, metrics)
-            print(f"iter {it}: g_loss={metrics['g_loss']:.4f} "
-                  f"d_loss={metrics['d_loss']:.4f}")
-    ckpt.save_periodic(n_iters, {
-        "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
-        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
-        metadata={"model": "gan_postnet"})
-    print(f"done: checkpoints in {args.run_dir}")
+    _run_gan_training(d_step, g_step, make_batch, g_state, d_state,
+                      n_iters, args.run_dir,
+                      base_lr=float(overrides.get("lr", 2e-4)),
+                      grad_clip=10.0, model_name="gan_postnet")
 
 
 def _train_hifigan_denoiser(args, overrides):
@@ -510,12 +534,9 @@ def _train_hifigan_denoiser(args, overrides):
     from .models.hifigan_denoiser import (DenoiserWN, HiFiGANDenoiserConfig,
                                           MultiResSpect, SpectDiscriminator,
                                           WaveDiscriminator)
-    from .runtime.checkpoint import Checkpointer
-    from .runtime.logging_util import MetricsLogger
     from .runtime.optim import adam
     from .runtime.train_state import TrainState
-    from .runtime.trainer import (make_hifigan_denoiser_train_steps,
-                                  scalars_to_arrays)
+    from .runtime.trainer import make_hifigan_denoiser_train_steps
 
     batch_size = int(overrides.get("batch_size", 4))
     n_iters = int(overrides.get("n_iters", args.iters))
@@ -563,26 +584,12 @@ def _train_hifigan_denoiser(args, overrides):
 
     d_step, g_step = make_hifigan_denoiser_train_steps(
         gen, dw, ds, mrs, stage=stage)
-    logger = MetricsLogger(args.run_dir)
-    ckpt = Checkpointer(args.run_dir)
-    base_lr = float(overrides.get("lr", 2e-4))
-    for it in range(n_iters):
-        batch = make_batch()
-        ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": 100.0})
-        d_state, d_m = d_step(d_state, g_state, batch, ctrl)
-        g_state, g_m = g_step(g_state, d_state, batch, ctrl)
-        if it % 10 == 0:
-            metrics = {**{k: float(v) for k, v in d_m.items()},
-                       **{k: float(v) for k, v in g_m.items()}}
-            logger.log_scalars(it, metrics)
-            print(f"iter {it}: loss={metrics['loss']:.4f} "
-                  f"d_loss={metrics['d_loss']:.4f}")
-    ckpt.save_periodic(n_iters, {
-        "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
-        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
-        metadata={"model": "hifigan_denoiser", "stage": stage})
-    print(f"done: checkpoints in {args.run_dir}")
+    _run_gan_training(d_step, g_step, make_batch, g_state, d_state,
+                      n_iters, args.run_dir,
+                      base_lr=float(overrides.get("lr", 2e-4)),
+                      grad_clip=100.0, pass_key=False,
+                      model_name="hifigan_denoiser",
+                      extra_meta={"stage": stage}, loss_key="loss")
 
 
 def _train_waveglow(args, overrides):

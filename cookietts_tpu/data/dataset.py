@@ -28,6 +28,7 @@ import hashlib
 import inspect
 import os
 import random
+import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -35,6 +36,20 @@ import numpy as np
 from ..audio.stft import TacotronSTFT
 from ..text import text_to_sequence
 from . import audio_io
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save via temp-file + rename so concurrent readers (Prefetcher
+    threads, multiple trainer processes) never see a partial .npy."""
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
+    try:
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def get_args(func: Callable) -> List[str]:
@@ -171,15 +186,15 @@ class TTSDataset:
                 audio: Optional[np.ndarray] = None) -> np.ndarray:
         cache = self._cache_path(audiopath)
         if self.cfg.cache_mels and os.path.exists(cache):
-            return np.load(cache)
+            try:
+                return np.load(cache)
+            except (OSError, ValueError):
+                pass                       # corrupt/partial -> recompute
         if audio is None:
             audio = self.load_audio(audiopath)
         mel = self.stft.mel_spectrogram_np(audio).astype(np.float32)
         if self.cfg.cache_mels:
-            try:
-                np.save(cache, mel)
-            except OSError:
-                pass
+            _atomic_save(cache, mel)
         return mel                         # [T_frames, n_mel]
 
     # -- text ------------------------------------------------------------------
@@ -254,16 +269,17 @@ class TTSDataset:
                 # data_utils.py:714-721)
                 qh = hashlib.md5(e["quote"].encode()).hexdigest()[:8]
                 tm_cache = e["path"] + f".{qh}.tm.npy"
+                out["torchmoji"] = None
                 if cfg.cache_mels and os.path.exists(tm_cache):
-                    out["torchmoji"] = np.load(tm_cache)
-                else:
+                    try:
+                        out["torchmoji"] = np.load(tm_cache)
+                    except (OSError, ValueError):
+                        pass               # corrupt/partial -> recompute
+                if out["torchmoji"] is None:
                     out["torchmoji"] = np.asarray(
                         self.torchmoji_fn(e["quote"]), np.float32)
                     if cfg.cache_mels:
-                        try:
-                            np.save(tm_cache, out["torchmoji"])
-                        except OSError:
-                            pass
+                        _atomic_save(tm_cache, out["torchmoji"])
             else:
                 out["torchmoji"] = np.zeros(cfg.torchmoji_dim, np.float32)
         if "durations" in self.features:

@@ -59,12 +59,15 @@ class DenoiserDataset:
 
     def _noise_segment(self, n: int) -> np.ndarray:
         # reference loops until it draws a long-enough file (:219-225);
-        # tiling short files avoids the unbounded loop
+        # tiling short files avoids the unbounded loop. Empty/header-only
+        # wavs fall back to silence (the white-noise term still corrupts).
         path = self.noise_files[int(self.rng.integers(
             0, len(self.noise_files)))]
         noise, _ = load_wav(path, target_sr=self.cfg.sampling_rate)
+        if noise.shape[0] == 0:
+            return np.zeros(n, np.float32)
         if noise.shape[0] < n:
-            noise = np.tile(noise, int(np.ceil(n / max(noise.shape[0], 1))))
+            noise = np.tile(noise, int(np.ceil(n / noise.shape[0])))
         start = int(self.rng.integers(0, noise.shape[0] - n + 1))
         return noise[start:start + n].astype(np.float32)
 

@@ -146,7 +146,12 @@ def arpa_from_alignment(
                 core = core[1:]
             else:
                 break
-        if word_phones:
+        # only WORD tokens consume an aligned phone group — standalone
+        # punctuation / empty tokens have no MFA word interval, and
+        # popping for them would shift every later pronunciation (the
+        # reference's get() has exactly this off-by-one, MFA.py:53-72)
+        is_word = any(c.isalnum() for c in core)
+        if is_word and word_phones:
             ph = word_phones.pop(0)
             if ph:
                 core = "{" + ph + "}"

@@ -244,3 +244,31 @@ def test_cli_train_gantts(tts_dataset, tmp_path):
     files = os.listdir(run_dir)
     assert any(f.startswith("checkpoint_") for f in files)
     assert "events.jsonl" in files
+
+
+def test_mel_cache_concurrent_cold_start(tmp_path):
+    """Prefetcher threads hitting a cold mel cache concurrently must all
+    get a valid mel (atomic temp+rename writes, no partial .npy reads)."""
+    import concurrent.futures as cf
+
+    from cookietts_tpu.data.dataset import DataConfig, TTSDataset
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    p = str(tmp_path / "c.wav")
+    audio_io.save_wav(
+        p, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    dcfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                      win_length=512, n_mel_channels=20, mel_fmax=8000.0,
+                      cache_mels=True)
+    ds = TTSDataset([{"path": p, "quote": "hi", "speaker_id": 0}], dcfg)
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        mels = list(ex.map(lambda _: ds.get_mel(p), range(16)))
+    ref = mels[0]
+    for m in mels[1:]:
+        np.testing.assert_array_equal(m, ref)
+    # cache file is valid and no temp files leaked
+    cached = np.load(ds._cache_path(p))
+    np.testing.assert_array_equal(cached, ref)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]

@@ -172,6 +172,12 @@ def test_arpa_from_alignment():
     # words with no remaining alignment stay as graphemes
     assert arpa_from_alignment("hello world extra", words, phones) \
         == "{HH AH0} {W ER1} extra"
+    # standalone punctuation / empty tokens must NOT consume a phone
+    # group (they have no MFA word interval)
+    assert arpa_from_alignment("hello - world", words, phones) \
+        == "{HH AH0} - {W ER1}"
+    assert arpa_from_alignment("hello  world", words, phones) \
+        == "{HH AH0}  {W ER1}"
 
 
 def test_ensure_mfa_reuses_existing(tmp_path):
