@@ -240,7 +240,7 @@ def main():
     # wall-clock budget left (tracing + tunnel compile of the big
     # graphs dominates, ~2-3 min per leg cold). Lines print at the end,
     # headline LAST (the driver parses the final line).
-    budget = float(os.environ.get("BENCH_BUDGET_S", "450"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t0 = time.monotonic()
     headline = None
     try:
@@ -251,7 +251,9 @@ def main():
               flush=True)
     except Exception as e:
         print(f"[bench] bench_waveglow failed: {e!r}", flush=True)
-    for fn in (bench_waveflow, bench_serving):
+    # serving (the north star) before waveflow: if compile time eats the
+    # budget, the two most important metrics still make it out
+    for fn in (bench_serving, bench_waveflow):
         if time.monotonic() - t0 > budget:
             print(f"[bench] skipping {fn.__name__}: over "
                   f"{budget:.0f}s budget", flush=True)
