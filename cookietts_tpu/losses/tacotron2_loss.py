@@ -60,8 +60,12 @@ def guided_attention_loss(alignments: jnp.ndarray,
     """Diagonal guided-attention prior (loss_function.py:14-85).
 
     W[t_dec, t_enc] = 1 - exp(-((t_enc/N - t_dec/T)^2) / (2 sigma^2));
-    loss = mean over valid cells of attention * W. ``item_weights`` zeroes
-    out TBPTT continuation segments (pres_prev_state != 0).
+    loss = sum over valid cells of attention * W, normalized by the
+    total frame count sum(mel_lengths) — the reference's exact scheme
+    (loss_function.py:44-50 ``sum(masked_select)/sum(olens)``).
+    ``item_weights`` zeroes out TBPTT continuation segments
+    (pres_prev_state != 0), excluding their frames from the normalizer
+    the way the reference's row subsetting does.
     """
     B, T_dec, T_enc = alignments.shape
     in_len = jnp.maximum(text_lengths.astype(jnp.float32), 1.0)
@@ -73,11 +77,14 @@ def guided_attention_loss(alignments: jnp.ndarray,
     w = 1.0 - jnp.exp(-((enc_pos - dec_pos) ** 2) / (2.0 * sigma * sigma))
     mask = (get_mask_from_lengths(mel_lengths, T_dec)[:, :, None]
             & get_mask_from_lengths(text_lengths, T_enc)[:, None, :])
-    per_item = _per_item_masked_mean(alignments.astype(jnp.float32) * w, mask)
-    if item_weights is None:
-        return jnp.mean(per_item)
-    iw = item_weights.astype(jnp.float32)
-    return jnp.sum(per_item * iw) / jnp.maximum(jnp.sum(iw), 1.0)
+    per_item_sum = jnp.sum(
+        alignments.astype(jnp.float32) * w * mask.astype(jnp.float32),
+        axis=(1, 2))
+    iw = jnp.ones((B,), jnp.float32) if item_weights is None \
+        else item_weights.astype(jnp.float32)
+    frames = mel_lengths.astype(jnp.float32)
+    return jnp.sum(per_item_sum * iw) / jnp.maximum(
+        jnp.sum(frames * iw), 1.0)
 
 
 def tacotron2_loss(pred: Dict[str, jnp.ndarray], gt: Dict[str, jnp.ndarray],

@@ -527,3 +527,89 @@ def test_gmm_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(new_state.mu),
                                loc_ref.numpy()[:, 0, :],
                                atol=2e-5, rtol=1e-4)
+
+
+def test_tacotron2_loss_matches_reference(monkeypatch):
+    """Every differentiable component of the Tacotron2 loss — masked
+    spec/postnet MSE + MFSE, gate BCE w/ pos_weight, SylpsNet KLD, sylps
+    MAE/MSE, guided diagonal attention — and the weighted total match the
+    reference Tacotron2Loss (loss_function.py:167-247) on random inputs
+    with mixed lengths."""
+    from types import SimpleNamespace
+
+    from CookieTTS._2_ttm.tacotron2_tm.loss_function import Tacotron2Loss
+
+    from cookietts_tpu.losses.tacotron2_loss import tacotron2_loss
+
+    # the reference parses torch.__version__ as int(''.join(split('.')))
+    # (utils.py:53), which chokes on local suffixes like '2.1.30+cpu'
+    monkeypatch.setattr(torch, "__version__", "9.9.9")
+
+    B, T_dec, T_enc, M = 3, 14, 9, 6
+    rng = np.random.default_rng(0)
+    mel_lengths = np.array([14, 9, 11], np.int64)
+    text_lengths = np.array([9, 5, 7], np.int64)
+    gt_mel = rng.standard_normal((B, M, T_dec)).astype(np.float32)
+    pred_mel = rng.standard_normal((B, M, T_dec)).astype(np.float32)
+    pred_post = rng.standard_normal((B, M, T_dec)).astype(np.float32)
+    gate_logits = rng.standard_normal((B, T_dec)).astype(np.float32)
+    gate_target = (np.arange(T_dec)[None]
+                   >= (mel_lengths - 1)[:, None]).astype(np.float32)
+    align = rng.random((B, T_dec, T_enc)).astype(np.float32)
+    align /= align.sum(-1, keepdims=True)
+    syl_mu = rng.standard_normal((B,)).astype(np.float32)
+    syl_logvar = (0.3 * rng.standard_normal((B,))).astype(np.float32)
+    pred_sylps = rng.standard_normal((B,)).astype(np.float32)
+    gt_sylps = rng.standard_normal((B,)).astype(np.float32)
+
+    weights = {"spec_MSE_weight": 0.3, "spec_MFSE_weight": 1.0,
+               "postnet_MSE_weight": 0.2, "postnet_MFSE_weight": 1.0,
+               "gate_loss_weight": 1.0, "sylps_kld_weight": 0.002,
+               "sylps_MSE_weight": 0.01, "sylps_MAE_weight": 0.05,
+               "diag_att_weight": 0.05}
+
+    hp = SimpleNamespace(gate_positive_weight=10, masked_select=True,
+                         DiagonalGuidedAttention_sigma=0.5, **weights)
+    ref_loss = Tacotron2Loss(hp)
+    t = torch.tensor
+    ref_pred = {
+        "pred_mel": t(pred_mel), "pred_mel_postnet": t(pred_post),
+        "pred_gate_logits": t(gate_logits), "alignments": t(align),
+        "pred_sylps_mu": t(syl_mu), "pred_sylps_logvar": t(syl_logvar),
+        "pred_sylps": t(pred_sylps)[:, None],
+    }
+    ref_gt = {
+        "gt_mel": t(gt_mel), "mel_lengths": t(mel_lengths),
+        "text_lengths": t(text_lengths),
+        "gt_gate_logits": t(gate_target), "gt_sylps": t(gt_sylps),
+        "pres_prev_state": t(np.zeros(B, np.float32)),
+        "audiopath": [f"a{i}.wav" for i in range(B)],
+        "speaker_id_ext": [str(i) for i in range(B)],
+    }
+    ref_dict, _ = ref_loss(ref_pred, ref_gt, dict(weights))
+
+    ours_total, ours_dict, _ = tacotron2_loss(
+        pred={"mel_outputs": jnp.asarray(pred_mel.transpose(0, 2, 1)),
+              "mel_outputs_postnet": jnp.asarray(
+                  pred_post.transpose(0, 2, 1)),
+              "gate_outputs": jnp.asarray(gate_logits),
+              "alignments": jnp.asarray(align),
+              "syl_mu": jnp.asarray(syl_mu),
+              "syl_logvar": jnp.asarray(syl_logvar),
+              "pred_sylps": jnp.asarray(pred_sylps)},
+        gt={"mels": jnp.asarray(gt_mel.transpose(0, 2, 1)),
+            "mel_lengths": jnp.asarray(mel_lengths),
+            "text_lengths": jnp.asarray(text_lengths),
+            "gate_target": jnp.asarray(gate_target),
+            "sylps": jnp.asarray(gt_sylps),
+            "pres_prev_state": jnp.zeros((B,), jnp.float32)},
+        loss_scalars=weights, gate_positive_weight=10.0,
+        guided_att_sigma=0.5)
+
+    for key in ("spec_MSE", "postnet_MSE", "spec_MFSE", "postnet_MFSE",
+                "gate_loss", "sylps_kld", "sylps_MAE", "sylps_MSE",
+                "diag_att", "loss"):
+        ref_v = float(ref_dict[key])
+        our_v = float(ours_dict[key])
+        assert np.isclose(our_v, ref_v, rtol=2e-5, atol=2e-6), \
+            (key, our_v, ref_v)
