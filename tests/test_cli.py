@@ -272,3 +272,38 @@ def test_mel_cache_concurrent_cold_start(tmp_path):
     cached = np.load(ds._cache_path(p))
     np.testing.assert_array_equal(cached, ref)
     assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+
+def test_cli_chain_train_gta_postnet(tts_dataset, tmp_path):
+    """The full reference pipeline chain _2 -> _3 -> refinement: train
+    tacotron2, run `gta` with its checkpoint, then train the adversarial
+    postnet on the produced wav|mel|speaker map."""
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_chain")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS])
+    ckpts = sorted(f for f in os.listdir(run_dir)
+                   if f.startswith("checkpoint_") and "." not in f)
+    assert ckpts
+    gta_dir = str(tmp_path / "gta_out")
+    cli.main(["gta", "--checkpoint", os.path.join(run_dir, ckpts[-1]),
+              "--filelist", filelist, "--outdir", gta_dir,
+              "--batch_size", "2", "--hparams", TINY_TTS_HPARAMS])
+    maps = [f for f in os.listdir(gta_dir) if f.startswith("map_")]
+    assert maps, os.listdir(gta_dir)
+    map_path = os.path.join(gta_dir, maps[0])
+    with open(map_path) as f:
+        assert len(f.read().strip().splitlines()) == 4   # all utterances
+
+    pn_dir = str(tmp_path / "run_chain_pn")
+    cli.main(["train", "--model", "gan_postnet", "--filelist", map_path,
+              "--iters", "2", "--run_dir", pn_dir,
+              "--hparams",
+              "batch_size=2,n_iters=2,sampling_rate=22050,"
+              "filter_length=512,hop_length=128,win_length=512,"
+              "n_mel_channels=20,mel_fmax=8000.0,"
+              "postnet_segment_frames=24,speaker_embedding_dim=8,"
+              "noise_dim=4,n_convolutions=3,embedding_dim=16,"
+              "residual_connections=0"])
+    assert any(f.startswith("checkpoint_") for f in os.listdir(pn_dir))
