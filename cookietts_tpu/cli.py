@@ -653,7 +653,18 @@ def _train_waveglow(args, overrides):
     base_lr = float(overrides.get("lr", 1e-4))
     explosion_thresh = float(overrides.get("loss_explosion_threshold", 1e3))
     n_restarts = 0
-    for it in range(n_iters):
+    start_it = 0
+    if getattr(args, "resume", None):
+        # full resume: params + opt_state + step (reference vocoder runs
+        # span days, _4_mtw/waveglow/train.py:255-279)
+        from .runtime.checkpoint import restore_train_state
+        path = ckpt.latest() if args.resume == "auto" else args.resume
+        if path is None:
+            raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
+        state, _ = restore_train_state(state, path)
+        start_it = int(state.step)
+        print(f"[waveglow] resumed from {path} at iter {start_it}")
+    for it in range(start_it, n_iters):
         idx = rng.integers(0, len(dataset), batch_size)
         batch = collate_mel2samp([dataset[int(i)] for i in idx])
         dev = {"audio": jnp.asarray(batch["audio"]),
@@ -694,7 +705,8 @@ def _train_waveglow(args, overrides):
             })
     ckpt.save_periodic(n_iters, {
         "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, state.params)})
+        "params": jax.tree_util.tree_map(np.asarray, state.params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state)})
     print(f"done: checkpoints in {args.run_dir}")
 
 

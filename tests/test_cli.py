@@ -91,6 +91,18 @@ def test_cli_train_waveglow(tmp_path):
     assert any(f.startswith("checkpoint_")
                for f in os.listdir(run_dir))
 
+    # full vocoder resume (params+opt_state+step) continues to 4 iters
+    cli.main(["train", "--model", "waveglow", "--filelist", map_file,
+              "--iters", "4", "--run_dir", run_dir, "--resume",
+              "--hparams",
+              "batch_size=2,n_iters=4,segment_length=2048,"
+              "sampling_rate=16000,filter_length=512,hop_length=128,"
+              "win_length=512,n_mel_channels=16,mel_fmax=8000.0,"
+              "n_flows=2,n_group=4,n_early_every=0,n_layers=1,"
+              "n_channels=8,upsample_strides=[4,8],upsample_channels=8,"
+              "memory_efficient=False,load_from_disk_dtw=False"])
+    assert "checkpoint_4" in os.listdir(run_dir)
+
 
 def test_cli_train_hifigan(tmp_path):
     sr = 16000
