@@ -879,6 +879,18 @@ def cmd_convert(args):
         meta = {"model_config": {
             "nb_tokens": int(params["embed"]["embedding"].shape[0])}}
         tree = {"step": 0, "params": params}
+    elif args.model == "gst":
+        from .convert import convert_gst_state_dict
+        params, batch_stats = convert_gst_state_dict(sd)
+        meta = {}
+        tree = {"step": 0, "params": params,
+                "mutables": {"batch_stats": batch_stats}}
+    elif args.model == "emotionnet":
+        from .convert import convert_emotionnet_state_dict
+        params, batch_stats = convert_emotionnet_state_dict(sd)
+        meta = {}
+        tree = {"step": 0, "params": params,
+                "mutables": {"batch_stats": batch_stats}}
     else:
         raise SystemExit(f"no converter for model {args.model!r}")
     save_checkpoint(args.output, tree, meta)
@@ -968,7 +980,7 @@ def main(argv=None):
         "(tacotron2_tm / WaveGlow) into this framework's format")
     c.add_argument("--model",
                    choices=("tacotron2", "waveglow", "hifigan",
-                            "torchmoji"),
+                            "torchmoji", "gst", "emotionnet"),
                    required=True)
     c.add_argument("--torch_ckpt", required=True,
                    help=".pt/.pth (torch required) or .npz state dict")

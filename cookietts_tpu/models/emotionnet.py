@@ -23,13 +23,14 @@ from flax import linen as nn
 
 from .gst import GSTConfig, ReferenceEncoder
 
-EPSILON = 1e-8
+EPSILON = 1e-6    # reference EmotionNet.py:10 (fp16-safe log floor)
 
 
 @dataclasses.dataclass(frozen=True)
 class EmotionNetConfig:
     n_classes: int = 16                 # emotion_classes (hparams.py:186)
     latent_dim: int = 32
+    ref_enc_filters: Sequence[int] = (32, 32, 64, 64, 128, 128)
     ref_enc_rnn_dim: int = 128
     rnn_dim: int = 128                  # text GRU summary dim
     speaker_embedding_dim: int = 256
@@ -75,6 +76,7 @@ class EmotionNet(nn.Module):
         cfg = self.cfg
         ref_cfg = GSTConfig(n_mel_channels=cfg.n_mel_channels,
                             token_embedding_size=cfg.ref_enc_rnn_dim,
+                            ref_enc_filters=tuple(cfg.ref_enc_filters),
                             dtype=cfg.dtype)
         ref = ReferenceEncoder(ref_cfg, name="ref_enc")(
             gt_mels, deterministic=deterministic)             # [B, E]

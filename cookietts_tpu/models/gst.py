@@ -51,14 +51,21 @@ class ReferenceEncoder(nn.Module):
         x = mel[..., None]                        # [B, T, M, 1]
         channels = list(cfg.ref_enc_filters) + [cfg.token_embedding_size]
         for i, ch in enumerate(channels):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+            # explicit (1,1) pads = the reference's torch same-padding
+            # for k=3/stride 2 (module.py Conv2d; XLA's "SAME" would pad
+            # (0,1) instead and shift every feature)
+            x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=cfg.dtype,
                         name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=deterministic,
+                             epsilon=1e-3,   # mm.Conv2d BatchNorm2d eps
                              dtype=cfg.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         B, T, M, C = x.shape
-        x = x.reshape(B, T, M * C)                # fold freq into features
+        # channel-major flatten: the reference views [B,T',C,M'] with C
+        # slow (TPGST.py:55-57); keeps converted GRU weights aligned
+        x = x.transpose(0, 1, 3, 2).reshape(B, T, C * M)
         out = nn.RNN(nn.GRUCell(cfg.token_embedding_size), name="rnn")(x)
         final = out[:, -1, :]
         y = nn.Dense(cfg.token_embedding_size, dtype=cfg.dtype,

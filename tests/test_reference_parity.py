@@ -613,3 +613,151 @@ def test_tacotron2_loss_matches_reference(monkeypatch):
         our_v = float(ours_dict[key])
         assert np.isclose(our_v, ref_v, rtol=2e-5, atol=2e-6), \
             (key, our_v, ref_v)
+
+
+def test_gst_matches_reference():
+    """GST (TPGST) with converted weights == the reference torch GST in
+    eval mode: style tokens AND style embedding from a mel reference
+    (TPGST.py:11-263). The reference's sibling `module` import needs its
+    directory on sys.path; its MHA ignores hparams.gstAtt_dim and uses
+    the default n_units=128."""
+    from types import SimpleNamespace
+
+    sys.path.insert(0, "/root/reference/CookieTTS/_2_ttm/tacotron2_ssvae")
+    try:
+        from TPGST import GST as RefGST
+    finally:
+        sys.path.pop(0)
+
+    from cookietts_tpu.convert.gst_torch import convert_gst_state_dict
+    from cookietts_tpu.models.gst import GST, GSTConfig
+
+    E, N_TOK, HEADS, M, TM = 32, 5, 8, 24, 12
+    hp = SimpleNamespace(
+        token_embedding_size=E, token_num=N_TOK, num_heads=HEADS,
+        gstAtt_dim=999,                    # dead in the reference
+        n_frames_per_step=1, ref_enc_filters=[4, 4, 8],
+        ss_vae_gst=False, gst_vae_mode=0, ss_vae_zu_dim=N_TOK,
+        vae_classes=list(range(4)), token_activation_func="softmax",
+        torchMoji_linear=True, torchMoji_attDim=TM,
+        p_drop_tokens=0.0, drop_tokens_mode="zeros", n_speakers=4)
+    torch.manual_seed(0)
+    ref = RefGST(hp)
+    ref.eval()
+    # make BN running stats non-trivial so the parity is meaningful
+    rng = np.random.default_rng(1)
+    for conv in ref.ref_encoder.convs:
+        bn = conv.batch_norm
+        bn.running_mean.copy_(torch.tensor(
+            rng.standard_normal(bn.running_mean.shape[0]), dtype=torch.float32))
+        bn.running_var.copy_(torch.tensor(
+            0.5 + rng.random(bn.running_var.shape[0]), dtype=torch.float32))
+
+    B, T = 2, 37                            # odd T exercises the padding
+    mel = rng.standard_normal((B, M, T)).astype(np.float32)
+    with torch.no_grad():
+        ref_embed, ref_tokens = ref(torch.tensor(mel), ref_mode=1)
+        # and the text-predicted (torchMoji map_lin) path, ref_mode=3
+        tm_hidden = rng.standard_normal((B, TM)).astype(np.float32)
+        ref_embed3, ref_tokens3 = ref(torch.tensor(tm_hidden), ref_mode=3)
+
+    cfg = GSTConfig(token_embedding_size=E, token_num=N_TOK,
+                    num_heads=HEADS, gst_att_dim=128,
+                    ref_enc_filters=(4, 4, 8), n_mel_channels=M,
+                    torchmoji_dim=TM)
+    params, batch_stats = convert_gst_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    ours = GST(cfg)
+    variables = {"params": params, "batch_stats": batch_stats}
+    out = ours.apply(variables, jnp.asarray(mel.transpose(0, 2, 1)),
+                     ref_mode=1, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["style_tokens"]),
+                               ref_tokens.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["style_embedding"]),
+                               ref_embed.numpy()[:, 0], rtol=2e-4,
+                               atol=2e-5)
+    out3 = ours.apply(variables, jnp.asarray(tm_hidden), ref_mode=3,
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out3["style_tokens"]),
+                               ref_tokens3.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_emotionnet_matches_reference():
+    """EmotionNet with converted weights == the reference torch
+    EmotionNet in eval mode: class log-probs (zs), semi-supervised
+    override, and the VAE posterior (mu/logvar), incl. variable text
+    lengths through the packed text GRU (nets/EmotionNet.py:66-124)."""
+    from types import SimpleNamespace
+
+    from CookieTTS._2_ttm.tacotron2_ssvae.nets.EmotionNet import (
+        EmotionNet as RefEmotionNet)
+
+    from cookietts_tpu.convert.gst_torch import (
+        convert_emotionnet_state_dict)
+    from cookietts_tpu.models.emotionnet import (EmotionNet,
+                                                 EmotionNetConfig)
+
+    C, LAT, E, R, SPK, M, ENC = 4, 6, 32, 16, 8, 24, 10
+    hp = SimpleNamespace(
+        n_frames_per_step=1, emotion_classes=list(range(C)),
+        emotionnet_ref_enc_convs=[4, 4, 8],
+        emotionnet_ref_enc_rnn_dim=E,
+        emotionnet_ref_enc_use_bias=False,
+        emotionnet_ref_enc_droprate=0.0,
+        speaker_embedding_dim=SPK, emotionnet_RNN_dim=R,
+        emotionnet_latent_dim=LAT,
+        emotionnet_classifier_layer_dropout=0.0,
+        emotionnet_encoder_outputs_dropout=0.0,
+        encoder_LSTM_dim=ENC)
+    torch.manual_seed(0)
+    ref = RefEmotionNet(hp)
+    ref.eval()
+    rng = np.random.default_rng(2)
+    for conv in ref.ref_enc.convs:
+        bn = conv.batch_norm
+        bn.running_mean.copy_(torch.tensor(
+            rng.standard_normal(bn.running_mean.shape[0]),
+            dtype=torch.float32))
+        bn.running_var.copy_(torch.tensor(
+            0.5 + rng.random(bn.running_var.shape[0]),
+            dtype=torch.float32))
+
+    B, T_mel, T_txt = 3, 37, 7
+    mel = rng.standard_normal((B, M, T_mel)).astype(np.float32)
+    spk = rng.standard_normal((B, SPK)).astype(np.float32)
+    enc = rng.standard_normal((B, T_txt, ENC)).astype(np.float32)
+    text_lengths = np.array([7, 4, 6], np.int64)
+    emotion_id = np.array([0, C, 2], np.int64)   # C == unknown
+    onehot = np.zeros((B, C), np.float32)
+    onehot[0, 0] = 1.0
+    onehot[2, 2] = 1.0
+    with torch.no_grad():
+        zs, zu, zu_mu, zu_logvar, _ = ref(
+            torch.tensor(mel), torch.tensor(spk), torch.tensor(enc),
+            text_lengths=torch.tensor(text_lengths),
+            emotion_id=torch.tensor(emotion_id),
+            emotion_onehot=torch.tensor(onehot))
+
+    cfg = EmotionNetConfig(
+        n_classes=C, latent_dim=LAT, ref_enc_filters=(4, 4, 8),
+        ref_enc_rnn_dim=E, rnn_dim=R, speaker_embedding_dim=SPK,
+        n_mel_channels=M)
+    params, batch_stats = convert_emotionnet_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    ours = EmotionNet(cfg)
+    out = ours.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(mel.transpose(0, 2, 1)), jnp.asarray(spk),
+        jnp.asarray(enc), text_lengths=jnp.asarray(text_lengths),
+        emotion_id=jnp.asarray(emotion_id),
+        emotion_onehot=jnp.asarray(onehot), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["zs"]),
+                               zs.numpy()[:, 0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["zu_mu"]),
+                               zu_mu.numpy()[:, 0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["zu_logvar"]),
+                               zu_logvar.numpy()[:, 0], rtol=2e-4,
+                               atol=2e-5)
+    # eval-mode zu == mu
+    np.testing.assert_allclose(np.asarray(out["zu"]),
+                               zu.numpy()[:, 0], rtol=2e-4, atol=2e-5)
