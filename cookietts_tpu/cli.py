@@ -891,6 +891,11 @@ def cmd_convert(args):
         meta = {}
         tree = {"step": 0, "params": params,
                 "mutables": {"batch_stats": batch_stats}}
+    elif args.model == "auxemotionnet":
+        from .convert import convert_auxemotionnet_state_dict
+        params = convert_auxemotionnet_state_dict(sd)
+        meta = {}
+        tree = {"step": 0, "params": params}
     else:
         raise SystemExit(f"no converter for model {args.model!r}")
     save_checkpoint(args.output, tree, meta)
@@ -980,7 +985,8 @@ def main(argv=None):
         "(tacotron2_tm / WaveGlow) into this framework's format")
     c.add_argument("--model",
                    choices=("tacotron2", "waveglow", "hifigan",
-                            "torchmoji", "gst", "emotionnet"),
+                            "torchmoji", "gst", "emotionnet",
+                            "auxemotionnet"),
                    required=True)
     c.add_argument("--torch_ckpt", required=True,
                    help=".pt/.pth (torch required) or .npz state dict")

@@ -1,6 +1,7 @@
 """Checkpoint converters: load reference (torch) checkpoints into this
 framework's params so existing trained models carry over."""
 from .gst_torch import (  # noqa: F401
+    convert_auxemotionnet_state_dict,
     convert_emotionnet_state_dict,
     convert_gst_state_dict,
 )

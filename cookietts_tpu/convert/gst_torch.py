@@ -128,3 +128,28 @@ def convert_emotionnet_state_dict(sd: Dict[str, Any]
         "latent": _dense(sd, "latent_layer.linear_layer"),
     }
     return params, {"ref_enc": ref_bs}
+
+
+def convert_auxemotionnet_state_dict(sd: Dict[str, Any]
+                                     ) -> Dict[str, Any]:
+    """Reference AuxEmotionNet (nets/AuxEmotionNet.py:7-63) state dict
+    -> params for models.emotionnet.AuxEmotionNet: the torchMoji seq
+    MLP (LinearNorms at even Sequential indices, LeakyReLUs between),
+    the text-summary GRU, and the fused latent+classifier LinearNorm."""
+    sd = dict(sd)
+    if any(k.startswith("aux_emotion_net.") for k in sd):
+        sd = {k[len("aux_emotion_net."):]: v for k, v in sd.items()
+              if k.startswith("aux_emotion_net.")}
+
+    params: Dict[str, Any] = {
+        "GRUCell_0": _gru_cell(sd, "text_rnn"),
+        "latent_classifier": _dense(
+            sd, "latent_classifier_layer.linear_layer"),
+    }
+    i = 0
+    while f"seq_layers.{2 * i}.linear_layer.weight" in sd:
+        params[f"seq{i}"] = _dense(sd, f"seq_layers.{2 * i}.linear_layer")
+        i += 1
+    if i == 0:
+        raise ValueError("no seq_layers weights found")
+    return params

@@ -761,3 +761,61 @@ def test_emotionnet_matches_reference():
     # eval-mode zu == mu
     np.testing.assert_allclose(np.asarray(out["zu"]),
                                zu.numpy()[:, 0], rtol=2e-4, atol=2e-5)
+
+
+def test_auxemotionnet_matches_reference():
+    """AuxEmotionNet with converted weights == the reference torch
+    AuxEmotionNet in eval mode: aux class log-probs and zu posterior
+    from torchMoji hidden + speaker + text (nets/AuxEmotionNet.py)."""
+    from types import SimpleNamespace
+
+    from CookieTTS._2_ttm.tacotron2_ssvae.nets.AuxEmotionNet import (
+        AuxEmotionNet as RefAux)
+
+    from cookietts_tpu.convert.gst_torch import (
+        convert_auxemotionnet_state_dict)
+    from cookietts_tpu.models.emotionnet import (AuxEmotionNet,
+                                                 EmotionNetConfig)
+
+    C, LAT, R, SPK, TM, ENC = 4, 6, 16, 8, 12, 10
+    hp = SimpleNamespace(
+        auxemotionnet_layer_dims=[32],     # single layer: attDim->attDim
+        torchMoji_attDim=TM, emotion_classes=list(range(C)),
+        speaker_embedding_dim=SPK, auxemotionnet_RNN_dim=R,
+        emotionnet_latent_dim=LAT,
+        auxemotionnet_classifier_layer_dropout=0.0,
+        auxemotionnet_encoder_outputs_dropout=0.0,
+        encoder_LSTM_dim=ENC)
+    torch.manual_seed(0)
+    ref = RefAux(hp)
+    ref.eval()
+
+    rng = np.random.default_rng(3)
+    B, T_txt = 3, 7
+    tm = rng.standard_normal((B, TM)).astype(np.float32)
+    spk = rng.standard_normal((B, SPK)).astype(np.float32)
+    enc = rng.standard_normal((B, T_txt, ENC)).astype(np.float32)
+    text_lengths = np.array([7, 4, 6], np.int64)
+    with torch.no_grad():
+        zs, zu_mu, zu_logvar, _ = ref(
+            torch.tensor(tm), torch.tensor(spk), torch.tensor(enc),
+            text_lengths=torch.tensor(text_lengths))
+
+    cfg = EmotionNetConfig(
+        n_classes=C, latent_dim=LAT, rnn_dim=R,
+        speaker_embedding_dim=SPK, torchmoji_dim=TM,
+        aux_layer_dims=(32,))
+    params = convert_auxemotionnet_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    ours = AuxEmotionNet(cfg)
+    out = ours.apply(
+        {"params": params}, jnp.asarray(tm), jnp.asarray(spk),
+        jnp.asarray(enc), text_lengths=jnp.asarray(text_lengths),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["zs"]),
+                               zs.numpy()[:, 0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["zu_mu"]),
+                               zu_mu.numpy()[:, 0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["zu_logvar"]),
+                               zu_logvar.numpy()[:, 0], rtol=2e-4,
+                               atol=2e-5)
