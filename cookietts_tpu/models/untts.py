@@ -90,7 +90,8 @@ class FFTBlock(nn.Module):
             num_heads=self.heads, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=deterministic,
             name="mha")(x, x, mask=attn_mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="ln1")(x + h)
         x = x * mask[:, :, None]
         h = nn.Conv(self.ffn_dim, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="ffn1")(x)
@@ -98,7 +99,8 @@ class FFTBlock(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.dim, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="ffn2")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="ln2")(x + h)
         return x * mask[:, :, None]
 
 
@@ -122,7 +124,9 @@ class TemporalPredictor(nn.Module):
                         padding="SAME", dtype=self.dtype,
                         name=f"conv{i}")(h)
             h = nn.relu(h)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(h)
+            # torch LayerNorm eps (ConvReLUNorm, layers.py:491)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"ln{i}")(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         out = nn.Dense(1, dtype=self.dtype, name="fc")(h)[..., 0]
         return out * mask
@@ -159,7 +163,8 @@ class PositionalAttention(nn.Module):
             num_heads=self.num_heads, qkv_features=D, out_features=D,
             dtype=self.dtype, deterministic=deterministic,
             name="mha")(q, enc, mask=attn_mask.astype(bool))
-        y = nn.LayerNorm(dtype=self.dtype, name="ln")(y + q)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="ln")(y + q)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(y)
 
 

@@ -819,3 +819,47 @@ def test_auxemotionnet_matches_reference():
     np.testing.assert_allclose(np.asarray(out["zu_logvar"]),
                                zu_logvar.numpy()[:, 0], rtol=2e-4,
                                atol=2e-5)
+
+
+def test_temporal_predictor_matches_reference():
+    """UnTTS duration/f0/energy TemporalPredictor == the reference
+    (untts/fastpitch/length_predictor.py:23 + ConvReLUNorm
+    layers.py:484-499) with mapped weights and a ragged mask."""
+    from types import SimpleNamespace
+
+    from CookieTTS._2_ttm.untts.fastpitch.length_predictor import (
+        TemporalPredictor as RefTP)
+
+    from cookietts_tpu.models.untts import TemporalPredictor
+
+    IN, F_DIM, K, L = 10, 8, 3, 2
+    hp = SimpleNamespace(len_pred_filter_size=F_DIM, len_pred_kernel_size=K,
+                         len_pred_dropout=0.0, len_pred_n_layers=L)
+    torch.manual_seed(0)
+    ref = RefTP(IN, hp)
+    ref.eval()
+
+    rng = np.random.default_rng(4)
+    B, T = 3, 11
+    x = rng.standard_normal((B, T, IN)).astype(np.float32)
+    lengths = np.array([11, 7, 9])
+    mask = (np.arange(T)[None] < lengths[:, None])
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x),
+                      torch.tensor(mask[:, :, None].astype(np.float32)))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"fc": {"kernel": sd["fc.weight"].T, "bias": sd["fc.bias"]}}
+    for i in range(L):
+        params[f"conv{i}"] = {
+            "kernel": sd[f"layers.{i}.conv.weight"].transpose(2, 1, 0),
+            "bias": sd[f"layers.{i}.conv.bias"]}
+        params[f"ln{i}"] = {"scale": sd[f"layers.{i}.norm.weight"],
+                            "bias": sd[f"layers.{i}.norm.bias"]}
+
+    ours = TemporalPredictor(filter_size=F_DIM, kernel_size=K, n_layers=L,
+                             dropout=0.0)
+    out = ours.apply({"params": params}, jnp.asarray(x),
+                     jnp.asarray(mask), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=2e-5, atol=2e-6)
