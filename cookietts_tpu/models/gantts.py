@@ -126,6 +126,14 @@ class GANTTSGenerator(nn.Module):
         x = nn.Embed(cfg.n_symbols, cfg.symbols_embedding_dim,
                      dtype=cfg.dtype, name="embedding")(
             jnp.clip(text, 0, cfg.n_symbols - 1))
+        # scaled sinusoidal positions (see untts._encode — FFT attention
+        # is order-blind without them)
+        from .untts import PositionalAttention
+        pe = jnp.asarray(
+            PositionalAttention._sinusoid(N, cfg.symbols_embedding_dim),
+            cfg.dtype)
+        pos_scale = self.param("pos_scale", nn.initializers.ones, ())
+        x = (x + pos_scale * pe[None]) * mask[:, :, None]
         for i in range(cfg.enc_layers):
             x = FFTBlock(cfg.symbols_embedding_dim, cfg.enc_heads,
                          cfg.enc_ffn_dim, dropout=cfg.dropout,

@@ -251,6 +251,8 @@ class UnTTS(nn.Module):
         self.speaker_embedding = nn.Embed(
             cfg.n_speakers, cfg.speaker_embedding_dim, dtype=cfg.dtype,
             name="speaker_embedding")
+        self.pos_scale = self.param("pos_scale",
+                                    nn.initializers.ones, ())
         self.enc_blocks = [
             FFTBlock(cfg.symbols_embedding_dim, cfg.enc_heads,
                      cfg.enc_ffn_dim, cfg.enc_kernel_size, cfg.dropout,
@@ -289,6 +291,14 @@ class UnTTS(nn.Module):
         N = text.shape[1]
         mask = get_mask_from_lengths(text_lengths, N)
         x = self.embedding(jnp.clip(text, 0, cfg.n_symbols - 1))
+        # scaled sinusoidal positions (reference FFTransformer adds
+        # pos_emb with a learned scaler before the layer stack,
+        # transformer.py:298,318-321 — without it the FFT attention is
+        # order-blind)
+        pe = jnp.asarray(
+            PositionalAttention._sinusoid(N, cfg.symbols_embedding_dim),
+            cfg.dtype)
+        x = (x + self.pos_scale * pe[None]) * mask[:, :, None]
         for blk in self.enc_blocks:
             x = blk(x, mask, deterministic=deterministic)
         spk = self.speaker_embedding(speaker_id)              # [B, S]

@@ -304,3 +304,42 @@ def test_flowtts_positional_attention_variant():
     mel = np.asarray(inf["mel_outputs"])
     for b in range(B):
         assert np.allclose(mel[b, lens[b]:], 0.0, atol=1e-5)
+
+
+def test_encoder_is_position_sensitive():
+    """Positional embeddings make the FFT encoder order-aware: swapping
+    two tokens must change the encoding at OTHER positions too
+    (reference FFTransformer pos_emb, transformer.py:298,318-321)."""
+    import jax
+
+    from cookietts_tpu.models.untts import UnTTS, UnTTSConfig
+    from cookietts_tpu.text import N_SYMBOLS
+
+    cfg = UnTTSConfig(
+        n_symbols=N_SYMBOLS, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=8, enc_layers=1,
+        enc_heads=2, enc_ffn_dim=24, predictor_filter_size=8,
+        predictor_layers=1, predict_f0=False, predict_energy=False,
+        dec_n_flows=2, dec_n_layers=1, dec_n_channels=16)
+    model = UnTTS(cfg)
+    text = jnp.asarray([[5, 9, 13, 17, 21, 25]], jnp.int32)
+    swapped = jnp.asarray([[5, 13, 9, 17, 21, 25]], jnp.int32)
+    lengths = jnp.asarray([6], jnp.int32)
+    spk = jnp.asarray([0], jnp.int32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        text=text, text_lengths=lengths,
+        mels=jnp.zeros((1, 16, 8)), mel_lengths=jnp.asarray([16]),
+        speaker_id=spk, durations=jnp.full((1, 6), 2, jnp.int32),
+        deterministic=True)
+
+    def enc(t):
+        return model.apply(variables, t, lengths, spk,
+                           deterministic=True, method=UnTTS._encode)[0]
+
+    a, b = np.asarray(enc(text)), np.asarray(enc(swapped))
+    # position 0 sees different *relative* context despite identical
+    # token -> its encoding must differ (order-blind encoders would
+    # produce the same value there up to attention-sum invariance)
+    assert not np.allclose(a[0, 0], b[0, 0], atol=1e-6)
