@@ -74,6 +74,13 @@ def cmd_train(args):
               f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     overrides = parse_override_string(args.hparams) if args.hparams else {}
+    if getattr(args, "resume", None) and args.model not in ("tacotron2",
+                                                            "waveglow"):
+        # refuse rather than silently restart from iter 0 (and then GC
+        # away the checkpoints the user believed they were resuming)
+        raise SystemExit(
+            f"--resume is not implemented for --model {args.model}; "
+            "use --warm_start to reload params only")
     if args.model == "waveglow":
         return _train_waveglow(args, overrides)
     if args.model == "hifigan":
@@ -655,15 +662,29 @@ def _train_waveglow(args, overrides):
     n_restarts = 0
     start_it = 0
     if getattr(args, "resume", None):
-        # full resume: params + opt_state + step (reference vocoder runs
+        # full resume: params + opt_state + step PLUS the schedule state
+        # (plateau scale, explosion-restart count, best-val) — without
+        # those the resumed run trains at full base_lr and the first
+        # validation clobbers best_val_model (reference vocoder runs
         # span days, _4_mtw/waveglow/train.py:255-279)
         from .runtime.checkpoint import restore_train_state
         path = ckpt.latest() if args.resume == "auto" else args.resume
         if path is None:
             raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
-        state, _ = restore_train_state(state, path)
+        state, meta = restore_train_state(state, path)
         start_it = int(state.step)
-        print(f"[waveglow] resumed from {path} at iter {start_it}")
+        meta = meta or {}
+        plateau.scale = float(meta.get("plateau_scale", 1.0))
+        n_restarts = int(meta.get("n_restarts", 0))
+        ckpt.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        print(f"[waveglow] resumed from {path} at iter {start_it} "
+              f"(plateau_scale={plateau.scale}, n_restarts={n_restarts}, "
+              f"best_val={ckpt.best_val_loss})")
+
+    def _sched_meta():
+        return {"plateau_scale": plateau.scale, "n_restarts": n_restarts,
+                "best_val_loss": float(ckpt.best_val_loss)}
+
     for it in range(start_it, n_iters):
         idx = rng.integers(0, len(dataset), batch_size)
         batch = collate_mel2samp([dataset[int(i)] for i in idx])
@@ -702,11 +723,12 @@ def _train_waveglow(args, overrides):
                 "params": jax.tree_util.tree_map(np.asarray, state.params),
                 "opt_state": jax.tree_util.tree_map(
                     np.asarray, state.opt_state),
-            })
+            }, metadata=_sched_meta())
     ckpt.save_periodic(n_iters, {
         "step": n_iters,
         "params": jax.tree_util.tree_map(np.asarray, state.params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state)})
+        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state)},
+        metadata=_sched_meta())
     print(f"done: checkpoints in {args.run_dir}")
 
 
@@ -882,19 +904,53 @@ def cmd_convert(args):
     elif args.model == "gst":
         from .convert import convert_gst_state_dict
         params, batch_stats = convert_gst_state_dict(sd)
-        meta = {}
+        ref = params["ref_encoder"]
+        n_convs = sum(1 for k in ref if k.startswith("conv"))
+        n_units = params["att"]["fc_Q"]["kernel"].shape[1]
+        meta = {"model_config": {
+            "token_num": int(params["token_embedding"].shape[0]),
+            "token_embedding_size": int(params["token_embedding"].shape[1]),
+            "ref_enc_filters": [int(ref[f"conv{i}"]["kernel"].shape[3])
+                                for i in range(n_convs - 1)],
+            "gst_att_dim": int(n_units),
+            "num_heads": int(n_units
+                             // params["att"]["fc_V"]["kernel"].shape[1]),
+        }}
         tree = {"step": 0, "params": params,
                 "mutables": {"batch_stats": batch_stats}}
     elif args.model == "emotionnet":
         from .convert import convert_emotionnet_state_dict
         params, batch_stats = convert_emotionnet_state_dict(sd)
-        meta = {}
+        ref = params["ref_enc"]
+        n_convs = sum(1 for k in ref if k.startswith("conv"))
+        n_classes = int(params["classifier"]["kernel"].shape[1])
+        ref_rnn = int(ref["GRUCell_0"]["hr"]["kernel"].shape[1])
+        rnn_dim = int(params["GRUCell_0"]["hr"]["kernel"].shape[1])
+        meta = {"model_config": {
+            "n_classes": n_classes,
+            "latent_dim": int(params["latent"]["kernel"].shape[1]) // 2,
+            "ref_enc_filters": [int(ref[f"conv{i}"]["kernel"].shape[3])
+                                for i in range(n_convs - 1)],
+            "ref_enc_rnn_dim": ref_rnn,
+            "rnn_dim": rnn_dim,
+            "speaker_embedding_dim":
+                int(params["classifier"]["kernel"].shape[0])
+                - ref_rnn - rnn_dim,
+        }}
         tree = {"step": 0, "params": params,
                 "mutables": {"batch_stats": batch_stats}}
     elif args.model == "auxemotionnet":
         from .convert import convert_auxemotionnet_state_dict
         params = convert_auxemotionnet_state_dict(sd)
-        meta = {}
+        tm_dim = int(params["seq0"]["kernel"].shape[0])
+        rnn_dim = int(params["GRUCell_0"]["hr"]["kernel"].shape[1])
+        meta = {"model_config": {
+            "torchmoji_dim": tm_dim,
+            "rnn_dim": rnn_dim,
+            "speaker_embedding_dim":
+                int(params["latent_classifier"]["kernel"].shape[0])
+                - tm_dim - rnn_dim,
+        }}
         tree = {"step": 0, "params": params}
     else:
         raise SystemExit(f"no converter for model {args.model!r}")

@@ -128,10 +128,9 @@ class GANTTSGenerator(nn.Module):
             jnp.clip(text, 0, cfg.n_symbols - 1))
         # scaled sinusoidal positions (see untts._encode — FFT attention
         # is order-blind without them)
-        from .untts import PositionalAttention
+        from .untts import sinusoid_positions
         pe = jnp.asarray(
-            PositionalAttention._sinusoid(N, cfg.symbols_embedding_dim),
-            cfg.dtype)
+            sinusoid_positions(N, cfg.symbols_embedding_dim), cfg.dtype)
         pos_scale = self.param("pos_scale", nn.initializers.ones, ())
         x = (x + pos_scale * pe[None]) * mask[:, :, None]
         for i in range(cfg.enc_layers):

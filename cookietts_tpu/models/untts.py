@@ -132,6 +132,17 @@ class TemporalPredictor(nn.Module):
         return out * mask
 
 
+def sinusoid_positions(t_out: int, dim: int) -> np.ndarray:
+    """Standard sinusoidal position table [t_out, dim] (host-side
+    constant; the reference's FFTransformer PositionalEmbedding)."""
+    pos = np.arange(t_out)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
+    pe = np.zeros((t_out, dim), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
+    return pe
+
+
 class PositionalAttention(nn.Module):
     """Flow-TTS positional attention (reference flowtts/model.py:113):
     expand char-rate encodings to frame rate WITHOUT hard durations —
@@ -143,20 +154,13 @@ class PositionalAttention(nn.Module):
     num_heads: int = 2
     dtype: Any = jnp.float32
 
-    @staticmethod
-    def _sinusoid(t_out: int, dim: int) -> np.ndarray:
-        pos = np.arange(t_out)[:, None]
-        div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
-        pe = np.zeros((t_out, dim), np.float32)
-        pe[:, 0::2] = np.sin(pos * div)
-        pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
-        return pe
+    _sinusoid = staticmethod(sinusoid_positions)
 
     @nn.compact
     def __call__(self, enc: jnp.ndarray, char_mask: jnp.ndarray,
                  t_out: int, deterministic: bool = True) -> jnp.ndarray:
         B, N, D = enc.shape
-        q = jnp.asarray(self._sinusoid(t_out, D), self.dtype)     # [T, D]
+        q = jnp.asarray(sinusoid_positions(t_out, D), self.dtype)  # [T, D]
         q = jnp.broadcast_to(q[None], (B, t_out, D))
         attn_mask = char_mask[:, None, None, :]                   # [B,1,1,N]
         y = nn.MultiHeadDotProductAttention(
@@ -296,8 +300,7 @@ class UnTTS(nn.Module):
         # transformer.py:298,318-321 — without it the FFT attention is
         # order-blind)
         pe = jnp.asarray(
-            PositionalAttention._sinusoid(N, cfg.symbols_embedding_dim),
-            cfg.dtype)
+            sinusoid_positions(N, cfg.symbols_embedding_dim), cfg.dtype)
         x = (x + self.pos_scale * pe[None]) * mask[:, :, None]
         for blk in self.enc_blocks:
             x = blk(x, mask, deterministic=deterministic)
