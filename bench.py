@@ -10,10 +10,12 @@
    >= 100x real time on one v5e chip (vs_baseline is RTF / 100).
 3. waveglow_rtf_48khz_batch1 — the round-over-round headline:
    reference WaveGlow architecture (48 flows / group 24 / 8 layers /
-   256 ch) in bf16, batch 1, ~5 s clips (baseline 5.19x RTF). This leg
-   RUNS first (so it completes inside any external timeout) and its
-   line prints immediately AND repeats as the final line (the driver
-   parses the last line).
+   256 ch) in bf16, batch 1, ~5 s clips (baseline 5.19x RTF).
+
+Leg order and printing are built for the tunnel's cache-less compile
+service (latency swings 1-20+ min per big graph): cheapest-compiling
+leg first, every line printed the moment its leg finishes, headline
+(WaveGlow, else the best line available) repeated last — see main().
 
 Timing protocol: compile+warmup first, then N back-to-back iterations;
 every output is forced to materialize through one fused check program
@@ -42,9 +44,8 @@ _RESULTS = []
 
 
 def _emit(metric, value, unit, baseline):
-    """Collect a metric line; main() prints them all at the end with the
-    headline (WaveGlow) last, so the driver's tail-line parse works even
-    though the WaveGlow leg RUNS first (see main)."""
+    """Collect a metric line; main() prints each as soon as its leg
+    finishes and repeats the headline last (see main)."""
     _RESULTS.append(json.dumps({
         "metric": metric,
         "value": round(float(value), 4),
@@ -235,40 +236,36 @@ def bench_serving(on_tpu, dtype):
 def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    # The headline (WaveGlow) RUNS first so it always completes inside
-    # any external timeout; remaining legs only run while there is
-    # wall-clock budget left (tracing + tunnel compile of the big
-    # graphs dominates, ~2-3 min per leg cold). Lines print at the end,
-    # headline LAST (the driver parses the final line).
+    # The tunnel's compile service has NO persistent cache and its
+    # latency swings from ~1 min to >20 min per big graph with shared
+    # load, so: run the CHEAPEST-compiling leg first (serving — the
+    # Tacotron2 scan + HiFi-GAN graphs compile in ~1-2 min even when
+    # degraded, vs the 48-flow WaveGlow graph which can take >20 min),
+    # print every metric line the moment it exists (a kill at ANY point
+    # keeps what finished), and re-print the round-over-round headline
+    # (WaveGlow, else the best available line) LAST for tail-line
+    # parsers.
     budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t0 = time.monotonic()
-    headline = None
-    try:
-        bench_waveglow(on_tpu, dtype)
-        headline = _RESULTS.pop(0)
-        print(headline, flush=True)   # out immediately: survives a kill
-        print(f"[bench] waveglow leg done at {time.monotonic()-t0:.0f}s",
-              flush=True)
-    except Exception as e:
-        print(f"[bench] bench_waveglow failed: {e!r}", flush=True)
-    # serving (the north star) before waveflow: if compile time eats the
-    # budget, the two most important metrics still make it out
-    for fn in (bench_serving, bench_waveflow):
+    printed = 0
+    for fn in (bench_serving, bench_waveglow, bench_waveflow):
         if time.monotonic() - t0 > budget:
             print(f"[bench] skipping {fn.__name__}: over "
                   f"{budget:.0f}s budget", flush=True)
             continue
         try:
             fn(on_tpu, dtype)
+            for line in _RESULTS[printed:]:
+                print(line, flush=True)
+            printed = len(_RESULTS)
             print(f"[bench] {fn.__name__} done at "
                   f"{time.monotonic()-t0:.0f}s", flush=True)
-        except Exception as e:     # never lose the headline metric
+        except Exception as e:     # never lose the finished metrics
             print(f"[bench] {fn.__name__} failed: {e!r}", flush=True)
-    for line in _RESULTS:
-        print(line, flush=True)
+    headline = next((ln for ln in _RESULTS if "waveglow_rtf_48" in ln),
+                    _RESULTS[0] if _RESULTS else None)
     if headline is not None:
-        print(headline, flush=True)   # headline repeated LAST for the
-                                      # driver's tail-line parse
+        print(headline, flush=True)
 
 
 if __name__ == "__main__":
