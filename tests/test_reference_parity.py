@@ -863,3 +863,59 @@ def test_temporal_predictor_matches_reference():
                      jnp.asarray(mask), deterministic=True)
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_cli_convert_gst_roundtrip(tmp_path):
+    """'convert --model gst' on a reference TPGST state dict produces a
+    loadable checkpoint whose derived model_config reconstructs the
+    right GSTConfig, and the loaded model reproduces the torch output."""
+    from types import SimpleNamespace
+
+    sys.path.insert(0, "/root/reference/CookieTTS/_2_ttm/tacotron2_ssvae")
+    try:
+        from TPGST import GST as RefGST
+    finally:
+        sys.path.pop(0)
+
+    from cookietts_tpu import cli
+    from cookietts_tpu.models.gst import GST, GSTConfig
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+
+    hp = SimpleNamespace(
+        token_embedding_size=32, token_num=5, num_heads=8, gstAtt_dim=0,
+        n_frames_per_step=1, ref_enc_filters=[4, 4, 8], ss_vae_gst=False,
+        gst_vae_mode=0, ss_vae_zu_dim=5, vae_classes=[0],
+        token_activation_func="softmax", torchMoji_linear=True,
+        torchMoji_attDim=12, p_drop_tokens=0.0, drop_tokens_mode="zeros",
+        n_speakers=4)
+    torch.manual_seed(1)
+    ref = RefGST(hp)
+    ref.eval()
+    npz = str(tmp_path / "gst_sd.npz")
+    np.savez(npz, **{k: v.detach().numpy()
+                     for k, v in ref.state_dict().items()})
+    out_path = str(tmp_path / "gst.ckpt")
+    cli.main(["convert", "--model", "gst", "--torch_ckpt", npz,
+              "-o", out_path])
+
+    tree, meta = load_checkpoint(out_path)
+    mc = meta["model_config"]
+    assert mc["token_num"] == 5 and mc["num_heads"] == 8
+    assert list(mc["ref_enc_filters"]) == [4, 4, 8]
+    cfg = GSTConfig(token_embedding_size=mc["token_embedding_size"],
+                    token_num=mc["token_num"], num_heads=mc["num_heads"],
+                    gst_att_dim=mc["gst_att_dim"],
+                    ref_enc_filters=tuple(mc["ref_enc_filters"]),
+                    n_mel_channels=24, torchmoji_dim=12)
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((2, 24, 33)).astype(np.float32)
+    with torch.no_grad():
+        ref_embed, _ = ref(torch.tensor(mel), ref_mode=1)
+    import jax.tree_util as jtu
+    variables = {"params": jtu.tree_map(jnp.asarray, tree["params"]),
+                 **jtu.tree_map(jnp.asarray, tree.get("mutables", {}))}
+    out = GST(cfg).apply(variables, jnp.asarray(mel.transpose(0, 2, 1)),
+                         ref_mode=1, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["style_embedding"]),
+                               ref_embed.numpy()[:, 0], rtol=2e-4,
+                               atol=2e-5)
