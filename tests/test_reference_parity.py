@@ -919,3 +919,73 @@ def test_cli_convert_gst_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out["style_embedding"]),
                                ref_embed.numpy()[:, 0], rtol=2e-4,
                                atol=2e-5)
+
+
+def test_fft_block_matches_reference_transformer_layer():
+    """Our FFTBlock == the reference untts TransformerLayer
+    (transformer.py:266-281: fused-qkv MultiHeadAttn + PositionwiseConvFF,
+    post-norm) in eval mode with mapped weights.
+
+    BATCH SIZE 1 ONLY — the reference MultiHeadAttn has a real bug at
+    B>1: it flattens (B, H) batch-major (`permute(0,2,1,3).reshape(-1,
+    T, d_head)`, transformer.py:184-186) but un-flattens HEAD-major
+    (`view(n_head, B, T, d_head)`, :200), scrambling head outputs
+    ACROSS batch items. We implement the correct semantics (verified:
+    flax matches the standard math to 1e-7 while torch deviates by
+    ~0.7 at B=3); at B=1 the two coincide exactly."""
+    from CookieTTS._2_ttm.untts.fastpitch.transformer import (
+        TransformerLayer)
+
+    from cookietts_tpu.models.untts import FFTBlock
+
+    D, H, INNER, K = 16, 4, 24, 3
+    DH = D // H
+    torch.manual_seed(0)
+    ref = TransformerLayer(H, D, DH, INNER, K, dropout=0.0, dropatt=0.0,
+                           pre_lnorm=False)
+    ref.eval()
+
+    rng = np.random.default_rng(6)
+    B, T = 1, 9
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.array([7])
+    mask = (np.arange(T)[None] < lengths[:, None])
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x * mask[:, :, None]),
+                      mask=torch.tensor(mask[:, :, None]))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    qkv_w = sd["dec_attn.qkv_net.weight"]          # [3*H*DH, D]
+    qkv_b = sd["dec_attn.qkv_net.bias"]
+    HD = H * DH
+
+    def head_proj(w_rows, b_rows):
+        # torch rows = output features ordered h*DH+d -> flax [D, H, DH]
+        return {"kernel": w_rows.T.reshape(D, H, DH),
+                "bias": b_rows.reshape(H, DH)}
+
+    params = {
+        "mha": {
+            "query": head_proj(qkv_w[:HD], qkv_b[:HD]),
+            "key": head_proj(qkv_w[HD:2 * HD], qkv_b[HD:2 * HD]),
+            "value": head_proj(qkv_w[2 * HD:], qkv_b[2 * HD:]),
+            "out": {"kernel": sd["dec_attn.o_net.weight"].T.reshape(
+                        H, DH, D),
+                    "bias": np.zeros(D, np.float32)},   # o_net bias=False
+        },
+        "ln1": {"scale": sd["dec_attn.layer_norm.weight"],
+                "bias": sd["dec_attn.layer_norm.bias"]},
+        "ffn1": {"kernel": sd["pos_ff.CoreNet.0.weight"].transpose(2, 1, 0),
+                 "bias": sd["pos_ff.CoreNet.0.bias"]},
+        "ffn2": {"kernel": sd["pos_ff.CoreNet.2.weight"].transpose(2, 1, 0),
+                 "bias": sd["pos_ff.CoreNet.2.bias"]},
+        "ln2": {"scale": sd["pos_ff.layer_norm.weight"],
+                "bias": sd["pos_ff.layer_norm.bias"]},
+    }
+    ours = FFTBlock(dim=D, heads=H, ffn_dim=INNER, kernel_size=K,
+                    dropout=0.0)
+    out = ours.apply({"params": params},
+                     jnp.asarray(x * mask[:, :, None]),
+                     jnp.asarray(mask), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=3e-5, atol=3e-6)
