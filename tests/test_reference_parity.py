@@ -989,3 +989,70 @@ def test_fft_block_matches_reference_transformer_layer():
                      jnp.asarray(mask), deterministic=True)
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_cli_convert_emotionnet_roundtrip(tmp_path):
+    """'convert --model emotionnet' derives a config that reconstructs
+    the model and reproduces the torch posterior."""
+    from types import SimpleNamespace
+
+    from CookieTTS._2_ttm.tacotron2_ssvae.nets.EmotionNet import (
+        EmotionNet as RefEmotionNet)
+
+    from cookietts_tpu import cli
+    from cookietts_tpu.models.emotionnet import (EmotionNet,
+                                                 EmotionNetConfig)
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+
+    C, LAT, E, R, SPK, M, ENC = 4, 6, 32, 16, 8, 24, 10
+    hp = SimpleNamespace(
+        n_frames_per_step=1, emotion_classes=list(range(C)),
+        emotionnet_ref_enc_convs=[4, 4, 8], emotionnet_ref_enc_rnn_dim=E,
+        emotionnet_ref_enc_use_bias=False,
+        emotionnet_ref_enc_droprate=0.0, speaker_embedding_dim=SPK,
+        emotionnet_RNN_dim=R, emotionnet_latent_dim=LAT,
+        emotionnet_classifier_layer_dropout=0.0,
+        emotionnet_encoder_outputs_dropout=0.0, encoder_LSTM_dim=ENC)
+    torch.manual_seed(2)
+    ref = RefEmotionNet(hp)
+    ref.eval()
+    npz = str(tmp_path / "em_sd.npz")
+    np.savez(npz, **{k: v.detach().numpy()
+                     for k, v in ref.state_dict().items()})
+    out_path = str(tmp_path / "em.ckpt")
+    cli.main(["convert", "--model", "emotionnet", "--torch_ckpt", npz,
+              "-o", out_path])
+
+    tree, meta = load_checkpoint(out_path)
+    mc = meta["model_config"]
+    assert mc["n_classes"] == C and mc["latent_dim"] == LAT
+    assert mc["speaker_embedding_dim"] == SPK
+    cfg = EmotionNetConfig(
+        n_classes=mc["n_classes"], latent_dim=mc["latent_dim"],
+        ref_enc_filters=tuple(mc["ref_enc_filters"]),
+        ref_enc_rnn_dim=mc["ref_enc_rnn_dim"], rnn_dim=mc["rnn_dim"],
+        speaker_embedding_dim=mc["speaker_embedding_dim"],
+        n_mel_channels=M)
+    rng = np.random.default_rng(7)
+    B, T_mel, T_txt = 2, 29, 6
+    mel = rng.standard_normal((B, M, T_mel)).astype(np.float32)
+    spk = rng.standard_normal((B, SPK)).astype(np.float32)
+    enc = rng.standard_normal((B, T_txt, ENC)).astype(np.float32)
+    emotion_id = np.full((B,), C, np.int64)        # all unknown
+    onehot = np.zeros((B, C), np.float32)
+    with torch.no_grad():
+        zs, _, zu_mu, _, _ = ref(torch.tensor(mel), torch.tensor(spk),
+                                 torch.tensor(enc),
+                                 emotion_id=torch.tensor(emotion_id),
+                                 emotion_onehot=torch.tensor(onehot))
+    import jax.tree_util as jtu
+    variables = {"params": jtu.tree_map(jnp.asarray, tree["params"]),
+                 **jtu.tree_map(jnp.asarray, tree.get("mutables", {}))}
+    out = EmotionNet(cfg).apply(
+        variables, jnp.asarray(mel.transpose(0, 2, 1)), jnp.asarray(spk),
+        jnp.asarray(enc), emotion_id=jnp.asarray(emotion_id),
+        emotion_onehot=jnp.asarray(onehot), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["zs"]), zs.numpy()[:, 0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["zu_mu"]),
+                               zu_mu.numpy()[:, 0], rtol=2e-4, atol=2e-5)
