@@ -110,6 +110,8 @@ class Tacotron2Config:
     gst_token_num: int = 10
     gst_token_embedding_size: int = 256
     gst_num_heads: int = 8
+    gst_att_dim: int = 128
+    gst_ref_enc_filters: Tuple[int, ...] = (32, 32, 64, 64, 128, 128)
     use_emotionnet: bool = False
     n_emotion_classes: int = 16          # hparams.py:186
     emotionnet_latent_dim: int = 32
@@ -594,6 +596,8 @@ class Tacotron2(nn.Module):
                 n_mel_channels=cfg.n_mel_channels,
                 token_embedding_size=cfg.gst_token_embedding_size,
                 token_num=cfg.gst_token_num, num_heads=cfg.gst_num_heads,
+                gst_att_dim=cfg.gst_att_dim,
+                ref_enc_filters=tuple(cfg.gst_ref_enc_filters),
                 torchmoji_dim=cfg.torchmoji_dim, dtype=cfg.dtype),
                 name="gst")
         if cfg.use_emotionnet:

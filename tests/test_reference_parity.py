@@ -1056,3 +1056,90 @@ def test_cli_convert_emotionnet_roundtrip(tmp_path):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out["zu_mu"]),
                                zu_mu.numpy()[:, 0], rtol=2e-4, atol=2e-5)
+
+
+def test_converted_gst_grafts_into_tacotron2(tmp_path):
+    """Converted reference TPGST weights graft into a use_gst Tacotron2
+    (subtree params['gst'] + batch_stats['gst']) and drive the style
+    conditioning: the teacher-forced forward runs finite and reacts to
+    the reference mel."""
+    from types import SimpleNamespace
+
+    sys.path.insert(0, "/root/reference/CookieTTS/_2_ttm/tacotron2_ssvae")
+    try:
+        from TPGST import GST as RefGST
+    finally:
+        sys.path.pop(0)
+
+    from cookietts_tpu.convert.gst_torch import convert_gst_state_dict
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.text import N_SYMBOLS
+
+    M, E, N_TOK, HEADS = 20, 32, 5, 8
+    hp = SimpleNamespace(
+        token_embedding_size=E, token_num=N_TOK, num_heads=HEADS,
+        gstAtt_dim=0, n_frames_per_step=1, ref_enc_filters=[4, 4, 8],
+        ss_vae_gst=False, gst_vae_mode=0, ss_vae_zu_dim=N_TOK,
+        vae_classes=[0], token_activation_func="softmax",
+        torchMoji_linear=True, torchMoji_attDim=8, p_drop_tokens=0.0,
+        drop_tokens_mode="zeros", n_speakers=4)
+    torch.manual_seed(3)
+    ref_gst = RefGST(hp)
+    params_gst, bs_gst = convert_gst_state_dict(
+        {k: v.detach().numpy() for k, v in ref_gst.state_dict().items()})
+
+    cfg = Tacotron2Config(
+        n_symbols=N_SYMBOLS, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+        encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+        encoder_n_convolutions=1, torchmoji_dim=8, torchmoji_crushed_dim=4,
+        memory_bottleneck_dim=16, prenet_dim=8, attention_rnn_dim=16,
+        decoder_rnn_dim=16, second_decoder_rnn_dim=0, attention_dim=8,
+        windowed_attention_range=4, postnet_embedding_dim=16,
+        postnet_n_convolutions=2, postnet_residual_connections=0,
+        n_mel_channels=M, use_gst=True, gst_token_num=N_TOK,
+        gst_token_embedding_size=E, gst_num_heads=HEADS,
+        gst_ref_enc_filters=(4, 4, 8))
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(8)
+    B, T_txt, T_mel = 2, 10, 24
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T_txt)),
+                         jnp.int32),
+        text_lengths=jnp.asarray([10, 7], jnp.int32),
+        mels=jnp.asarray(rng.standard_normal((B, T_mel, M)), jnp.float32),
+        mel_lengths=jnp.asarray([24, 16], jnp.int32),
+        speaker_id=jnp.asarray([0, 1], jnp.int32),
+        sylps=jnp.full((B,), 4.0))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+
+    # graft the converted GST subtree
+    params = dict(variables["params"])
+    assert set(params_gst) <= set(params["gst"]) | {"map_lin",
+                                                    "ss_vae_layers"}
+    params["gst"] = {**params["gst"], **params_gst}
+    bstats = dict(variables.get("batch_stats", {}))
+    bstats["gst"] = {**bstats.get("gst", {}), **bs_gst}
+    grafted = {"params": params, "batch_stats": bstats,
+               **{k: v for k, v in variables.items()
+                  if k not in ("params", "batch_stats")}}
+
+    (out, _), _ = model.apply(
+        grafted, **batch, key=jax.random.PRNGKey(3), deterministic=True,
+        rngs={"dropout": jax.random.PRNGKey(4)}, mutable=["batch_stats"])
+    mel_out = np.asarray(out["mel_outputs_postnet"])
+    assert np.isfinite(mel_out).all()
+
+    # the grafted GST actually conditions the output: a different ref
+    # mel changes the prediction
+    batch2 = dict(batch)
+    batch2["mels"] = jnp.asarray(
+        rng.standard_normal((B, T_mel, M)) * 2.0, jnp.float32)
+    (out2, _), _ = model.apply(
+        grafted, **batch2, key=jax.random.PRNGKey(3), deterministic=True,
+        rngs={"dropout": jax.random.PRNGKey(4)}, mutable=["batch_stats"])
+    assert not np.allclose(mel_out,
+                           np.asarray(out2["mel_outputs_postnet"]))
