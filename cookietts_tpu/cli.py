@@ -75,7 +75,8 @@ def cmd_train(args):
 
     overrides = parse_override_string(args.hparams) if args.hparams else {}
     if getattr(args, "resume", None) and args.model not in ("tacotron2",
-                                                            "waveglow"):
+                                                            "waveglow",
+                                                            "hifigan"):
         # refuse rather than silently restart from iter 0 (and then GC
         # away the checkpoints the user believed they were resuming)
         raise SystemExit(
@@ -799,7 +800,42 @@ def _train_hifigan(args, overrides):
     rng = np.random.default_rng(0)
     lr = float(overrides.get("lr", 2e-4))
     ctrl = scalars_to_arrays({"lr": lr, "grad_clip": 1000.0})
-    for it in range(n_iters):
+    start_it = 0
+    if getattr(args, "resume", None):
+        # full GAN resume: G AND D params + optimizer moments + step
+        # (the reference resumes from paired g_/do_ checkpoints,
+        # _4_mtw/hifigan/train.py)
+        import jax.tree_util as jtu
+
+        from .runtime.checkpoint import load_checkpoint, restore_like
+        path = ckpt.latest() if args.resume == "auto" else args.resume
+        if path is None:
+            raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
+        tree, _ = load_checkpoint(path)
+        if "d_params" not in tree:
+            raise SystemExit(f"{path} has no discriminator state; "
+                             "use --warm_start for generator-only load")
+
+        def as_np(t):
+            return jtu.tree_map(np.asarray, t)
+
+        def as_dev(t):
+            return jtu.tree_map(jnp.asarray, t)
+
+        g_state = g_state.replace(
+            params=as_dev(restore_like(as_np(g_state.params),
+                                       tree["params"])),
+            opt_state=as_dev(restore_like(as_np(g_state.opt_state),
+                                          tree["opt_state"])),
+            step=int(tree["step"]))
+        d_state = d_state.replace(
+            params=as_dev(restore_like(as_np(d_state.params),
+                                       tree["d_params"])),
+            opt_state=as_dev(restore_like(as_np(d_state.opt_state),
+                                          tree["d_opt_state"])))
+        start_it = int(tree["step"])
+        print(f"[hifigan] resumed G+D from {path} at iter {start_it}")
+    for it in range(start_it, n_iters):
         idx = rng.integers(0, len(dataset), batch_size)
         batch = collate_mel2samp([dataset[int(i)] for i in idx])
         dev = {"mels": jnp.asarray(batch["mels"]),
@@ -813,7 +849,11 @@ def _train_hifigan(args, overrides):
                   f"d={float(d_m['d_loss']):.3f}")
     ckpt.save_periodic(n_iters, {
         "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, g_state.params)})
+        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, g_state.opt_state),
+        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params),
+        "d_opt_state": jax.tree_util.tree_map(np.asarray,
+                                              d_state.opt_state)})
     print(f"done: checkpoints in {args.run_dir}")
 
 

@@ -131,6 +131,19 @@ def test_cli_train_hifigan(tmp_path):
               "mpd_periods=[2],msd_scales=1"])
     assert any(f.startswith("checkpoint_") for f in os.listdir(run_dir))
 
+    # full GAN resume (G+D params + optimizer moments + step) to 4 iters
+    cli.main(["train", "--model", "hifigan", "--filelist", map_file,
+              "--iters", "4", "--run_dir", run_dir, "--resume",
+              "--hparams",
+              "batch_size=2,n_iters=4,segment_length=2048,"
+              "sampling_rate=16000,filter_length=512,hop_length=128,"
+              "win_length=512,n_mel_channels=16,mel_fmax=8000.0,"
+              "load_from_disk_dtw=False,"
+              "resblock_kernel_sizes=[3],upsample_rates=[4,4,8],"
+              "upsample_kernel_sizes=[8,8,16],upsample_initial_channel=16,"
+              "mpd_periods=[2],msd_scales=1"])
+    assert "checkpoint_4" in os.listdir(run_dir)
+
 
 TINY_UNTTS_HPARAMS = (
     "batch_size=2,n_iters=2,"
