@@ -674,6 +674,10 @@ def _train_waveglow(args, overrides):
             raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
         state, meta = restore_train_state(state, path)
         start_it = int(state.step)
+        if start_it >= n_iters:
+            raise SystemExit(
+                f"--resume: checkpoint already at iter {start_it} >= "
+                f"--iters {n_iters}; nothing to do")
         meta = meta or {}
         plateau.scale = float(meta.get("plateau_scale", 1.0))
         n_restarts = int(meta.get("n_restarts", 0))
@@ -681,6 +685,8 @@ def _train_waveglow(args, overrides):
         print(f"[waveglow] resumed from {path} at iter {start_it} "
               f"(plateau_scale={plateau.scale}, n_restarts={n_restarts}, "
               f"best_val={ckpt.best_val_loss})")
+        # continue the data stream instead of replaying it from zero
+        rng = np.random.default_rng(start_it)
 
     def _sched_meta():
         return {"plateau_scale": plateau.scale, "n_restarts": n_restarts,
@@ -801,13 +807,23 @@ def _train_hifigan(args, overrides):
     lr = float(overrides.get("lr", 2e-4))
     ctrl = scalars_to_arrays({"lr": lr, "grad_clip": 1000.0})
     start_it = 0
+    if getattr(args, "warm_start", None):
+        from .runtime.checkpoint import load_checkpoint, warm_start
+        tree, _ = load_checkpoint(args.warm_start)
+        gp, n_l, n_s = warm_start(
+            jax.tree_util.tree_map(np.asarray, g_state.params),
+            tree["params"])
+        g_state = g_state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, gp))
+        print(f"[hifigan] warm start: {n_l} loaded, {n_s} skipped")
     if getattr(args, "resume", None):
         # full GAN resume: G AND D params + optimizer moments + step
         # (the reference resumes from paired g_/do_ checkpoints,
         # _4_mtw/hifigan/train.py)
         import jax.tree_util as jtu
 
-        from .runtime.checkpoint import load_checkpoint, restore_like
+        from .runtime.checkpoint import (load_checkpoint, restore_like,
+                                         restore_train_state)
         path = ckpt.latest() if args.resume == "auto" else args.resume
         if path is None:
             raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
@@ -815,26 +831,27 @@ def _train_hifigan(args, overrides):
         if "d_params" not in tree:
             raise SystemExit(f"{path} has no discriminator state; "
                              "use --warm_start for generator-only load")
-
-        def as_np(t):
-            return jtu.tree_map(np.asarray, t)
+        g_state, _ = restore_train_state(g_state, path)
 
         def as_dev(t):
             return jtu.tree_map(jnp.asarray, t)
 
-        g_state = g_state.replace(
-            params=as_dev(restore_like(as_np(g_state.params),
-                                       tree["params"])),
-            opt_state=as_dev(restore_like(as_np(g_state.opt_state),
-                                          tree["opt_state"])),
-            step=int(tree["step"]))
         d_state = d_state.replace(
-            params=as_dev(restore_like(as_np(d_state.params),
-                                       tree["d_params"])),
-            opt_state=as_dev(restore_like(as_np(d_state.opt_state),
-                                          tree["d_opt_state"])))
+            params=as_dev(restore_like(
+                jtu.tree_map(np.asarray, d_state.params),
+                tree["d_params"])),
+            opt_state=as_dev(restore_like(
+                jtu.tree_map(np.asarray, d_state.opt_state),
+                tree["d_opt_state"])),
+            step=int(tree["step"]))
         start_it = int(tree["step"])
+        if start_it >= n_iters:
+            raise SystemExit(
+                f"--resume: checkpoint already at iter {start_it} >= "
+                f"--iters {n_iters}; nothing to do")
         print(f"[hifigan] resumed G+D from {path} at iter {start_it}")
+        # continue the data stream instead of replaying it from zero
+        rng = np.random.default_rng(start_it)
     for it in range(start_it, n_iters):
         idx = rng.integers(0, len(dataset), batch_size)
         batch = collate_mel2samp([dataset[int(i)] for i in idx])

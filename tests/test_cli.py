@@ -104,7 +104,7 @@ def test_cli_train_waveglow(tmp_path):
     assert "checkpoint_4" in os.listdir(run_dir)
 
 
-def test_cli_train_hifigan(tmp_path):
+def test_cli_train_hifigan(tmp_path, capsys):
     sr = 16000
     rng = np.random.default_rng(2)
     lines = []
@@ -143,6 +143,8 @@ def test_cli_train_hifigan(tmp_path):
               "upsample_kernel_sizes=[8,8,16],upsample_initial_channel=16,"
               "mpd_periods=[2],msd_scales=1"])
     assert "checkpoint_4" in os.listdir(run_dir)
+    # the run actually CONTINUED from iter 2 (not a silent restart)
+    assert "resumed G+D" in capsys.readouterr().out
 
 
 TINY_UNTTS_HPARAMS = (

@@ -1133,13 +1133,16 @@ def test_converted_gst_grafts_into_tacotron2(tmp_path):
     mel_out = np.asarray(out["mel_outputs_postnet"])
     assert np.isfinite(mel_out).all()
 
-    # the grafted GST actually conditions the output: a different ref
-    # mel changes the prediction
-    batch2 = dict(batch)
-    batch2["mels"] = jnp.asarray(
-        rng.standard_normal((B, T_mel, M)) * 2.0, jnp.float32)
+    # the grafted GST actually conditions the output: zeroing ONLY the
+    # grafted token embeddings (same mels, same rngs) must change the
+    # prediction — comparing different ref mels would be vacuous since
+    # they also feed the teacher-forced decoder
+    dead = {**grafted, "params": {**params, "gst": {
+        **params["gst"],
+        "token_embedding": np.zeros_like(params["gst"]["token_embedding"]),
+    }}}
     (out2, _), _ = model.apply(
-        grafted, **batch2, key=jax.random.PRNGKey(3), deterministic=True,
+        dead, **batch, key=jax.random.PRNGKey(3), deterministic=True,
         rngs={"dropout": jax.random.PRNGKey(4)}, mutable=["batch_stats"])
     assert not np.allclose(mel_out,
                            np.asarray(out2["mel_outputs_postnet"]))
