@@ -174,8 +174,10 @@ def cmd_train(args):
     epoch = 0
     entries_cur = list(entries)
     while it < n_iters:
-        lengths = [dataset[i].get("mel_length", dcfg.max_segment_frames)
-                   for i in range(min(len(dataset), 512))]
+        # plan TBPTT over the FULL filelist from cheap length metadata —
+        # npy headers / .len sidecars, NO mel computation and no 512-entry
+        # cap (reference trains the whole filelist, train.py:634-827)
+        lengths = dataset.mel_frame_lengths()
         sampler = TBPTTSampler(lengths, batch_size,
                                dcfg.max_segment_frames, seed=epoch)
         from .data.prefetch import Prefetcher

@@ -150,6 +150,7 @@ class TTSDataset:
         self.arpa_lookup = arpa_lookup
         self.torchmoji_fn = torchmoji_fn
         self.rng = random.Random(seed)
+        self._len_cache: Dict[int, int] = {}
         self.stft = TacotronSTFT(
             config.filter_length, config.hop_length, config.win_length,
             config.n_mel_channels, config.sampling_rate, config.mel_fmin,
@@ -159,14 +160,19 @@ class TTSDataset:
         return len(self.entries)
 
     # -- audio/mel -----------------------------------------------------------
-    def _cache_path(self, audiopath: str) -> str:
-        h = hashlib.md5(
+    def _cfg_hash(self) -> str:
+        return hashlib.md5(
             f"{self.cfg.sampling_rate}_{self.cfg.filter_length}_"
             f"{self.cfg.hop_length}_{self.cfg.n_mel_channels}_"
             f"{self.cfg.mel_fmin}_{self.cfg.mel_fmax}_"
             f"{self.cfg.trim_top_db if self.cfg.trim_enable else 'raw'}_"
             f"{self.cfg.target_lufs}".encode()).hexdigest()[:8]
-        return audiopath + f".{h}.mel.npy"
+
+    def _cache_path(self, audiopath: str) -> str:
+        return audiopath + f".{self._cfg_hash()}.mel.npy"
+
+    def _len_cache_path(self, audiopath: str) -> str:
+        return audiopath + f".{self._cfg_hash()}.len.npy"
 
     def load_audio(self, audiopath: str) -> np.ndarray:
         audio, sr = audio_io.load_wav(audiopath,
@@ -181,6 +187,57 @@ class TTSDataset:
             audio = audio_io.loudness_normalize(
                 audio, sr, target_lufs=self.cfg.target_lufs)
         return audio
+
+    # -- cheap length metadata (TBPTT planning over the FULL filelist) --------
+    def mel_frame_length(self, index: int) -> int:
+        """Mel frame count for entry ``index`` WITHOUT computing a mel.
+
+        The reference plans TBPTT batches over every filelist entry from
+        pre-measured lengths (data_utils.py:430-498, train.py:634-827);
+        loading full feature items just to read lengths would make epoch
+        setup O(dataset audio). Resolution order:
+
+        1. in-memory cache,
+        2. the mel cache sidecar's npy HEADER (mmap, no data read),
+        3. a persisted ``.len.npy`` sidecar,
+        4. one audio load (trim changes the length, so the wav header
+           alone is not enough) — then persist the sidecar so every
+           later epoch/run is pure metadata.
+        """
+        n = self._len_cache.get(index)
+        if n is not None:
+            return n
+        path = self.entries[index]["path"]
+        mel_cache = self._cache_path(path)
+        if self.cfg.cache_mels and os.path.exists(mel_cache):
+            try:
+                n = int(np.load(mel_cache, mmap_mode="r").shape[0])
+            except (OSError, ValueError):
+                n = None
+        if n is None:
+            len_cache = self._len_cache_path(path)
+            if os.path.exists(len_cache):
+                try:
+                    n = int(np.load(len_cache))
+                except (OSError, ValueError):
+                    n = None
+            if n is None:
+                audio = self.load_audio(path)
+                n = len(audio) // self.cfg.hop_length + 1
+                if self.cfg.cache_mels:
+                    _atomic_save(len_cache, np.asarray(n, np.int64))
+        self._len_cache[index] = n
+        return n
+
+    def mel_frame_lengths(self, workers: int = 8) -> List[int]:
+        """Lengths for ALL entries; first touch parallelizes the audio
+        loads over a thread pool, later calls are in-memory lookups."""
+        from concurrent.futures import ThreadPoolExecutor
+        idx = list(range(len(self.entries)))
+        if workers > 1 and len(idx) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                return list(ex.map(self.mel_frame_length, idx))
+        return [self.mel_frame_length(i) for i in idx]
 
     def get_mel(self, audiopath: str,
                 audio: Optional[np.ndarray] = None) -> np.ndarray:

@@ -334,3 +334,79 @@ def test_cli_chain_train_gta_postnet(tts_dataset, tmp_path):
               "noise_dim=4,n_convolutions=3,embedding_dim=16,"
               "residual_connections=0"])
     assert any(f.startswith("checkpoint_") for f in os.listdir(pn_dir))
+
+
+def test_full_filelist_tbptt_planning(tmp_path):
+    """TBPTT planning covers the WHOLE filelist (>512 entries) from cheap
+    length metadata — no mel computation at epoch setup, sidecar-backed on
+    later passes (reference trains every filelist entry, train.py:634-827;
+    round-2 regression: planning silently capped at the first 512)."""
+    from cookietts_tpu.data.dataset import (DataConfig, TBPTTSampler,
+                                            TTSDataset)
+    sr = 22050
+    root = tmp_path / "big"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(int(sr * 0.2))).astype(np.float32)
+    entries = []
+    for i in range(520):
+        p = str(root / f"c{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        entries.append({"path": p, "quote": f"n {i}", "speaker_id": 0})
+    dcfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                      win_length=512, trim_enable=False, target_lufs=None)
+    ds = TTSDataset(entries, dcfg)
+    lengths = ds.mel_frame_lengths()
+    assert len(lengths) == 520
+    # planning computed NO mels
+    assert not [f for f in os.listdir(root) if f.endswith(".mel.npy")]
+    # planned length must match the actual mel (gate placement depends on it)
+    assert ds[0]["mel_length"] == lengths[0]
+    # one epoch visits every file index
+    sampler = TBPTTSampler(lengths, batch_size=8, max_segment_frames=800)
+    seen = set()
+    for batch in sampler:
+        seen.update(seg.file_idx for seg in batch)
+    assert seen == set(range(520))
+    # a fresh dataset replans from sidecars: zero audio loads
+    ds2 = TTSDataset(entries, dcfg)
+    calls = []
+    orig = ds2.load_audio
+    ds2.load_audio = lambda p: (calls.append(p), orig(p))[1]
+    assert ds2.mel_frame_lengths() == lengths
+    assert not calls
+
+
+def test_cli_train_plans_full_filelist(monkeypatch, tmp_path):
+    """cmd_train's sampler sees ALL entries, and epoch setup computes no
+    mels (only the few actually-trained batches do)."""
+    from cookietts_tpu.data import dataset as dataset_mod
+    sr = 22050
+    root = tmp_path / "big"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(int(sr * 0.2))).astype(np.float32)
+    lines = []
+    for i in range(516):
+        p = str(root / f"c{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"{p}|Number {i} here.|0")
+    filelist = str(root / "filelist.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(lines))
+
+    seen = {}
+    orig_init = dataset_mod.TBPTTSampler.__init__
+
+    def spy(self, lengths, *a, **k):
+        seen["n"] = len(lengths)
+        orig_init(self, lengths, *a, **k)
+
+    monkeypatch.setattr(dataset_mod.TBPTTSampler, "__init__", spy)
+    run_dir = str(tmp_path / "run_full")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS + ",trim_enable=False"])
+    assert seen["n"] == 516
+    n_mels = len([f for f in os.listdir(root) if f.endswith(".mel.npy")])
+    assert n_mels <= 10, n_mels     # init + val + 2 trained batches only
