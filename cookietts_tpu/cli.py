@@ -66,7 +66,7 @@ def cmd_train(args):
     from .runtime.train_state import TrainState
     from .runtime.trainer import (
         Trainer, TrainerConfig, make_tacotron2_eval_step,
-        make_tacotron2_train_step)
+        make_tacotron2_inference_eval_step, make_tacotron2_train_step)
 
     from .parallel.launch import initialize as dist_initialize
     if dist_initialize():
@@ -166,7 +166,9 @@ def cmd_train(args):
     trainer = Trainer(TrainerConfig(
         run_dir=args.run_dir,
         live_config_path=args.live_config), state, train_step, eval_step,
-        val_batches=val_batches)
+        val_batches=val_batches,
+        inference_eval_step=make_tacotron2_inference_eval_step(model,
+                                                               mesh=mesh))
     if getattr(args, "resume", None):
         trainer.resume(None if args.resume == "auto" else args.resume)
 

@@ -178,6 +178,62 @@ def make_tacotron2_eval_step(model, mesh=None,
                    out_shardings=(rep, bs, bs))
 
 
+def make_tacotron2_inference_eval_step(model, mesh=None) -> Callable:
+    """FREE-RUNNING validation step (no teacher forcing).
+
+    The reference validates BOTH teacher-forced and inference modes every
+    interval and keeps a separate best_inf_attsc checkpoint scored on
+    *inference* attention (train.py:774-797, teacher_force modes
+    :392-394,456-457; hparams.py:15-19) — teacher-forced alignments are
+    systematically easier, so scoring the attention-stability checkpoint
+    on them mislabels it. Decodes ``batch['mels'].shape[1]`` steps (the
+    collated bucket) and scores alignments with the gate-derived output
+    lengths.
+
+    Returns step(state, batch, key, ctrl) ->
+    (loss_dict{inf_weighted_score, inf_diagonality, inf_avg_max_attention,
+    inf_gate_fired}, file_losses{inf_att_score}, images).
+    """
+    from ..models.tacotron2 import Tacotron2
+    from ..ops.metrics import alignment_metric, weighted_score
+
+    def step(state: TrainState, batch, key, ctrl):
+        del ctrl
+        variables = {"params": state.params, **(state.mutables or {})}
+        out = model.apply(
+            variables,
+            text=batch["text"], text_lengths=batch["text_lengths"],
+            speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+            torchmoji_hidden=batch.get("torchmoji"),
+            key=key, max_decoder_steps=int(batch["mels"].shape[1]),
+            method=Tacotron2.inference)
+        atd = alignment_metric(out["alignments"], batch["text_lengths"],
+                               out["mel_lengths"])
+        scores = weighted_score(atd, batch["text_lengths"],
+                                out["mel_lengths"])
+        T_dec = out["alignments"].shape[1]
+        loss_dict = {
+            "inf_weighted_score": jnp.mean(scores),
+            "inf_diagonality": jnp.mean(atd["diagonalitys"]),
+            "inf_avg_max_attention": jnp.mean(atd["avg_prob"]),
+            # fraction of lanes whose gate fired before the step budget
+            "inf_gate_fired": jnp.mean(
+                (out["mel_lengths"] < T_dec).astype(jnp.float32)),
+        }
+        file_losses = {"inf_att_score": scores}
+        images = {"alignments": out["alignments"],
+                  "mel_outputs_postnet": out["mel_outputs_postnet"],
+                  "gate_outputs": out["gate_outputs"]}
+        return loss_dict, file_losses, images
+
+    if mesh is None:
+        return jax.jit(step)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
+                   out_shardings=(rep, bs, bs))
+
+
 def adapt_carry(carry, t_enc: int, batch_size: int):
     """Fit a TBPTT carry from the previous iteration to this batch's
     shapes. Returns None (fresh start) on a batch-size change; attention
@@ -226,11 +282,16 @@ class Trainer:
 
     def __init__(self, cfg: TrainerConfig, state: TrainState,
                  train_step: Callable, eval_step: Optional[Callable] = None,
-                 val_batches: Optional[list] = None):
+                 val_batches: Optional[list] = None,
+                 inference_eval_step: Optional[Callable] = None):
         self.cfg = cfg
         self.state = state
         self.train_step = train_step
         self.eval_step = eval_step
+        # free-running eval: scores best_inf_attsc on INFERENCE attention
+        # (reference train.py:774-797); without it the teacher-forced
+        # weighted_score drives the attsc checkpoint as a fallback
+        self.inference_eval_step = inference_eval_step
         self.val_batches = val_batches    # enables cadence-driven validation
         self.live = LiveConfig(cfg.live_config_path)
         self.ckpt = Checkpointer(cfg.run_dir)
@@ -348,8 +409,16 @@ class Trainer:
         if (self.eval_step is not None and self.val_batches
                 and vi > 0 and it_now % vi == 0):
             means = self.validate(self.val_batches, iteration=it_now)
+            att_score = means.get("val_weighted_score")
+            if self.inference_eval_step is not None:
+                # the attention-stability checkpoint follows the
+                # FREE-RUNNING score, not the (easier) teacher-forced one
+                inf = self.validate(self.val_batches, iteration=it_now,
+                                    step_fn=self.inference_eval_step,
+                                    prefix="validation_inf")
+                att_score = inf.get("val_inf_weighted_score", att_score)
             self.save(periodic=False, val_loss=means.get("val_loss"),
-                      att_score=means.get("val_weighted_score"))
+                      att_score=att_score)
         ci = int(self.live.get("checkpoint_interval", 0) or 0)
         if ci > 0 and it_now % ci == 0:
             self.save(periodic=True)
@@ -401,11 +470,16 @@ class Trainer:
             self.ckpt.maybe_save_best_attsc(att_score, tree, metadata)
 
     def validate(self, batches, iteration: Optional[int] = None,
-                 log_images: bool = True) -> Dict[str, float]:
+                 log_images: bool = True, step_fn: Optional[Callable] = None,
+                 prefix: str = "validation") -> Dict[str, float]:
         """Seeded, reproducible validation over an iterable of batches,
         with alignment / mel / gate images from the first batch
-        (reference logger.py:64-114 logs these every validation)."""
-        assert self.eval_step is not None
+        (reference logger.py:64-114 logs these every validation).
+        ``step_fn`` defaults to the teacher-forced eval step; pass
+        ``self.inference_eval_step`` with ``prefix='validation_inf'`` for
+        the free-running namespace."""
+        step_fn = step_fn or self.eval_step
+        assert step_fn is not None
         it = iteration if iteration is not None else int(self.state.step)
         agg: Dict[str, list] = {}
         first = None
@@ -415,35 +489,36 @@ class Trainer:
             batch = dict(batch)
             batch.pop("audiopath", None)
             batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            res = self.eval_step(self.state, batch_dev, key, ctrl)
+            res = step_fn(self.state, batch_dev, key, ctrl)
             loss_dict, outputs = res[0], (res[2] if len(res) > 2 else None)
             for k, v in loss_dict.items():
                 agg.setdefault(k, []).append(float(v))
             if i == 0 and outputs is not None:
                 first = (batch_dev, outputs)
         means = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
-        self.logger.log_scalars(it, means, prefix="validation")
+        self.logger.log_scalars(it, means, prefix=prefix)
         if log_images and first is not None:
-            self._log_validation_images(it, *first)
+            self._log_validation_images(it, *first, prefix=prefix)
         return means
 
-    def _log_validation_images(self, it: int, batch, outputs) -> None:
+    def _log_validation_images(self, it: int, batch, outputs,
+                               prefix: str = "validation") -> None:
         try:
             from .plotting import plot_alignment, plot_gate, plot_spectrogram
             t_dec = int(batch["mel_lengths"][0])
             t_enc = int(batch["text_lengths"][0])
             align = np.asarray(outputs["alignments"])[0, :t_dec, :t_enc]
-            self.logger.log_image(it, "validation/alignment",
+            self.logger.log_image(it, f"{prefix}/alignment",
                                   plot_alignment(align))
             mel_pred = np.asarray(outputs["mel_outputs_postnet"])[0, :t_dec]
-            self.logger.log_image(it, "validation/mel_predicted",
+            self.logger.log_image(it, f"{prefix}/mel_predicted",
                                   plot_spectrogram(mel_pred, "predicted"))
             mel_gt = np.asarray(batch["mels"])[0, :t_dec]
-            self.logger.log_image(it, "validation/mel_target",
+            self.logger.log_image(it, f"{prefix}/mel_target",
                                   plot_spectrogram(mel_gt, "target"))
             if "gate_target" in batch:
                 self.logger.log_image(
-                    it, "validation/gate",
+                    it, f"{prefix}/gate",
                     plot_gate(np.asarray(batch["gate_target"])[0, :t_dec],
                               np.asarray(outputs["gate_outputs"])[0, :t_dec]))
         except Exception as e:  # rendering must never kill training

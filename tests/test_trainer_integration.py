@@ -320,3 +320,68 @@ def test_bf16_training_step():
     # per-step dropout/TF keys make the loss noisy on a 2-sample batch;
     # bf16 health check = no explosion, not monotonic descent
     assert losses[-1] < 100.0, losses
+
+
+def test_inference_eval_step_runs_free(trainer_setup):
+    """The free-running validation step decodes without teacher forcing
+    and scores alignments with GATE-DERIVED lengths (reference validates
+    both modes, train.py:774-797)."""
+    from cookietts_tpu.runtime.trainer import (
+        make_tacotron2_inference_eval_step)
+    from tests.test_tacotron2 import tiny_cfg
+    trainer, batch, run_dir = trainer_setup
+    model = Tacotron2(tiny_cfg())
+    step = make_tacotron2_inference_eval_step(model)
+    b = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopath"}
+    b["torchmoji"] = b.pop("torchmoji") if "torchmoji" in b else None
+    loss_dict, file_losses, images = step(
+        trainer.state, b, jax.random.PRNGKey(0), trainer.ctrl(0))
+    assert np.isfinite(float(loss_dict["inf_weighted_score"]))
+    assert np.isfinite(float(loss_dict["inf_diagonality"]))
+    assert 0.0 <= float(loss_dict["inf_gate_fired"]) <= 1.0
+    assert images["alignments"].shape[1] == b["mels"].shape[1]
+    assert file_losses["inf_att_score"].shape == (b["text"].shape[0],)
+
+
+def test_attsc_checkpoint_follows_inference_score(tmp_path):
+    """best_inf_attsc tracks the FREE-RUNNING weighted score even when the
+    (easier) teacher-forced score says otherwise — the round-2 version fed
+    teacher-forced alignments to maybe_save_best_attsc, mislabeling the
+    attention-stability checkpoint class (reference hparams.py:15-19)."""
+    state = TrainState.create(None, {"w": jnp.ones((4,), jnp.float32)},
+                              adam())
+
+    def _train(state, batch, key, ctrl):
+        return state.replace(step=state.step + 1), \
+            {"loss": jnp.asarray(0.5)}, {}
+
+    # teacher-forced score is CONSTANT and high; inference score varies
+    def _eval(state, batch, key, ctrl):
+        return {"loss": jnp.asarray(1.0),
+                "weighted_score": jnp.asarray(0.95)}, {}
+
+    inf_scores = [0.2, 0.6, 0.4]
+    calls = {"n": 0}
+
+    def _inf_eval(state, batch, key, ctrl):
+        s = inf_scores[min(calls["n"], len(inf_scores) - 1)]
+        calls["n"] += 1
+        return {"inf_weighted_score": jnp.asarray(s)}, {}, None
+
+    tr = Trainer(TrainerConfig(run_dir=str(tmp_path)), state, _train,
+                 _eval, val_batches=[{"x": np.ones((4,), np.float32)}],
+                 inference_eval_step=_inf_eval)
+    tr.live.values["validation_interval"] = 1
+    tr.live.values["checkpoint_interval"] = 0
+    batch = {"x": jnp.ones((4,), jnp.float32)}
+    for _ in range(3):
+        tr.step(dict(batch))
+    assert calls["n"] == 3                       # inference eval ran
+    # follows the inference peak (0.6), NOT the teacher-forced 0.95
+    assert tr.ckpt.best_inf_attsc == pytest.approx(0.6)
+    assert "best_inf_attsc" in os.listdir(str(tmp_path))
+    # both namespaces logged
+    with open(os.path.join(str(tmp_path), "events.jsonl")) as f:
+        lines = f.read()
+    assert '"prefix": "validation_inf"' in lines
+    assert '"prefix": "validation"' in lines
