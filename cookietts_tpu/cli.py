@@ -103,9 +103,16 @@ def cmd_train(args):
 
     entries = load_filelist(args.filelist)
     dcfg_valid = set(DataConfig.__dataclass_fields__)
+    # n_emotion_classes is a field of BOTH configs, keeping the collate
+    # one-hot width in sync with the model head from one override
     dcfg = DataConfig(**{k: v for k, v in overrides.items()
                          if k in dcfg_valid})
-    dataset = TTSDataset(entries, dcfg)
+    features = ["text", "mel", "speaker_id", "sylps", "gate"]
+    if overrides.get("use_emotionnet"):
+        # ssvae semi-supervised emotion: filelist emotion ids flow through
+        # collate's one-hot into sup_em_nll (reference data_utils.py:845-854)
+        features.append("emotion_id")
+    dataset = TTSDataset(entries, dcfg, features=features)
     model, mcfg = _build_tacotron2(overrides)
 
     # init from one real batch
@@ -435,9 +442,12 @@ def _train_gan_postnet(args, overrides):
 
     ``--filelist`` is a ``wav|mel|speaker`` GTA map; decoder mels come
     from the ``.mel*.npy`` sidecars, ground-truth mels from the audio.
-    Speaker conditioning uses fixed seeded per-speaker code vectors
-    (standing in for the ssvae model's learned speaker embedding, which
-    lives in the Tacotron2 checkpoint)."""
+    Speaker conditioning uses the REAL learned speaker-embedding table
+    from the Tacotron2 checkpoint that produced the GTA maps
+    (``tacotron2_checkpoint=<path>`` override or ``--warm_start``), the
+    way the reference conditions the postnet discriminator on the model's
+    speaker embedding (tacotron2_ssvae/model.py:183-316); without one it
+    falls back to fixed seeded per-speaker codes (smoke training only)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -464,6 +474,26 @@ def _train_gan_postnet(args, overrides):
         sampling_rate=sr,
         mel_fmax=float(overrides.get("mel_fmax", 11025.0)))
 
+    # real speaker conditioning: pull the learned embedding table out of
+    # the Tacotron2 checkpoint that generated the GTA maps
+    embed_table = None
+    t2_ckpt = overrides.get("tacotron2_checkpoint") or args.warm_start
+    if t2_ckpt:
+        from .runtime.checkpoint import load_checkpoint
+        tree, _ = load_checkpoint(str(t2_ckpt))
+        try:
+            embed_table = np.asarray(
+                tree["params"]["speaker_embedding"]["embedding"],
+                np.float32)
+        except (KeyError, TypeError):
+            raise SystemExit(
+                f"{t2_ckpt} has no speaker_embedding table; pass a "
+                "tacotron2 checkpoint (framework format)")
+        overrides = dict(overrides,
+                         speaker_embedding_dim=int(embed_table.shape[1]))
+        print(f"[gan_postnet] speaker embeddings from {t2_ckpt}: "
+              f"{embed_table.shape[0]} speakers x {embed_table.shape[1]}")
+
     entries = [(w, m, s) for w, m, s, _ in load_map_file(args.filelist)
                if m is not None]
     if not entries:
@@ -478,6 +508,8 @@ def _train_gan_postnet(args, overrides):
     disc = GANDiscriminator(pcfg)
 
     def speaker_code(sid: int) -> np.ndarray:
+        if embed_table is not None:
+            return embed_table[sid % embed_table.shape[0]]
         return np.random.default_rng(1000 + sid).standard_normal(
             pcfg.speaker_embedding_dim).astype(np.float32)
 

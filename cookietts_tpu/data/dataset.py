@@ -84,6 +84,8 @@ class DataConfig:
     cache_mels: bool = True
     force_load: bool = True
     torchmoji_dim: int = 2304
+    # ssvae semi-supervised emotion (id == n_emotion_classes -> unlabeled)
+    n_emotion_classes: int = 16
 
 
 def bucket_size(n: int, buckets: Sequence[int]) -> int:
@@ -304,7 +306,11 @@ class TTSDataset:
         if "speaker_id" in self.features:
             out["speaker_id"] = int(e.get("speaker_id", 0))
         if "emotion_id" in self.features:
-            out["emotion_id"] = int(e.get("emotion_id", 0))
+            # -1 = unknown; collate maps it to the semi-supervised
+            # "unknown" class index n_emotion_classes (reference derives
+            # ids from filenames, data_utils.py:845-854, and EmotionNet
+            # treats id==n_classes as unlabeled, EmotionNet.py:66-140)
+            out["emotion_id"] = int(e.get("emotion_id", -1))
         if "sylps" in self.features:
             n_syl = audio_io.count_syllables(e["quote"])
             dur = (out.get("mel_length", 1) * cfg.hop_length
@@ -499,6 +505,20 @@ def collate(items: Sequence[Dict[str, Any]],
     for key in ("speaker_id", "emotion_id"):
         if key in items[0]:
             out[key] = np.asarray([it[key] for it in items], np.int32)
+    if "emotion_id" in out:
+        # semi-supervised one-hot + unknown mapping: out-of-range ids
+        # become the "unlabeled" class C; their one-hot row is zero, and
+        # the loss's known-mask (id != C) excludes them from sup_em_nll
+        # (reference EmotionNet.py:66-140, data_utils.py:845-854)
+        C = cfg.n_emotion_classes
+        ids = out["emotion_id"]
+        unknown = (ids < 0) | (ids >= C)
+        ids = np.where(unknown, C, ids).astype(np.int32)
+        out["emotion_id"] = ids
+        onehot = np.zeros((B, C), np.float32)
+        known_rows = np.nonzero(~unknown)[0]
+        onehot[known_rows, ids[known_rows]] = 1.0
+        out["emotion_onehot"] = onehot
     if "sylps" in items[0]:
         out["sylps"] = np.asarray([it["sylps"] for it in items], np.float32)
     if "torchmoji" in items[0]:

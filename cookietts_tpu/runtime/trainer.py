@@ -87,6 +87,12 @@ def make_tacotron2_train_step(model, mesh=None,
             init_carry=carry,
             pres_prev_state=(batch.get("pres_prev_state")
                              if carry is not None else None),
+            # ssvae semi-supervision: labels flow into EmotionNet so
+            # known items override the classifier with their one-hot
+            # (reference EmotionNet.py:66-140; round-2 gap: these never
+            # reached the model in real training)
+            emotion_id=batch.get("emotion_id"),
+            emotion_onehot=batch.get("emotion_onehot"),
             rngs={"dropout": jax.random.fold_in(key, 1)},
             mutable=["batch_stats"])
         gt = dict(
@@ -96,6 +102,9 @@ def make_tacotron2_train_step(model, mesh=None,
             pres_prev_state=batch.get(
                 "pres_prev_state", jnp.zeros_like(batch["sylps"])),
         )
+        if "emotion_id" in batch:
+            gt["emotion_id"] = batch["emotion_id"]
+            gt["emotion_onehot"] = batch["emotion_onehot"]
         loss_weights = {k: ctrl[k] for k in DEFAULT_LOSS_SCALARS if k in ctrl}
         total, loss_dict, file_losses = tacotron2_loss(
             out, gt, loss_weights,
@@ -157,12 +166,17 @@ def make_tacotron2_eval_step(model, mesh=None,
             key=key,
             p_teacher_forcing=ctrl["p_teacher_forcing"],
             teacher_force_till=ctrl["teacher_force_till"],
+            emotion_id=batch.get("emotion_id"),
+            emotion_onehot=batch.get("emotion_onehot"),
             deterministic=True)
         gt = dict(
             mels=batch["mels"], mel_lengths=batch["mel_lengths"],
             text_lengths=batch["text_lengths"], sylps=batch["sylps"],
             gate_target=batch["gate_target"],
         )
+        if "emotion_id" in batch:
+            gt["emotion_id"] = batch["emotion_id"]
+            gt["emotion_onehot"] = batch["emotion_onehot"]
         _, loss_dict, file_losses = tacotron2_loss(
             out, gt, gate_positive_weight=gate_positive_weight)
         images = {"alignments": out["alignments"],

@@ -324,16 +324,56 @@ def test_cli_chain_train_gta_postnet(tts_dataset, tmp_path):
         assert len(f.read().strip().splitlines()) == 4   # all utterances
 
     pn_dir = str(tmp_path / "run_chain_pn")
+    t2_ckpt = os.path.join(run_dir, ckpts[-1])
     cli.main(["train", "--model", "gan_postnet", "--filelist", map_path,
               "--iters", "2", "--run_dir", pn_dir,
               "--hparams",
               "batch_size=2,n_iters=2,sampling_rate=22050,"
               "filter_length=512,hop_length=128,win_length=512,"
               "n_mel_channels=20,mel_fmax=8000.0,"
-              "postnet_segment_frames=24,speaker_embedding_dim=8,"
+              "postnet_segment_frames=24,"
               "noise_dim=4,n_convolutions=3,embedding_dim=16,"
-              "residual_connections=0"])
+              "residual_connections=0,"
+              # REAL speaker conditioning: the learned embedding table
+              # from the tacotron2 checkpoint that made the GTA maps
+              f"tacotron2_checkpoint={t2_ckpt}"])
     assert any(f.startswith("checkpoint_") for f in os.listdir(pn_dir))
+    # the postnet's speaker dim was derived from the checkpoint table
+    import json
+    meta_files = [f for f in os.listdir(pn_dir) if f.endswith(".json")]
+    assert meta_files
+
+
+def test_gan_postnet_speaker_code_from_checkpoint(tmp_path, capsys):
+    """gan_postnet pulls the REAL learned speaker-embedding rows from a
+    tacotron2 checkpoint instead of seeded random codes (reference
+    conditions the postnet discriminator on the model's speaker
+    embedding, tacotron2_ssvae/model.py:183-316)."""
+    import numpy as _np
+    from cookietts_tpu.runtime.checkpoint import save_checkpoint
+    table = _np.arange(12, dtype=_np.float32).reshape(3, 4)
+    ckpt = str(tmp_path / "t2")
+    save_checkpoint(ckpt, {"step": 0, "params": {
+        "speaker_embedding": {"embedding": table}}}, {})
+    # a bad checkpoint (no table) must refuse loudly
+    bad = str(tmp_path / "bad")
+    save_checkpoint(bad, {"step": 0, "params": {"w": table}}, {})
+
+    # an empty map exits AFTER checkpoint processing: the first call
+    # proves the good table loads, the second that a bad one refuses
+    import pytest as _pytest
+    from cookietts_tpu import cli as _cli
+    empty_map = str(tmp_path / "map.txt")
+    with open(empty_map, "w") as f:
+        f.write("")
+    with _pytest.raises(SystemExit, match="no mel sidecars"):
+        _cli.main(["train", "--model", "gan_postnet",
+                   "--filelist", empty_map, "--run_dir", str(tmp_path),
+                   "--hparams", f"tacotron2_checkpoint={ckpt}"])
+    with _pytest.raises(SystemExit, match="no speaker_embedding"):
+        _cli.main(["train", "--model", "gan_postnet",
+                   "--filelist", empty_map, "--run_dir", str(tmp_path),
+                   "--hparams", f"tacotron2_checkpoint={bad}"])
 
 
 def test_full_filelist_tbptt_planning(tmp_path):
@@ -410,3 +450,65 @@ def test_cli_train_plans_full_filelist(monkeypatch, tmp_path):
     assert seen["n"] == 516
     n_mels = len([f for f in os.listdir(root) if f.endswith(".mel.npy")])
     assert n_mels <= 10, n_mels     # init + val + 2 trained batches only
+
+
+def test_collate_emotion_onehot_and_unknown():
+    """Collate builds the semi-supervised emotion one-hot: labeled items
+    get a one-hot row, unknown ids (-1 / out-of-range) map to the
+    'unlabeled' class index C with a ZERO one-hot row (reference
+    EmotionNet.py treats id==n_classes as unlabeled)."""
+    from cookietts_tpu.data.dataset import DataConfig, collate
+    cfg = DataConfig(n_emotion_classes=4)
+    mel = np.zeros((8, cfg.n_mel_channels), np.float32)
+    items = [{"audiopath": f"{i}.wav", "mel": mel, "mel_length": 8,
+              "emotion_id": eid}
+             for i, eid in enumerate([0, 2, -1, 7])]
+    out = collate(items, cfg)
+    np.testing.assert_array_equal(out["emotion_id"], [0, 2, 4, 4])
+    assert out["emotion_onehot"].shape == (4, 4)
+    np.testing.assert_array_equal(out["emotion_onehot"][0],
+                                  [1.0, 0.0, 0.0, 0.0])
+    np.testing.assert_array_equal(out["emotion_onehot"][1],
+                                  [0.0, 0.0, 1.0, 0.0])
+    np.testing.assert_array_equal(out["emotion_onehot"][2], np.zeros(4))
+    np.testing.assert_array_equal(out["emotion_onehot"][3], np.zeros(4))
+
+
+def test_cli_train_ssvae_emotion_supervision(tmp_path):
+    """End-to-end ssvae training: filelist emotion ids reach sup_em_nll
+    through collate and the train step, and the supervised NLL decreases
+    (round-2 gap: the labels never reached the model in real training)."""
+    import json
+    sr = 22050
+    root = tmp_path / "ds"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        t = np.arange(int(sr * 1.0)) / sr
+        audio = (0.3 * np.sin(2 * np.pi * (150 + 60 * i) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(root / f"a{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        emo = "" if i == 3 else str(i % 3)      # one unlabeled row
+        lines.append(f"{p}|Hello number {i} here.|0||{emo}|")
+    filelist = str(root / "filelist.txt")
+    with open(filelist, "w") as f:
+        f.write("\n".join(lines))
+
+    run_dir = str(tmp_path / "run_ssvae")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "21", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS +
+              ",use_emotionnet=True,n_emotion_classes=4,"
+              "emotionnet_latent_dim=4,trim_enable=False"])
+    nll = []
+    with open(os.path.join(run_dir, "events.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "sup_em_nll" in rec and "validation" not in str(
+                    rec.get("prefix", "")):
+                nll.append((rec.get("step", 0), rec["sup_em_nll"]))
+    assert len(nll) >= 2, "sup_em_nll never logged from real training"
+    assert all(np.isfinite(v) for _, v in nll)
+    assert nll[-1][1] < nll[0][1], nll
