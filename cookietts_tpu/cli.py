@@ -74,14 +74,6 @@ def cmd_train(args):
               f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     overrides = parse_override_string(args.hparams) if args.hparams else {}
-    if getattr(args, "resume", None) and args.model not in ("tacotron2",
-                                                            "waveglow",
-                                                            "hifigan"):
-        # refuse rather than silently restart from iter 0 (and then GC
-        # away the checkpoints the user believed they were resuming)
-        raise SystemExit(
-            f"--resume is not implemented for --model {args.model}; "
-            "use --warm_start to reload params only")
     if args.model == "waveglow":
         return _train_waveglow(args, overrides)
     if args.model == "hifigan":
@@ -253,7 +245,8 @@ def cmd_train(args):
 def _train_untts(args, overrides):
     """NAR flow-TTS training from a filelist with MFA durations
     (`.dur.npy` / `.TextGrid` sidecars; uniform fallback) — reference
-    _2_ttm/untts/train.py surface."""
+    _2_ttm/untts/train.py surface, on the shared Trainer (validation
+    cadence, live config, explosion restart, full --resume)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -261,11 +254,9 @@ def _train_untts(args, overrides):
     from .data.dataset import DataConfig, TTSDataset, collate
     from .data.filelist import load_filelist
     from .models.untts import UnTTS, UnTTSConfig
-    from .runtime.checkpoint import Checkpointer
-    from .runtime.logging_util import MetricsLogger
     from .runtime.optim import adam
     from .runtime.train_state import TrainState
-    from .runtime.trainer import make_untts_train_step, scalars_to_arrays
+    from .runtime.trainer import make_untts_eval_step, make_untts_train_step
     from .text import N_SYMBOLS
 
     batch_size = int(overrides.get("batch_size", 8))
@@ -285,14 +276,14 @@ def _train_untts(args, overrides):
            if k in m_valid and k not in ("n_symbols", "n_mel_channels")})
     model = UnTTS(ucfg)
 
-    def make_batch(idx):
+    def batch_of(idx):
         b = collate([dataset[int(i)] for i in idx], dcfg)
         keys = ("text", "text_lengths", "mels", "mel_lengths",
                 "speaker_id", "durations", "f0", "energy")
         return {k: jnp.asarray(b[k]) for k in keys if k in b}
 
-    rng = np.random.default_rng(0)
-    dev = make_batch(rng.integers(0, len(dataset), batch_size))
+    dev = batch_of(np.random.default_rng(0).integers(
+        0, len(dataset), batch_size))
     variables = jax.jit(model.init, static_argnames=("deterministic",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         **dev, deterministic=False)
@@ -306,23 +297,18 @@ def _train_untts(args, overrides):
             params=jax.tree_util.tree_map(jnp.asarray, params))
         print(f"warm start: {n_l} loaded, {n_s} skipped")
 
-    train_step = make_untts_train_step(model, donate=False)
-    logger = MetricsLogger(args.run_dir)
-    ckpt = Checkpointer(args.run_dir)
-    base_lr = float(overrides.get("lr", 1e-4))
-    for it in range(n_iters):
-        batch = make_batch(rng.integers(0, len(dataset), batch_size))
-        ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": 10.0})
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(it),
-                                    ctrl)
-        if it % 10 == 0:
-            logger.log_scalars(it, {k: float(v) for k, v in metrics.items()})
-            print(f"iter {it}: loss={float(metrics['loss']):.4f}")
-    ckpt.save_periodic(n_iters, {
-        "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, state.params)},
-        metadata={"model": "untts"})
-    print(f"done: checkpoints in {args.run_dir}")
+    val_batches = [batch_of(range(min(batch_size, len(dataset))))]
+    trainer = _make_trainer(
+        args, overrides, state, make_untts_train_step(model, donate=False),
+        eval_step=make_untts_eval_step(model), val_batches=val_batches,
+        grad_clip=10.0)
+
+    def make_batch(it):
+        rng = np.random.default_rng(it)
+        return batch_of(rng.integers(0, len(dataset), batch_size))
+
+    _trainer_loop(trainer, make_batch, n_iters, args.run_dir, "untts",
+                  resume=getattr(args, "resume", None))
 
 
 def _train_gantts(args, overrides):
@@ -381,57 +367,55 @@ def _train_gantts(args, overrides):
 
     d_step, g_step = make_gantts_train_steps(
         gen, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
+
+    # held-out style validation: masked mel L1 of generated vs gt mels on
+    # a FIXED batch (reference GANTTS/train.py validation loop)
+    def eval_adapter(state, batch, key, ctrl):
+        fake, frame_mask = gen.apply(
+            {"params": state.g.params}, text=batch["text"],
+            text_lengths=batch["text_lengths"],
+            speaker_id=batch["speaker_id"], durations=batch["durations"],
+            t_out=int(batch["mels"].shape[1]), key=key, deterministic=True)
+        m = frame_mask[:, :, None].astype(jnp.float32)
+        l1 = jnp.sum(jnp.abs(fake - batch["mels"]) * m) \
+            / jnp.maximum(jnp.sum(m) * fake.shape[-1], 1.0)
+        return ({"loss": l1, "mel_l1": l1}, {})
+
+    val_batches = [make_batch(range(min(batch_size, len(dataset))))]
     _run_gan_training(
-        d_step, g_step,
+        args, overrides, d_step, g_step,
         lambda: make_batch(rng.integers(0, len(dataset), batch_size)),
-        g_state, d_state, n_iters, args.run_dir,
+        g_state, d_state, n_iters,
         base_lr=float(overrides.get("lr", 1e-4)), grad_clip=10.0,
         # reference scales the D lr separately (train.py:344)
         d_lr_scale=float(overrides.get("d_lr_scale", 1.0)),
-        model_name="gantts")
+        model_name="gantts", eval_step=eval_adapter,
+        val_batches=val_batches)
 
 
-def _run_gan_training(d_step, g_step, make_batch, g_state, d_state,
-                      n_iters, run_dir, base_lr, grad_clip,
+def _run_gan_training(args, overrides, d_step, g_step, make_batch, g_state,
+                      d_state, n_iters, base_lr, grad_clip,
                       d_lr_scale=1.0, pass_key=True, model_name="gan",
-                      extra_meta=None, loss_key="g_loss"):
-    """Shared alternating D/G training tail for the adversarial models
-    (gantts / gan_postnet / hifigan_denoiser): step loop, scalar
-    logging, and the G+D checkpoint payload."""
-    import jax
-    import numpy as np
+                      extra_meta=None, loss_key="g_loss",
+                      eval_step=None, val_batches=None):
+    """Shared adversarial training tail (gantts / gan_postnet /
+    hifigan_denoiser) on the SHARED Trainer: paired G/D state, validation
+    cadence, live config, explosion restart, full --resume — the
+    machinery every reference trainer dir duplicates (SURVEY.md §2.7)."""
+    from .runtime.train_state import GANTrainState
+    from .runtime.trainer import make_gan_trainer_step
 
-    from .runtime.checkpoint import Checkpointer
-    from .runtime.logging_util import MetricsLogger
-    from .runtime.trainer import scalars_to_arrays
-
-    logger = MetricsLogger(run_dir)
-    ckpt = Checkpointer(run_dir)
-    d_ctrl = scalars_to_arrays({"lr": base_lr * d_lr_scale,
-                                "grad_clip": grad_clip})
-    g_ctrl = scalars_to_arrays({"lr": base_lr, "grad_clip": grad_clip})
-    for it in range(n_iters):
-        batch = make_batch()
-        if pass_key:
-            key = jax.random.PRNGKey(it)
-            d_state, d_m = d_step(d_state, g_state, batch, key, d_ctrl)
-            g_state, g_m = g_step(g_state, d_state, batch, key, g_ctrl)
-        else:
-            d_state, d_m = d_step(d_state, g_state, batch, d_ctrl)
-            g_state, g_m = g_step(g_state, d_state, batch, g_ctrl)
-        if it % 10 == 0:
-            metrics = {**{k: float(v) for k, v in d_m.items()},
-                       **{k: float(v) for k, v in g_m.items()}}
-            logger.log_scalars(it, metrics)
-            print(f"iter {it}: {loss_key}={metrics[loss_key]:.4f} "
-                  f"d_loss={metrics['d_loss']:.4f}")
-    ckpt.save_periodic(n_iters, {
-        "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
-        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params)},
-        metadata={"model": model_name, **(extra_meta or {})})
-    print(f"done: checkpoints in {run_dir}")
-    return g_state, d_state
+    state = GANTrainState(g=g_state, d=d_state)
+    step = make_gan_trainer_step(d_step, g_step, pass_key=pass_key,
+                                 loss_key=loss_key, d_lr_scale=d_lr_scale)
+    trainer = _make_trainer(args, overrides, state, step,
+                            eval_step=eval_step, val_batches=val_batches,
+                            base_lr=base_lr, grad_clip=grad_clip)
+    trainer.default_metadata = {"model": model_name, **(extra_meta or {})}
+    _trainer_loop(trainer, lambda it: make_batch(), n_iters, args.run_dir,
+                  model_name, resume=getattr(args, "resume", None),
+                  loss_name=loss_key)
+    return trainer.state.g, trainer.state.d
 
 
 def _train_gan_postnet(args, overrides):
@@ -554,10 +538,24 @@ def _train_gan_postnet(args, overrides):
 
     d_step, g_step = make_gan_postnet_train_steps(
         post, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
-    _run_gan_training(d_step, g_step, make_batch, g_state, d_state,
-                      n_iters, args.run_dir,
+
+    @jax.jit
+    def _val_mse(g_params, g_mut, dec, spk, gt):
+        fake = post.apply({"params": g_params, **g_mut}, dec, spk,
+                          key=jax.random.PRNGKey(0), deterministic=True)
+        return jnp.mean((fake - gt) ** 2)
+
+    def eval_adapter(state, batch, key, ctrl):
+        mse = _val_mse(state.g.params, state.g.mutables or {},
+                       batch["decoder_mel"], batch["speaker_embed"],
+                       batch["gt_mel"])
+        return ({"loss": mse, "mel_MSE": mse}, {})
+
+    _run_gan_training(args, overrides, d_step, g_step, make_batch,
+                      g_state, d_state, n_iters,
                       base_lr=float(overrides.get("lr", 2e-4)),
-                      grad_clip=10.0, model_name="gan_postnet")
+                      grad_clip=10.0, model_name="gan_postnet",
+                      eval_step=eval_adapter, val_batches=[dev])
 
 
 def _train_hifigan_denoiser(args, overrides):
@@ -628,17 +626,93 @@ def _train_hifigan_denoiser(args, overrides):
 
     d_step, g_step = make_hifigan_denoiser_train_steps(
         gen, dw, ds, mrs, stage=stage)
-    _run_gan_training(d_step, g_step, make_batch, g_state, d_state,
-                      n_iters, args.run_dir,
+
+    from .models.hifigan_denoiser import denoiser_loss
+
+    @jax.jit
+    def _val_spectral(g_params, noisy, clean):
+        pred = gen.apply({"params": g_params}, noisy)
+        # spectral-only validation regardless of stage (critic terms
+        # would make val incomparable across stages)
+        total, ld = denoiser_loss(mrs, pred, clean, stage=min(stage, 1))
+        return total
+
+    def eval_adapter(state, batch, key, ctrl):
+        v = _val_spectral(state.g.params, batch["noisy"], batch["clean"])
+        return ({"loss": v, "spectral": v}, {})
+
+    _run_gan_training(args, overrides, d_step, g_step, make_batch,
+                      g_state, d_state, n_iters,
                       base_lr=float(overrides.get("lr", 2e-4)),
                       grad_clip=100.0, pass_key=False,
                       model_name="hifigan_denoiser",
-                      extra_meta={"stage": stage}, loss_key="loss")
+                      extra_meta={"stage": stage}, loss_key="loss",
+                      eval_step=eval_adapter, val_batches=[dev])
+
+
+def _make_trainer(args, overrides, state, train_step, eval_step=None,
+                  val_batches=None, plateau=None, base_lr=1e-4,
+                  grad_clip=150.0, validation_interval=200):
+    """Shared Trainer setup for the non-tacotron2 CLIs: constant-LR live
+    defaults (overridable by --live_config / --hparams), validation
+    cadence, explosion threshold — ONE runtime instead of the reference's
+    per-trainer-dir copies (SURVEY.md §2.7)."""
+    from .runtime.trainer import Trainer, TrainerConfig
+    trainer = Trainer(
+        TrainerConfig(run_dir=args.run_dir,
+                      live_config_path=getattr(args, "live_config", None)),
+        state, train_step, eval_step, val_batches=val_batches,
+        plateau=plateau)
+    trainer.live.values.update({
+        "A_": float(overrides.get("lr", base_lr)),
+        "warmup_end": 0, "decay_start": 10 ** 12,
+        "grad_clip_thresh": float(overrides.get("grad_clip", grad_clip)),
+        "drop_frame_rate": 0.0,
+        "validation_interval": int(overrides.get("validation_interval",
+                                                 validation_interval)),
+        "checkpoint_interval": int(overrides.get("checkpoint_interval", 0)),
+        "LossExplosionThreshold": float(
+            overrides.get("loss_explosion_threshold", 1e3)),
+    })
+    if getattr(args, "live_config", None):
+        trainer.live._mtime = -1.0       # re-overlay the file on top
+        trainer.live.poll()
+    return trainer
+
+
+def _trainer_loop(trainer, make_batch, n_iters, run_dir, name,
+                  resume=None, loss_name="loss"):
+    """Run a Trainer to ``n_iters`` with full --resume (params + opt +
+    step + schedule state) and a final periodic checkpoint."""
+    start_it = 0
+    if resume:
+        path = trainer.ckpt.latest() if resume == "auto" else resume
+        if path is None or not os.path.exists(path):
+            raise SystemExit(f"--resume: no checkpoint in {run_dir}")
+        start_it = trainer.resume(path)
+        if start_it >= n_iters:
+            raise SystemExit(
+                f"--resume: checkpoint already at iter {start_it} >= "
+                f"--iters {n_iters}; nothing to do")
+    it = int(trainer.state.step)
+    while it < n_iters:
+        metrics = trainer.step(make_batch(it))
+        if it % 10 == 0:
+            print(f"iter {it}: {loss_name}="
+                  f"{metrics.get('loss', float('nan')):.4f}")
+        it_next = int(trainer.state.step)
+        it = it_next if it_next > it else it + 1   # explosion rolls back
+    trainer.save(periodic=True)
+    print(f"done: checkpoints in {run_dir}")
+    return trainer
 
 
 def _train_waveglow(args, overrides):
     """Vocoder training from a GTA map file or a wav filelist
-    (reference _4_mtw/waveglow/train.py surface)."""
+    (reference _4_mtw/waveglow/train.py surface): shared Trainer with a
+    HELD-OUT validation split driving ReduceLROnPlateau + best_val_model
+    (train.py:184-341,460-476), explosion restart, live config, full
+    --resume."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -649,10 +723,7 @@ def _train_waveglow(args, overrides):
     from .runtime.optim import ReduceLROnPlateau, adam, lamb
     from .runtime.train_state import TrainState
     from .runtime.trainer import (make_waveglow_train_step,
-                                  make_waveglow_val_step,
-                                  scalars_to_arrays)
-    from .runtime.logging_util import MetricsLogger
-    from .runtime.checkpoint import Checkpointer
+                                  make_waveglow_val_step)
 
     batch_size = int(overrides.get("batch_size", 4))
     n_iters = int(overrides.get("n_iters", args.iters))
@@ -671,10 +742,24 @@ def _train_waveglow(args, overrides):
            if k in m_valid and k not in ("n_mel_channels", "hop_length")})
     model = WaveGlow(wcfg)
 
-    batch = collate_mel2samp([dataset[i % len(dataset)]
-                              for i in range(batch_size)])
-    dev = {"audio": jnp.asarray(batch["audio"]),
-           "mels": jnp.asarray(batch["mels"])}
+    # held-out validation: reserve the TAIL of the map file (the reference
+    # uses a separate val loader; validating on just-trained batches lets
+    # training data drive the plateau scheduler and best_val_model)
+    n_val = max(1, len(dataset) // 10) if len(dataset) > 1 else 0
+    train_idx = list(range(len(dataset) - n_val))
+    if not train_idx:                       # single-file smoke runs
+        train_idx = list(range(len(dataset)))
+
+    def _to_dev(batch):
+        dev = {"audio": jnp.asarray(batch["audio"]),
+               "mels": jnp.asarray(batch["mels"])}
+        if wcfg.n_speakers > 0:
+            dev["speaker_id"] = jnp.asarray(batch["speaker_id"])
+        return dev
+
+    init_batch = collate_mel2samp([dataset[train_idx[i % len(train_idx)]]
+                                   for i in range(batch_size)])
+    dev = _to_dev(init_batch)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), dev["audio"],
                                     dev["mels"])
     tx = lamb() if use_lamb else adam()
@@ -689,90 +774,33 @@ def _train_waveglow(args, overrides):
     train_step = make_waveglow_train_step(model, mesh=mesh, donate=False,
                                           tp_rules=tp_rules)
     val_step = make_waveglow_val_step(model)
-    logger = MetricsLogger(args.run_dir)
-    ckpt = Checkpointer(args.run_dir)
-    plateau = ReduceLROnPlateau()
 
-    rng = np.random.default_rng(0)
-    base_lr = float(overrides.get("lr", 1e-4))
-    explosion_thresh = float(overrides.get("loss_explosion_threshold", 1e3))
-    n_restarts = 0
-    start_it = 0
-    if getattr(args, "resume", None):
-        # full resume: params + opt_state + step PLUS the schedule state
-        # (plateau scale, explosion-restart count, best-val) — without
-        # those the resumed run trains at full base_lr and the first
-        # validation clobbers best_val_model (reference vocoder runs
-        # span days, _4_mtw/waveglow/train.py:255-279)
-        from .runtime.checkpoint import restore_train_state
-        path = ckpt.latest() if args.resume == "auto" else args.resume
-        if path is None:
-            raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
-        state, meta = restore_train_state(state, path)
-        start_it = int(state.step)
-        if start_it >= n_iters:
-            raise SystemExit(
-                f"--resume: checkpoint already at iter {start_it} >= "
-                f"--iters {n_iters}; nothing to do")
-        meta = meta or {}
-        plateau.scale = float(meta.get("plateau_scale", 1.0))
-        n_restarts = int(meta.get("n_restarts", 0))
-        ckpt.best_val_loss = float(meta.get("best_val_loss", float("inf")))
-        print(f"[waveglow] resumed from {path} at iter {start_it} "
-              f"(plateau_scale={plateau.scale}, n_restarts={n_restarts}, "
-              f"best_val={ckpt.best_val_loss})")
-        # continue the data stream instead of replaying it from zero
-        rng = np.random.default_rng(start_it)
+    def eval_adapter(state, batch, key, ctrl):
+        m = val_step(state, batch, key)
+        return ({"loss": m["val_MSE"], "MSE": m["val_MSE"],
+                 "MAE": m["val_MAE"]}, {})
 
-    def _sched_meta():
-        return {"plateau_scale": plateau.scale, "n_restarts": n_restarts,
-                "best_val_loss": float(ckpt.best_val_loss)}
+    # one fixed held-out val batch (deterministic across validations)
+    val_entries = ([dataset[len(dataset) - n_val + i] for i in range(n_val)]
+                   if n_val else [dataset[i] for i in train_idx])
+    val_items = [val_entries[i % len(val_entries)]
+                 for i in range(min(batch_size, max(len(val_entries), 1)))]
+    val_batches = [_to_dev(collate_mel2samp(val_items))]
 
-    for it in range(start_it, n_iters):
-        idx = rng.integers(0, len(dataset), batch_size)
-        batch = collate_mel2samp([dataset[int(i)] for i in idx])
-        dev = {"audio": jnp.asarray(batch["audio"]),
-               "mels": jnp.asarray(batch["mels"])}
-        if wcfg.n_speakers > 0:
-            dev["speaker_id"] = jnp.asarray(batch["speaker_id"])
-        lr = base_lr * plateau.scale / (2.0 ** (n_restarts / 3.0))
-        ctrl = scalars_to_arrays({"lr": lr, "grad_clip": 150.0})
-        new_state, metrics = train_step(state, dev, jax.random.PRNGKey(it),
-                                        ctrl)
-        loss = float(metrics["loss"])
-        if not np.isfinite(loss) or loss > explosion_thresh:
-            # LossExplosion restart: reload best_val_model with decayed LR
-            # (reference _4_mtw/waveglow/train.py:691-707)
-            n_restarts += 1
-            best = os.path.join(args.run_dir, "best_val_model")
-            if os.path.exists(best):
-                from .runtime.checkpoint import restore_train_state
-                state, _ = restore_train_state(new_state, best)
-            print(f"[waveglow] LossExplosion (loss={loss}); restart "
-                  f"#{n_restarts}, lr decay 2^{n_restarts}/3")
-            continue
-        state = new_state
-        if it % 10 == 0:
-            logger.log_scalars(it, {k: float(v)
-                                    for k, v in metrics.items()})
-            print(f"iter {it}: nll={loss:.4f}")
-        if it and it % 200 == 0:
-            val = val_step(state, dev, jax.random.PRNGKey(9999 + it))
-            val_mse = float(val["val_MSE"])
-            plateau.step(val_mse)
-            logger.log_scalars(it, {"val_MSE": val_mse}, prefix="val")
-            ckpt.maybe_save_best_val(val_mse, {
-                "step": it,
-                "params": jax.tree_util.tree_map(np.asarray, state.params),
-                "opt_state": jax.tree_util.tree_map(
-                    np.asarray, state.opt_state),
-            }, metadata=_sched_meta())
-    ckpt.save_periodic(n_iters, {
-        "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, state.params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state)},
-        metadata=_sched_meta())
-    print(f"done: checkpoints in {args.run_dir}")
+    trainer = _make_trainer(args, overrides, state, train_step,
+                            eval_step=eval_adapter, val_batches=val_batches,
+                            plateau=ReduceLROnPlateau(), grad_clip=150.0)
+
+    def make_batch(it):
+        # stream keyed by iteration: a resumed run continues the data
+        # sequence instead of replaying it from zero
+        rng = np.random.default_rng(it)
+        idx = [train_idx[int(i)]
+               for i in rng.integers(0, len(train_idx), batch_size)]
+        return _to_dev(collate_mel2samp([dataset[i] for i in idx]))
+
+    _trainer_loop(trainer, make_batch, n_iters, args.run_dir, "waveglow",
+                  resume=getattr(args, "resume", None), loss_name="nll")
 
 
 def _train_hifigan(args, overrides):
@@ -788,11 +816,9 @@ def _train_hifigan(args, overrides):
     from .models.hifigan import (Generator, HiFiGANConfig,
                                  MultiPeriodDiscriminator,
                                  MultiScaleDiscriminator)
-    from .runtime.checkpoint import Checkpointer
-    from .runtime.logging_util import MetricsLogger
     from .runtime.optim import adam
     from .runtime.train_state import TrainState
-    from .runtime.trainer import make_hifigan_train_steps, scalars_to_arrays
+    from .runtime.trainer import make_hifigan_train_steps
 
     batch_size = int(overrides.get("batch_size", 4))
     n_iters = int(overrides.get("n_iters", args.iters))
@@ -819,7 +845,10 @@ def _train_hifigan(args, overrides):
                         dcfg.sampling_rate, dcfg.mel_fmin, dcfg.mel_fmax)
     mel_fn = stft.mel_spectrogram
 
-    batch = collate_mel2samp([dataset[i % len(dataset)]
+    n_val = max(1, len(dataset) // 10) if len(dataset) > 1 else 0
+    train_idx = list(range(len(dataset) - n_val)) or list(range(len(dataset)))
+
+    batch = collate_mel2samp([dataset[train_idx[i % len(train_idx)]]
                               for i in range(batch_size)])
     mels = jnp.asarray(batch["mels"])
     audio = jnp.asarray(batch["audio"])
@@ -835,14 +864,6 @@ def _train_hifigan(args, overrides):
     d_state = TrainState.create(
         None, (mpd_vars["params"], msd_vars["params"]),
         adam(weight_decay=0.01))
-    d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn)
-    logger = MetricsLogger(args.run_dir)
-    ckpt = Checkpointer(args.run_dir)
-
-    rng = np.random.default_rng(0)
-    lr = float(overrides.get("lr", 2e-4))
-    ctrl = scalars_to_arrays({"lr": lr, "grad_clip": 1000.0})
-    start_it = 0
     if getattr(args, "warm_start", None):
         from .runtime.checkpoint import load_checkpoint, warm_start
         tree, _ = load_checkpoint(args.warm_start)
@@ -852,62 +873,55 @@ def _train_hifigan(args, overrides):
         g_state = g_state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, gp))
         print(f"[hifigan] warm start: {n_l} loaded, {n_s} skipped")
+
+    from .models.hifigan import mel_l1_loss
+    from .runtime.train_state import GANTrainState
+    from .runtime.trainer import make_gan_trainer_step
+    d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn)
+    train_step = make_gan_trainer_step(d_step, g_step, pass_key=False)
+
+    @jax.jit
+    def _val_mel_l1(g_params, mels, audio):
+        fake = gen.apply({"params": g_params}, mels)
+        n = min(fake.shape[1], audio.shape[1])
+        return mel_l1_loss(mel_fn(audio[:, :n]), mel_fn(fake[:, :n]))
+
+    def eval_adapter(state, batch, key, ctrl):
+        l1 = _val_mel_l1(state.g.params, batch["mels"], batch["audio"])
+        return ({"loss": l1, "mel_l1": l1}, {})
+
+    val_entries = ([dataset[len(dataset) - n_val + i] for i in range(n_val)]
+                   if n_val else [dataset[i] for i in train_idx])
+    val_items = [val_entries[i % len(val_entries)]
+                 for i in range(min(batch_size, max(len(val_entries), 1)))]
+    vb = collate_mel2samp(val_items)
+    val_batches = [{"mels": jnp.asarray(vb["mels"]),
+                    "audio": jnp.asarray(vb["audio"])}]
+
+    state = GANTrainState(g=g_state, d=d_state)
+    trainer = _make_trainer(args, overrides, state, train_step,
+                            eval_step=eval_adapter, val_batches=val_batches,
+                            base_lr=2e-4, grad_clip=1000.0)
     if getattr(args, "resume", None):
         # full GAN resume: G AND D params + optimizer moments + step
         # (the reference resumes from paired g_/do_ checkpoints,
-        # _4_mtw/hifigan/train.py)
-        import jax.tree_util as jtu
-
-        from .runtime.checkpoint import (load_checkpoint, restore_like,
-                                         restore_train_state)
-        path = ckpt.latest() if args.resume == "auto" else args.resume
+        # _4_mtw/hifigan/train.py); kept message for log greppers
+        path = (trainer.ckpt.latest() if args.resume == "auto"
+                else args.resume)
         if path is None:
             raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
-        tree, _ = load_checkpoint(path)
-        if "d_params" not in tree:
-            raise SystemExit(f"{path} has no discriminator state; "
-                             "use --warm_start for generator-only load")
-        g_state, _ = restore_train_state(g_state, path)
+        print(f"[hifigan] resumed G+D from {path}")
 
-        def as_dev(t):
-            return jtu.tree_map(jnp.asarray, t)
+    def make_batch(it):
+        rng = np.random.default_rng(it)
+        idx = [train_idx[int(i)]
+               for i in rng.integers(0, len(train_idx), batch_size)]
+        b = collate_mel2samp([dataset[i] for i in idx])
+        return {"mels": jnp.asarray(b["mels"]),
+                "audio": jnp.asarray(b["audio"])}
 
-        d_state = d_state.replace(
-            params=as_dev(restore_like(
-                jtu.tree_map(np.asarray, d_state.params),
-                tree["d_params"])),
-            opt_state=as_dev(restore_like(
-                jtu.tree_map(np.asarray, d_state.opt_state),
-                tree["d_opt_state"])),
-            step=int(tree["step"]))
-        start_it = int(tree["step"])
-        if start_it >= n_iters:
-            raise SystemExit(
-                f"--resume: checkpoint already at iter {start_it} >= "
-                f"--iters {n_iters}; nothing to do")
-        print(f"[hifigan] resumed G+D from {path} at iter {start_it}")
-        # continue the data stream instead of replaying it from zero
-        rng = np.random.default_rng(start_it)
-    for it in range(start_it, n_iters):
-        idx = rng.integers(0, len(dataset), batch_size)
-        batch = collate_mel2samp([dataset[int(i)] for i in idx])
-        dev = {"mels": jnp.asarray(batch["mels"]),
-               "audio": jnp.asarray(batch["audio"])}
-        d_state, d_m = d_step(d_state, g_state, dev, ctrl)
-        g_state, g_m = g_step(g_state, d_state, dev, ctrl)
-        if it % 10 == 0:
-            logger.log_scalars(it, {**{k: float(v) for k, v in d_m.items()},
-                                    **{k: float(v) for k, v in g_m.items()}})
-            print(f"iter {it}: g={float(g_m['g_loss']):.3f} "
-                  f"d={float(d_m['d_loss']):.3f}")
-    ckpt.save_periodic(n_iters, {
-        "step": n_iters,
-        "params": jax.tree_util.tree_map(np.asarray, g_state.params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, g_state.opt_state),
-        "d_params": jax.tree_util.tree_map(np.asarray, d_state.params),
-        "d_opt_state": jax.tree_util.tree_map(np.asarray,
-                                              d_state.opt_state)})
-    print(f"done: checkpoints in {args.run_dir}")
+    _trainer_loop(trainer, make_batch, n_iters, args.run_dir, "hifigan",
+                  resume=getattr(args, "resume", None), loss_name="g_loss")
 
 
 def cmd_gta(args):

@@ -93,8 +93,35 @@ def restore_train_state(state, path: str):
     """Full resume: load params + opt_state + mutables + step from a
     checkpoint into ``state``'s structure (reference full-resume mode,
     train.py:255-279). Returns (new_state, metadata)."""
-    import jax.numpy as jnp
     tree, meta = load_checkpoint(path)
+    return _restore_train_state_from_tree(state, tree), meta
+
+
+def restore_any(state, path: str):
+    """Full resume for either a plain :class:`TrainState` or a paired
+    :class:`GANTrainState` (G under ``params``/``opt_state``, D under
+    ``d_params``/``d_opt_state`` — the reference's paired g_/do_
+    checkpoints). Returns (new_state, metadata)."""
+    from .train_state import GANTrainState
+    if not isinstance(state, GANTrainState):
+        return restore_train_state(state, path)
+    tree, meta = load_checkpoint(path)
+    if "d_params" not in tree:
+        raise SystemExit(
+            f"{path} has no discriminator state; use --warm_start for a "
+            "generator-only load")
+    g, _ = restore_train_state(state.g, path)
+    d_tree = {"params": tree["d_params"], "step": tree.get("step", 0)}
+    if "d_opt_state" in tree:
+        d_tree["opt_state"] = tree["d_opt_state"]
+    if tree.get("d_mutables"):
+        d_tree["mutables"] = tree["d_mutables"]
+    d = _restore_train_state_from_tree(state.d, d_tree)
+    return GANTrainState(g=g, d=d), meta
+
+
+def _restore_train_state_from_tree(state, tree):
+    import jax.numpy as jnp
     as_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
     new = state.replace(
         params=as_dev(restore_like(
@@ -110,7 +137,7 @@ def restore_train_state(state, path: str):
             tree["mutables"])))
     if "step" in tree:
         new = new.replace(step=int(tree["step"]))
-    return new, meta
+    return new
 
 
 def _flatten(d, prefix=""):

@@ -297,7 +297,8 @@ class Trainer:
     def __init__(self, cfg: TrainerConfig, state: TrainState,
                  train_step: Callable, eval_step: Optional[Callable] = None,
                  val_batches: Optional[list] = None,
-                 inference_eval_step: Optional[Callable] = None):
+                 inference_eval_step: Optional[Callable] = None,
+                 plateau=None):
         self.cfg = cfg
         self.state = state
         self.train_step = train_step
@@ -307,11 +308,16 @@ class Trainer:
         # weighted_score drives the attsc checkpoint as a fallback
         self.inference_eval_step = inference_eval_step
         self.val_batches = val_batches    # enables cadence-driven validation
+        # vocoder-style ReduceLROnPlateau: stepped with held-out val_loss
+        # every validation, its scale multiplies the live-config LR
+        # (reference _4_mtw/waveglow/train.py:671-700)
+        self.plateau = plateau
         self.live = LiveConfig(cfg.live_config_path)
         self.ckpt = Checkpointer(cfg.run_dir)
         self.logger = MetricsLogger(cfg.run_dir)
         self.file_db = FileLossDB()
         self.n_restarts = 0
+        self.default_metadata: Dict[str, Any] = {}   # stamped on every ckpt
         self.key = jax.random.PRNGKey(cfg.seed)
         self.carry = None        # TBPTT decoder state carried across iters
         self._iter_time_ema = None   # smoothed s/iter (tracing subsystem)
@@ -326,12 +332,18 @@ class Trainer:
         if path is None:
             print("[trainer] no checkpoint to resume from; starting fresh")
             return 0
-        self.state, meta = restore_train_state(self.state, path)
+        from .checkpoint import restore_any
+        self.state, meta = restore_any(self.state, path)
         if meta:
             self.ckpt.best_val_loss = float(
                 meta.get("best_val_loss", self.ckpt.best_val_loss))
             self.ckpt.best_inf_attsc = float(
                 meta.get("best_inf_attsc", self.ckpt.best_inf_attsc))
+            # schedule state: without these a resumed vocoder run trains
+            # at full base LR and re-counts explosions from zero
+            self.n_restarts = int(meta.get("n_restarts", self.n_restarts))
+            if self.plateau is not None and "plateau_scale" in meta:
+                self.plateau.scale = float(meta["plateau_scale"])
         print(f"[trainer] resumed from {path} at step {self.state.step}")
         return int(self.state.step)
 
@@ -340,6 +352,8 @@ class Trainer:
         live = self.live.values
         base_lr = self.live.lr(iteration)
         lr = base_lr / (2.0 ** (self.n_restarts / 3.0))
+        if self.plateau is not None:
+            lr = lr * self.plateau.scale
         ctrl = {
             "lr": lr,
             "grad_clip": live.get("grad_clip_thresh", 1.0),
@@ -385,8 +399,11 @@ class Trainer:
             new_state, loss_dict, file_losses, new_carry = self.train_step(
                 self.state, batch_dev, sub, ctrl, carry)
         else:
-            new_state, loss_dict, file_losses = self.train_step(
-                self.state, batch_dev, sub, ctrl)
+            res = self.train_step(self.state, batch_dev, sub, ctrl)
+            # step factories return (state, metrics[, file_losses]) —
+            # vocoder/GAN steps have no per-file losses
+            new_state, loss_dict = res[0], res[1]
+            file_losses = res[2] if len(res) > 2 else {}
             new_carry = None
 
         loss = float(loss_dict["loss"])
@@ -423,6 +440,8 @@ class Trainer:
         if (self.eval_step is not None and self.val_batches
                 and vi > 0 and it_now % vi == 0):
             means = self.validate(self.val_batches, iteration=it_now)
+            if self.plateau is not None and "val_loss" in means:
+                self.plateau.step(means["val_loss"])
             att_score = means.get("val_weighted_score")
             if self.inference_eval_step is not None:
                 # the attention-stability checkpoint follows the
@@ -452,8 +471,8 @@ class Trainer:
         import os
         best = os.path.join(self.cfg.run_dir, "best_val_model")
         if os.path.exists(best):
-            from .checkpoint import restore_train_state
-            self.state, _ = restore_train_state(new_state, best)
+            from .checkpoint import restore_any
+            self.state, _ = restore_any(new_state, best)
         else:
             self.state = new_state
         print(f"[trainer] LossExplosion (loss={loss}); restart "
@@ -461,21 +480,18 @@ class Trainer:
 
     # -- checkpointing ------------------------------------------------------
     def _state_tree(self):
-        return {
-            "step": int(self.state.step),
-            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
-            "opt_state": jax.tree_util.tree_map(
-                np.asarray, self.state.opt_state),
-            "mutables": jax.tree_util.tree_map(
-                np.asarray, self.state.mutables),
-        }
+        # GANTrainState serializes G under the usual keys + d_params/...
+        return self.state.to_host_tree()
 
     def save(self, periodic=True, val_loss: Optional[float] = None,
              att_score: Optional[float] = None, metadata=None):
         tree = self._state_tree()
-        metadata = dict(metadata or {})
+        metadata = {**self.default_metadata, **(metadata or {})}
         metadata.setdefault("best_val_loss", self.ckpt.best_val_loss)
         metadata.setdefault("best_inf_attsc", self.ckpt.best_inf_attsc)
+        metadata.setdefault("n_restarts", self.n_restarts)
+        if self.plateau is not None:
+            metadata.setdefault("plateau_scale", self.plateau.scale)
         if periodic:
             self.ckpt.save_periodic(int(self.state.step), tree, metadata)
         if val_loss is not None:
@@ -537,6 +553,35 @@ class Trainer:
                               np.asarray(outputs["gate_outputs"])[0, :t_dec]))
         except Exception as e:  # rendering must never kill training
             print(f"[trainer] image logging failed: {e!r}")
+
+
+def make_gan_trainer_step(d_step, g_step, pass_key: bool = True,
+                          loss_key: str = "g_loss",
+                          d_lr_scale: float = 1.0) -> Callable:
+    """Adapt a (d_step, g_step) pair to the Trainer's single-step
+    interface over a :class:`GANTrainState`: one call runs D then G (the
+    reference's alternating update, e.g. _2_ttm/GANTTS/train.py:344-395)
+    and returns (state, metrics) with ``metrics['loss']`` aliased from
+    ``loss_key`` so explosion detection and logging work unchanged.
+    ``d_lr_scale`` scales the discriminator LR (train.py:344)."""
+    from .train_state import GANTrainState
+
+    def step(state: GANTrainState, batch, key, ctrl):
+        d_ctrl = dict(ctrl)
+        if d_lr_scale != 1.0:
+            d_ctrl["lr"] = ctrl["lr"] * d_lr_scale
+        if pass_key:
+            d, d_m = d_step(state.d, state.g, batch, key, d_ctrl)
+            g, g_m = g_step(state.g, d, batch, key, ctrl)
+        else:
+            d, d_m = d_step(state.d, state.g, batch, d_ctrl)
+            g, g_m = g_step(state.g, d, batch, ctrl)
+        metrics = {**{k: v for k, v in d_m.items()},
+                   **{k: v for k, v in g_m.items()}}
+        metrics["loss"] = metrics.get(loss_key, metrics.get("g_loss", 0.0))
+        return GANTrainState(g=g, d=d), metrics
+
+    return step
 
 
 # -- vocoder (WaveGlow/WaveFlow) steps ----------------------------------------
@@ -784,30 +829,21 @@ def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0
 
 # -- UnTTS (NAR flow TTS) steps ------------------------------------------------
 
-def make_untts_train_step(model, mesh=None, sigma: float = 1.0,
-                          dur_weight: float = 0.1, f0_weight: float = 0.1,
-                          energy_weight: float = 0.1,
-                          varglow_weight: float = 1.0,
-                          donate: bool = True) -> Callable:
-    """NAR flow-TTS train step (reference _2_ttm/untts/train.py): decoder
-    flow NLL + duration/f0/energy predictor MSE (+ VarGlow prosody-flow
-    NLL when the model has one).
-
-    step(state, batch, key, ctrl) -> (state, metrics)
-    batch = {text, text_lengths, mels, mel_lengths, speaker_id, durations
-             [, f0, energy]} with per-CHAR f0/energy (the dataset's
-             ``durations`` feature provides all three).
-    """
+def _untts_loss_fn(model, sigma, dur_weight, f0_weight, energy_weight,
+                   varglow_weight, deterministic: bool):
+    """Shared UnTTS loss closure for the train AND eval steps (decoder
+    flow NLL + predictor MSEs + optional VarGlow NLL)."""
     from ..models.untts import untts_loss, varglow_loss
 
     def loss_fn(params, batch, key):
+        kwargs = {} if deterministic else {"rngs": {"dropout": key}}
         out = model.apply(
             {"params": params},
             text=batch["text"], text_lengths=batch["text_lengths"],
             mels=batch["mels"], mel_lengths=batch["mel_lengths"],
             speaker_id=batch["speaker_id"], durations=batch["durations"],
             f0=batch.get("f0"), energy=batch.get("energy"),
-            deterministic=False, rngs={"dropout": key})
+            deterministic=deterministic, **kwargs)
         gt = {"durations": batch["durations"]}
         if "f0" in batch:
             gt["f0"] = batch["f0"]
@@ -824,6 +860,43 @@ def make_untts_train_step(model, mesh=None, sigma: float = 1.0,
             loss_dict["varglow_nll"] = vnll
             loss_dict["loss"] = total
         return total, loss_dict
+
+    return loss_fn
+
+
+def make_untts_eval_step(model, sigma: float = 1.0, dur_weight: float = 0.1,
+                         f0_weight: float = 0.1, energy_weight: float = 0.1,
+                         varglow_weight: float = 1.0) -> Callable:
+    """Held-out validation: the training loss in deterministic mode,
+    no gradients (reference _2_ttm/untts/train.py validation loop)."""
+    loss_fn = _untts_loss_fn(model, sigma, dur_weight, f0_weight,
+                             energy_weight, varglow_weight,
+                             deterministic=True)
+
+    def step(state: TrainState, batch, key, ctrl):
+        _, loss_dict = loss_fn(state.params, batch, key)
+        return dict(loss_dict), {}
+
+    return jax.jit(step)
+
+
+def make_untts_train_step(model, mesh=None, sigma: float = 1.0,
+                          dur_weight: float = 0.1, f0_weight: float = 0.1,
+                          energy_weight: float = 0.1,
+                          varglow_weight: float = 1.0,
+                          donate: bool = True) -> Callable:
+    """NAR flow-TTS train step (reference _2_ttm/untts/train.py): decoder
+    flow NLL + duration/f0/energy predictor MSE (+ VarGlow prosody-flow
+    NLL when the model has one).
+
+    step(state, batch, key, ctrl) -> (state, metrics)
+    batch = {text, text_lengths, mels, mel_lengths, speaker_id, durations
+             [, f0, energy]} with per-CHAR f0/energy (the dataset's
+             ``durations`` feature provides all three).
+    """
+    loss_fn = _untts_loss_fn(model, sigma, dur_weight, f0_weight,
+                             energy_weight, varglow_weight,
+                             deterministic=False)
 
     def step(state: TrainState, batch, key, ctrl):
         (loss, loss_dict), grads = jax.value_and_grad(

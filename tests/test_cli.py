@@ -512,3 +512,80 @@ def test_cli_train_ssvae_emotion_supervision(tmp_path):
     assert len(nll) >= 2, "sup_em_nll never logged from real training"
     assert all(np.isfinite(v) for _, v in nll)
     assert nll[-1][1] < nll[0][1], nll
+
+
+def test_cli_resume_all_unified_trainers(tts_dataset, tmp_path):
+    """--resume (params + opt + step) now works for the trainers that
+    round 2 refused: untts and gantts continue from their checkpoints
+    through the shared Trainer (reference resumes every trainer dir,
+    SURVEY.md §2.7)."""
+    root, filelist, sr = tts_dataset
+
+    un_dir = str(tmp_path / "run_untts_r")
+    cli.main(["train", "--model", "untts", "--filelist", filelist,
+              "--iters", "2", "--run_dir", un_dir,
+              "--hparams", TINY_UNTTS_HPARAMS.replace("n_iters=2",
+                                                      "n_iters=2")])
+    assert "checkpoint_2" in os.listdir(un_dir)
+    cli.main(["train", "--model", "untts", "--filelist", filelist,
+              "--iters", "4", "--run_dir", un_dir, "--resume",
+              "--hparams", TINY_UNTTS_HPARAMS.replace("n_iters=2",
+                                                      "n_iters=4")])
+    assert "checkpoint_4" in os.listdir(un_dir)
+
+    ga_dir = str(tmp_path / "run_gantts_r")
+    cli.main(["train", "--model", "gantts", "--filelist", filelist,
+              "--iters", "2", "--run_dir", ga_dir,
+              "--hparams", TINY_GANTTS_HPARAMS])
+    assert "checkpoint_2" in os.listdir(ga_dir)
+    cli.main(["train", "--model", "gantts", "--filelist", filelist,
+              "--iters", "4", "--run_dir", ga_dir, "--resume",
+              "--hparams", TINY_GANTTS_HPARAMS.replace("n_iters=2",
+                                                       "n_iters=4")])
+    assert "checkpoint_4" in os.listdir(ga_dir)
+    # the GAN checkpoint carries BOTH sides (reference paired g_/do_)
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+    tree, meta = load_checkpoint(os.path.join(ga_dir, "checkpoint_4"))
+    assert "d_params" in tree and "d_opt_state" in tree
+    assert tree["step"] == 4
+
+
+def test_cli_waveglow_heldout_validation(tmp_path):
+    """The vocoder validates on a HELD-OUT tail split on the live-config
+    cadence: best_val_model + validation scalars appear, and the plateau
+    schedule state is persisted in checkpoint metadata (reference uses a
+    separate val loader, _4_mtw/waveglow/train.py:184-341,460-476)."""
+    import json
+    sr = 16000
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(3):
+        t = np.arange(sr) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(tmp_path / f"w{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"{p}||{i}")
+    map_file = str(tmp_path / "map_train_0.txt")
+    with open(map_file, "w") as f:
+        f.write("\n".join(lines))
+    run_dir = str(tmp_path / "run_wgv")
+    hp = ("batch_size=2,n_iters=3,segment_length=2048,"
+          "sampling_rate=16000,filter_length=512,hop_length=128,"
+          "win_length=512,n_mel_channels=16,mel_fmax=8000.0,"
+          "n_flows=2,n_group=4,n_early_every=0,n_layers=1,"
+          "n_channels=8,upsample_strides=[4,8],upsample_channels=8,"
+          "memory_efficient=False,load_from_disk_dtw=False,"
+          "validation_interval=2")
+    cli.main(["train", "--model", "waveglow", "--filelist", map_file,
+              "--iters", "3", "--run_dir", run_dir, "--hparams", hp])
+    files = os.listdir(run_dir)
+    assert "best_val_model" in files, files
+    with open(os.path.join(run_dir, "events.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    val = [r for r in recs if r.get("prefix") == "validation"]
+    assert val and any("val_MSE" in r for r in val)
+    # plateau schedule state persisted for resume
+    with open(os.path.join(run_dir, "best_val_model.json")) as f:
+        meta = json.load(f)
+    assert "plateau_scale" in meta and "n_restarts" in meta
