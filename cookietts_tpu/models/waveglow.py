@@ -109,6 +109,10 @@ class WaveGlowConfig:
     # inference post-processing (efficient_model_ax.py:359-388)
     iso226_deemphasis: bool = False
     sampling_rate: int = 48000
+    # WaveFlow streaming inverse: matmul partial-sum row steps (3x fewer
+    # FLOPs, MXU-native shapes) instead of tiny-height conv queues; both
+    # modes share params and are numerically equivalent (parity-tested)
+    fused_height_inverse: bool = True
     # training
     memory_efficient: bool = True  # jax.checkpoint each flow
     sigma: float = 1.0
@@ -335,6 +339,88 @@ class WN2D(nn.Module):
                 skip_sum = skip_sum + rs
         st = self.end(skip_sum[:, None])[:, 0]              # [B, W, 2]
         return st, jnp.stack(new_queues)
+
+    # -- fused streaming row mode (MXU formulation) ---------------------------
+    #
+    # The queue-of-input-rows row_step above re-convolves each row kh
+    # times (once per step it sits in a queue) through tiny-height XLA
+    # convs — profiled at ~3% MXU utilization on the v5e (STATUS round-3
+    # item 3). This mode restructures the SAME math as dense matmuls with
+    # per-kernel-row partial-sum queues:
+    #
+    #   conv row h = Σ_j K[j] ⊛_w row_{h-(kh-1)+j}
+    #
+    # Each step convolves ONLY the current row against all kh kernel
+    # height rows in one [W, kw*C] @ [kw*C, kh*2C] matmul (an MXU-native
+    # shape) and completes the sum from the carried partials:
+    #   partials[0] already holds Σ of the older rows' contributions for
+    #   THIS step; partials'[j] = partials[j+1] + y_{kh-2-j}(current).
+    # 3x fewer FLOPs than the queue mode and every op is a matmul.
+
+    def _p(self, mod, name):
+        return mod.variables["params"][name]
+
+    def init_partials(self, batch: int, width: int) -> jnp.ndarray:
+        """[L, kh-1, B, W, 2C] zero partial sums (causal zero padding)."""
+        return jnp.zeros((self.n_layers, self.kernel_size_h - 1, batch,
+                          width, 2 * self.n_channels), self.dtype)
+
+    def row_step_fused(self, partials: jnp.ndarray, x_prev_row: jnp.ndarray,
+                       cond_all: jnp.ndarray):
+        """One height row, matmul formulation. Same (st, new_partials)
+        semantics as :meth:`row_step`; numerically equivalent (same
+        params, same math, conv expressed as patch matmul)."""
+        gate = GATED_UNITS[self.gated_unit]
+        C = self.n_channels
+        kh, kw = self.kernel_size_h, self.kernel_size
+        dt = self.dtype
+        B, W, _ = x_prev_row.shape
+
+        w_s = self._p(self.start, "kernel").reshape(1, C).astype(dt)
+        b_s = self._p(self.start, "bias").astype(dt)
+        h_row = x_prev_row.astype(dt) @ w_s + b_s           # [B, W, C]
+
+        skip_sum = jnp.zeros_like(h_row)
+        new_partials = []
+        for i in range(self.n_layers):
+            d = 2 ** i
+            pad = (kw // 2) * d
+            xp = jnp.pad(h_row, ((0, 0), (pad, pad), (0, 0)))
+            patches = jnp.concatenate(
+                [xp[:, t * d: t * d + W] for t in range(kw)], axis=-1)
+            K = self._p(self.in_layers[i], "kernel")        # [kh, kw, C, 2C]
+            Kmat = K.transpose(1, 2, 0, 3).reshape(
+                kw * C, kh * 2 * C).astype(dt)
+            y = patches @ Kmat                              # [B, W, kh*2C]
+            b = self._p(self.in_layers[i], "bias").astype(dt)
+            c = cond_all[..., 2 * C * i: 2 * C * (i + 1)]
+            acts = y[..., (kh - 1) * 2 * C:] + b + c
+            if kh > 1:
+                acts = acts + partials[i, 0]
+            layer_parts = []
+            for j in range(kh - 1):
+                contrib = y[..., (kh - 2 - j) * 2 * C: (kh - 1 - j) * 2 * C]
+                layer_parts.append(
+                    (partials[i, j + 1] + contrib) if j + 1 < kh - 1
+                    else contrib)
+            new_partials.append(jnp.stack(layer_parts)
+                                if layer_parts else partials[i])
+            a, g = jnp.split(acts, 2, axis=-1)
+            out = gate(a, g)
+            w_rs = self._p(self.res_skips[i], "kernel")
+            w_rs = w_rs.reshape(w_rs.shape[-2], w_rs.shape[-1]).astype(dt)
+            b_rs = self._p(self.res_skips[i], "bias").astype(dt)
+            rs = out @ w_rs + b_rs
+            if i < self.n_layers - 1:
+                res, skip = jnp.split(rs, 2, axis=-1)
+                h_row = h_row + res
+                skip_sum = skip_sum + skip
+            else:
+                skip_sum = skip_sum + rs
+        w_e = self._p(self.end, "kernel").reshape(C, 2).astype(dt)
+        b_e = self._p(self.end, "bias").astype(dt)
+        st = skip_sum @ w_e + b_e                           # [B, W, 2]
+        return st, jnp.stack(new_partials)
 
 
 class UpsampleNet(nn.Module):
@@ -574,17 +660,24 @@ class WaveGlow(nn.Module):
         """
         cfg = self.cfg
         B, H, W = z.shape
+        fused = cfg.fused_height_inverse
         for k in reversed(range(cfg.n_flows)):
             cond_all = self.wn[k].precompute_cond(cond)
 
             def step(mdl, carry, z_row, k=k, cond_all=cond_all):
                 queues, x_prev = carry
-                st, queues = mdl.wn[k].row_step(queues, x_prev, cond_all)
+                if fused:
+                    st, queues = mdl.wn[k].row_step_fused(
+                        queues, x_prev, cond_all)
+                else:
+                    st, queues = mdl.wn[k].row_step(queues, x_prev,
+                                                    cond_all)
                 log_s, t = st[..., 0], st[..., 1]
                 x_row = (z_row - t) * jnp.exp(-log_s)
                 return (queues, x_row[..., None]), x_row
 
-            init = (self.wn[k].init_queues(B, W),
+            init = ((self.wn[k].init_partials(B, W) if fused
+                     else self.wn[k].init_queues(B, W)),
                     jnp.zeros((B, W, 1), cfg.dtype))
             scan = nn.scan(
                 step,

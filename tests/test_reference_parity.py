@@ -1146,3 +1146,103 @@ def test_converted_gst_grafts_into_tacotron2(tmp_path):
         rngs={"dropout": jax.random.PRNGKey(4)}, mutable=["batch_stats"])
     assert not np.allclose(mel_out,
                            np.asarray(out2["mel_outputs_postnet"]))
+
+
+def test_wn2d_parity_with_reference():
+    """Our WN2D (models/waveglow.py) == the reference's causal-height
+    WN_2d (_4_mtw/waveglow/glow_ax.py:421-635) with mapped weights, in
+    BOTH execution modes: the parallel forward and the streaming
+    conv-queue row mode (the fused matmul row step).
+
+    Causality-convention mapping: the reference's height conv covers the
+    CURRENT row (causal pad kh-1, kernel reaches rows h-kh+1..h) with the
+    one-row shift living in the coupling; ours shifts inside the WN
+    (__call__ pads+drops one row; row_step takes the PREVIOUS row). So
+    ours(x) == ref(shift_down(x)), and our row h step == ref queue-mode
+    fed x[h-1].
+    """
+    from CookieTTS._4_mtw.waveglow.glow_ax import WN_2d as RefWN2d
+
+    from cookietts_tpu.models.waveglow import WN2D
+
+    B, H, W, L, C, CC = 2, 6, 12, 3, 8, 10
+    torch.manual_seed(0)
+    ref = RefWN2d(
+        n_in_channels=1, cond_in_channels=CC, cond_layers=1,
+        cond_hidden_channels=0, cond_kernel_size=1,
+        cond_padding_mode="zeros", seperable_conv=False,
+        merge_res_skip=False, upsample_mode="linear",
+        n_layers=L, n_channels=C, kernel_size_w=3, kernel_size_h=3,
+        speaker_embed_dim=0, rezero=False, n_layers_dilations_h=1,
+        res_skip=True, upsample_first=True, gated_unit="GTU")
+    ref.eval()
+    with torch.no_grad():                  # zero-init end is trivial
+        ref.end.weight.normal_(0, 0.3)
+        ref.end.bias.normal_(0, 0.1)
+    for m in [ref.start, *ref.in_layers, *ref.res_skip_layers,
+              *ref.cond_layers]:
+        torch.nn.utils.remove_weight_norm(m)
+
+    def conv2d_kernel(m):                  # torch [out,in,kh,kw] -> flax
+        return np.transpose(m.weight.detach().numpy(), (2, 3, 1, 0))
+
+    params = {
+        "start": {"kernel": conv2d_kernel(ref.start),
+                  "bias": ref.start.bias.detach().numpy()},
+        "cond_layer": {
+            "kernel": ref.cond_layers[0].weight.detach().numpy()[:, :, 0].T,
+            "bias": ref.cond_layers[0].bias.detach().numpy()},
+        "end": {"kernel": conv2d_kernel(ref.end),
+                "bias": ref.end.bias.detach().numpy()},
+    }
+    for i in range(L):
+        params[f"in_layer{i}"] = {
+            "kernel": conv2d_kernel(ref.in_layers[i]),
+            "bias": ref.in_layers[i].bias.detach().numpy()}
+        params[f"res_skip{i}"] = {
+            "kernel": conv2d_kernel(ref.res_skip_layers[i]),
+            "bias": ref.res_skip_layers[i].bias.detach().numpy()}
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((B, H, W)).astype(np.float32) * 0.5
+    cond = rng.standard_normal((B, CC, W)).astype(np.float32)
+    x_shift = np.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_shift),
+                      torch.from_numpy(cond))      # [2, B, H, W]
+    ref_out = ref_out.numpy()
+
+    wn = WN2D(n_layers=L, n_channels=C, kernel_size=3, kernel_size_h=3,
+              gated_unit="GTU")
+    ours = wn.apply({"params": params}, jnp.asarray(x[..., None]),
+                    jnp.asarray(np.swapaxes(cond, 1, 2)))   # [B, H, W, 2]
+    ours = np.moveaxis(np.asarray(ours), -1, 0)             # [2, B, H, W]
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5)
+
+    # streaming: reference conv-queue mode row-by-row vs our fused
+    # matmul row step (the production inverse path)
+    cond_all = wn.apply({"params": params},
+                        jnp.asarray(np.swapaxes(cond, 1, 2)),
+                        method=WN2D.precompute_cond)
+    partials = wn.apply({"params": params}, B, W,
+                        method=WN2D.init_partials)
+    audio_queues = [None] * L
+    spect_queues = [None] * L
+    for h in range(H):
+        x_prev = (np.zeros((B, W, 1), np.float32) if h == 0
+                  else x[:, h - 1][..., None].astype(np.float32))
+        st, partials = wn.apply(
+            {"params": params}, partials, jnp.asarray(x_prev), cond_all,
+            method=WN2D.row_step_fused)
+        with torch.no_grad():
+            out = ref(torch.from_numpy(x_shift[:, h:h + 1]),
+                      torch.from_numpy(cond),
+                      audio_queues=audio_queues,
+                      spect_queues=spect_queues)
+            ref_row, audio_queues, spect_queues = out
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(st), -1, 0)[:, :, None],
+            ref_row.numpy(), atol=2e-5,
+            err_msg=f"row {h} streaming mismatch")
