@@ -121,10 +121,14 @@ class TorchMoji(nn.Module):
 # -- tokenizer ---------------------------------------------------------------
 
 _WORD_RE = re.compile(
-    r"https?://\S+|www\.\S+"          # urls
-    r"|@\w+"                          # mentions
-    r"|[#]?[a-zA-Z][a-zA-Z']*"        # words / hashtags
-    r"|\d+(?:[.,]\d+)*"               # numbers
+    r"https?://\S+|www\.\S+"          # urls (reference RE_URL classes)
+    r"|@[a-zA-Z0-9_]+"                # mentions (reference RE_MENTION)
+    r"|#[a-zA-Z0-9_]+"                # hashtags kept whole (RE_HASHTAG)
+    r"|(?:mr|ms|mrs|dr|prof)\."       # titles kept whole (RE_TITLES;
+                                      # input is lowercased upstream)
+    r"|[a-zA-Z]+(?:'[a-zA-Z]+)?"      # words + contractions ("don't")
+    r"|\d+"                           # digit RUNS (reference RE_NUM —
+                                      # "3.5" splits into 3 / . / 5)
     r"|[^\sa-zA-Z0-9]+"               # punctuation / emoji runs
 )
 
@@ -133,22 +137,26 @@ def tokenize(text: str, vocabulary: Dict[str, int],
              maxlen: int = 30) -> np.ndarray:
     """text -> fixed-length id row [maxlen] (0-padded).
 
-    Mirrors the reference SentenceTokenizer surface
-    (sentence_tokenizer.py:21-120): lowercase words, CUSTOM_UNKNOWN for
-    OOV, CUSTOM_AT/URL/NUMBER for mentions/urls/numbers.
+    Matches the reference SentenceTokenizer/WordGenerator pipeline
+    (sentence_tokenizer.py:21-120, word_generator.py:64-101,
+    filter_utils.py detect_special_tokens): lowercase, CUSTOM_UNKNOWN
+    for OOV, CUSTOM_AT/URL for mention/url-bearing tokens, and
+    CUSTOM_NUMBER only for int()-parseable digit runs (the reference's
+    `int(word)` test — "3.5" is three tokens NUMBER/./NUMBER, not one).
+    Golden-ID parity vs the live reference pipeline is tested in
+    tests/test_torchmoji.py.
     """
     unknown = vocabulary.get("CUSTOM_UNKNOWN", 1)
     ids: List[int] = []
-    for tok in _WORD_RE.findall(text):
-        low = tok.lower()
-        if low.startswith(("http://", "https://", "www.")):
+    for tok in _WORD_RE.findall(text.strip().lower()):
+        if tok.startswith(("http://", "https://", "www.")):
             ids.append(vocabulary.get("CUSTOM_URL", 3))
-        elif low.startswith("@"):
+        elif tok.startswith("@"):
             ids.append(vocabulary.get("CUSTOM_AT", 2))
-        elif low[0].isdigit():
+        elif tok[0].isdigit():
             ids.append(vocabulary.get("CUSTOM_NUMBER", 4))
         else:
-            ids.append(vocabulary.get(low, unknown))
+            ids.append(vocabulary.get(tok, unknown))
         if len(ids) >= maxlen:
             break
     row = np.zeros(maxlen, np.int64)

@@ -130,3 +130,80 @@ def test_cli_convert_torchmoji(tmp_path):
     feats = model.apply({"params": params}, ids)
     assert feats.shape == (1, FEATURE_DIM)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def _load_reference_tokenizer():
+    """Import the live reference torchMoji tokenizer pipeline.
+
+    Two shims are needed (test-only; the reference code is unmodified on
+    disk): a stub ``emoji`` module exposing the UNICODE_EMOJI dict
+    (filter_utils.py:117 — its only use) plus ``text_unidecode``, and a
+    py3.12 regex fix hoisting the mid-pattern ``(?i)`` global flags in
+    RE_TITLES into local ``(?i:...)`` groups (same semantics; py<=3.10
+    accepted them mid-pattern)."""
+    import sys
+    import types
+    sys.path.insert(0, "/root/reference")
+    try:
+        if "emoji" not in sys.modules:
+            emoji_stub = types.ModuleType("emoji")
+            emoji_stub.UNICODE_EMOJI = {"\U0001F604": ":smile:",
+                                        "\U0001F622": ":cry:"}
+            sys.modules["emoji"] = emoji_stub
+        if "text_unidecode" not in sys.modules:
+            tu = types.ModuleType("text_unidecode")
+            tu.unidecode = lambda s: s.encode("ascii", "ignore").decode()
+            sys.modules["text_unidecode"] = tu
+        if "CookieTTS.utils.torchmoji.tokenizer" not in sys.modules:
+            with open("/root/reference/CookieTTS/utils/torchmoji/"
+                      "tokenizer.py") as f:
+                src = f.read()
+            src = src.replace("r'(?i)' + t", "r'(?i:' + t + r')'")
+            mod = types.ModuleType("CookieTTS.utils.torchmoji.tokenizer")
+            exec(compile(src, "tokenizer.py", "exec"), mod.__dict__)
+            sys.modules["CookieTTS.utils.torchmoji.tokenizer"] = mod
+        from CookieTTS.utils.torchmoji.sentence_tokenizer import (
+            SentenceTokenizer)
+        return SentenceTokenizer
+    finally:
+        sys.path.pop(0)
+
+
+def test_tokenizer_golden_ids_vs_reference():
+    """Exact token-ID parity with the live reference SentenceTokenizer
+    (sentence_tokenizer.py:21-120) on a vendored mini-vocabulary:
+    CUSTOM_AT / CUSTOM_URL / CUSTOM_NUMBER classes, emoji tokens,
+    contractions, hashtags, OOV -> CUSTOM_UNKNOWN, digit-run number
+    splitting ("3.5" -> NUMBER . NUMBER), and zero padding."""
+    SentenceTokenizer = _load_reference_tokenizer()
+    from cookietts_tpu.models.torchmoji import SPECIAL_TOKENS, tokenize
+
+    words = ["i", "love", "this", "\U0001F604", "check", "out", "now",
+             "hello", "how", "are", "you", "have", "apples", "and",
+             "oranges", "happy", "yes", "visit", "today", "numbers",
+             "don't", "stop", "believing", "#hashtag", "party", ":)",
+             ".", "!", "mr."]
+    vocab = {t: i for i, t in enumerate(SPECIAL_TOKENS)}
+    vocab.update({w: len(SPECIAL_TOKENS) + i for i, w in enumerate(words)})
+
+    sentences = [
+        "I love this \U0001F604",
+        "Check out https://example.com/page now",
+        "hello @friend how are you",
+        "I have 42 apples and 3.5 oranges",
+        "visit www.test.org today",
+        "numbers 123 456789",
+        "don't stop believing",
+        "#hashtag party :)",
+        "Mr. unknownword!",
+    ]
+    st = SentenceTokenizer(vocab, fixed_length=20)
+    ref_tokens, _, _ = st.tokenize_sentences(sentences)
+    ours = np.stack([tokenize(s, vocab, maxlen=20) for s in sentences])
+    np.testing.assert_array_equal(ours, np.asarray(ref_tokens, np.int64))
+    # sanity: the special classes actually appear in the golden set
+    flat = set(np.asarray(ref_tokens).ravel().tolist())
+    assert vocab["CUSTOM_AT"] in flat
+    assert vocab["CUSTOM_URL"] in flat
+    assert vocab["CUSTOM_NUMBER"] in flat
+    assert vocab["CUSTOM_UNKNOWN"] in flat
