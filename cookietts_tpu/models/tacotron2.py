@@ -235,11 +235,14 @@ class Encoder(nn.Module):
         out_b = bwd(x, seq_lengths=text_lengths)
         outputs = jnp.concatenate([out_f, out_b], axis=-1) * mask
 
-        # sylps head: predict syllables/sec from the mean-pooled states
-        # (reference sylps_layer uses the final hidden states)
-        denom = jnp.maximum(text_lengths[:, None].astype(outputs.dtype), 1.0)
-        pooled = jnp.sum(outputs, axis=1) / denom
-        pred_sylps = nn.Dense(1, dtype=cfg.dtype, name="sylps_layer")(pooled)
+        # sylps head: predict syllables/sec from the bi-LSTM FINAL hidden
+        # states [h_fwd_final, h_bwd_final] (reference model.py:306-314 —
+        # torch returns hidden_state [2, B, h] with dir 0 = forward)
+        idx = jnp.maximum(text_lengths - 1, 0)
+        h_fwd = out_f[jnp.arange(B), idx]          # state after last token
+        h_bwd = out_b[:, 0]                        # full backward pass
+        final = jnp.concatenate([h_fwd, h_bwd], axis=-1)
+        pred_sylps = nn.Dense(1, dtype=cfg.dtype, name="sylps_layer")(final)
         return outputs, pred_sylps[:, 0]
 
 
@@ -635,6 +638,11 @@ class Tacotron2(nn.Module):
         syl_key = None
         if key is not None:
             key, syl_key = jax.random.split(key)
+        if sylps is None:
+            # inference without a ground-truth rate uses the encoder's own
+            # sylps prediction (reference model.py:1058 infer_auto(
+            # gt_sylps or pred_sylps))
+            sylps = pred_sylps
         syl_zu, syl_mu, syl_logvar = self.sylps_net(
             sylps, key=syl_key, deterministic=deterministic)
 
@@ -784,8 +792,8 @@ class Tacotron2(nn.Module):
             key = jax.random.PRNGKey(0)
         key, k_mem, k_dec = jax.random.split(key, 3)
         B = text.shape[0]
-        if sylps is None:
-            sylps = jnp.full((B,), 4.0)  # ~typical speaking rate
+        # sylps=None -> the encoder's predicted rate (reference
+        # model.py:1058); pass an explicit [B] array to control pacing
 
         memory, heads = self._build_memory(
             text, text_lengths, speaker_id, sylps, torchmoji_hidden,

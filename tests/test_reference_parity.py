@@ -1246,3 +1246,95 @@ def test_wn2d_parity_with_reference():
             np.moveaxis(np.asarray(st), -1, 0)[:, :, None],
             ref_row.numpy(), atol=2e-5,
             err_msg=f"row {h} streaming mismatch")
+
+
+def test_tacotron2_converted_checkpoint_inference_parity():
+    """Free-running (INFERENCE-mode) parity with converted weights — the
+    path serving actually runs (reference model.py:1044-1080): greedy
+    decode feeding back its own frames, all dropout zeroed, gate
+    threshold raised so both sides run the full step budget. Covers
+    sigmoid gates, alignments, postnet mels, and the
+    sylps-from-prediction default (model.py:1058)."""
+    from CookieTTS._2_ttm.tacotron2_tm.model import Tacotron2 as RefT2
+    from CookieTTS.utils.model.layers import LSTMCellWithZoneout
+
+    from cookietts_tpu.convert import convert_tacotron2_state_dict
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+    LSTMCellWithZoneout.check_forward_input = lambda self, *a, **k: None
+    LSTMCellWithZoneout.check_forward_hidden = lambda self, *a, **k: None
+
+    h = _ref_tacotron_hparams()
+    T_dec = 11
+    h.max_decoder_steps = T_dec
+    h.gate_threshold = 2.0          # sigmoid <= 1: never early-stops
+    torch.manual_seed(7)
+    ref = RefT2(h)
+    ref.eval()
+    ref.decoder.max_decoder_steps = T_dec
+    ref.decoder.gate_threshold = 2.0
+
+    rng = np.random.default_rng(3)
+    B, T_txt = 2, 9
+    text = rng.integers(1, 40, (B, T_txt)).astype(np.int64)
+    text_lengths = np.full((B,), T_txt, np.int64)
+    speaker_id = np.array([0, 2], np.int64)
+    tm_hdn = rng.standard_normal((B, 12)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref.inference(
+            torch.from_numpy(text), torch.from_numpy(text_lengths),
+            torch.from_numpy(speaker_id), torch.from_numpy(tm_hdn),
+            gt_sylps=None)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, batch_stats = convert_tacotron2_state_dict(sd)
+    cfg = Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=10,
+        encoder_speaker_embed_dim=4,
+        encoder_concat_speaker_embed="before_conv",
+        encoder_kernel_size=5, encoder_n_convolutions=2,
+        encoder_conv_hidden_dim=12, encoder_lstm_dim=16,
+        sylpsnet_layer_dims=(8, 8), torchmoji_dim=12,
+        torchmoji_crushed_dim=4, torchmoji_batchnorm=True,
+        use_memory_bottleneck=True, memory_bottleneck_dim=16,
+        memory_bottleneck_bias=False, prenet_dim=8, prenet_layers=2,
+        p_prenet_dropout=0.0, attention_rnn_dim=16,
+        attrnn_extra_decoder_input=True, p_attrnn_dropout=0.0,
+        decoder_rnn_dim=12, p_decrnn_dropout=0.0,
+        decoder_residual_connection=False, second_decoder_rnn_dim=12,
+        second_decoder_residual_connection=True, attention_type=0,
+        attention_dim=8, attention_location_n_filters=6,
+        attention_location_kernel_size=5, windowed_attention_range=4,
+        windowed_att_pos_learned=True,
+        postnet_embedding_dim=16, postnet_kernel_size=5,
+        postnet_n_convolutions=3, postnet_residual_connections=3,
+        gate_threshold=2.0)
+    model = Tacotron2(cfg)
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats),
+    }
+    out = model.apply(
+        variables,
+        text=jnp.asarray(text, jnp.int32),
+        text_lengths=jnp.asarray(text_lengths, jnp.int32),
+        speaker_id=jnp.asarray(speaker_id, jnp.int32),
+        sylps=None,                       # -> encoder-predicted sylps
+        torchmoji_hidden=jnp.asarray(tm_hdn),
+        key=jax.random.PRNGKey(0), max_decoder_steps=T_dec,
+        method=Tacotron2.inference)
+
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out["mel_outputs_postnet"]), (0, 2, 1)),
+        out_ref["pred_mel_postnet"].numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(out["gate_outputs"])),
+        out_ref["pred_gate"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["alignments"]),
+        out_ref["alignments"].numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_sylps"]),
+        out_ref["pred_sylps"].numpy().ravel(), atol=5e-4, rtol=1e-3)
