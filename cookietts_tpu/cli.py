@@ -178,29 +178,31 @@ def cmd_train(args):
         # plan TBPTT over the FULL filelist from cheap length metadata —
         # npy headers / .len sidecars, NO mel computation and no 512-entry
         # cap (reference trains the whole filelist, train.py:634-827)
+        dataset.epoch = epoch          # re-randomize ARPA (host-consistent)
         lengths = dataset.mel_frame_lengths()
         sampler = TBPTTSampler(lengths, batch_size,
                                dcfg.max_segment_frames, seed=epoch)
         from .data.prefetch import Prefetcher
 
-        def _load(segs):
-            items = [dataset[s.file_idx] for s in segs]
-            return collate(items, dcfg, segments=segs)
+        if jax.process_count() > 1:
+            # multi-host: each host loads/featurizes ONLY its own dp
+            # rows; the global padded shapes come from metadata so all
+            # hosts agree without touching the other rows (reference
+            # DistributedSampler semantics, train.py:158,395)
+            from .data.dataset import collate_local_shard
+
+            def _load(segs):
+                return collate_local_shard(dataset, segs, dcfg,
+                                           jax.process_index(),
+                                           jax.process_count())
+        else:
+            def _load(segs):
+                items = [dataset[s.file_idx] for s in segs]
+                return collate(items, dcfg, segments=segs)
 
         # background batch prep overlaps host IO/mel work with the TPU
         # step (reference DataLoader num_workers, train.py:160-166)
         for batch in Prefetcher(_load, sampler, depth=2):
-            if jax.process_count() > 1:
-                # multi-host: every host COLLATES the full global batch
-                # (bucket choice depends on all rows' lengths, and the
-                # padded shapes must agree across hosts) but ships only
-                # its dp rows; shard_batch stitches the local shards
-                # into global arrays. KNOWN COST: host feature work is
-                # not yet sharded — fine at these model sizes, revisit
-                # if the data pipeline becomes the bottleneck.
-                from .parallel.launch import global_batch_slice
-                sl = global_batch_slice(batch_size)
-                batch = {k: v[sl] for k, v in batch.items()}
             if mesh is not None:
                 batch = {k: (shard_batch(jnp.asarray(v), mesh)
                              if k != "audiopath" else v)

@@ -29,7 +29,7 @@ import inspect
 import os
 import random
 import threading
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -152,7 +152,10 @@ class TTSDataset:
         self.arpa_lookup = arpa_lookup
         self.torchmoji_fn = torchmoji_fn
         self.rng = random.Random(seed)
+        self._seed = seed
+        self.epoch = 0               # re-randomizes the ARPA decisions
         self._len_cache: Dict[int, int] = {}
+        self._text_len_cache: Dict[Any, int] = {}
         self.stft = TacotronSTFT(
             config.filter_length, config.hop_length, config.win_length,
             config.n_mel_channels, config.sampling_rate, config.mel_fmin,
@@ -257,16 +260,46 @@ class TTSDataset:
         return mel                         # [T_frames, n_mel]
 
     # -- text ------------------------------------------------------------------
-    def get_text_ids(self, quote: str, use_arpabet: Optional[bool] = None
-                     ) -> np.ndarray:
+    def arpa_decision(self, index: int) -> bool:
+        """Deterministic per-(seed, epoch, index) ARPA coin flip.
+
+        The reference draws per access (data_utils.py p_arpabet); here the
+        draw is a hash of (seed, epoch, index) so EVERY HOST in a
+        multi-host run makes the same decision without loading the item —
+        global padded shapes can then be derived from metadata alone.
+        Re-randomizes each epoch via :attr:`epoch` (set by the trainer)."""
+        if self.arpa_lookup is None or self.cfg.p_arpabet <= 0:
+            return False
+        h = hashlib.md5(
+            f"{self._seed}_{getattr(self, 'epoch', 0)}_{index}".encode()
+        ).digest()
+        return int.from_bytes(h[:4], "little") / 2**32 < self.cfg.p_arpabet
+
+    def get_text_ids(self, quote: str, use_arpabet: Optional[bool] = None,
+                     index: Optional[int] = None) -> np.ndarray:
         text = quote
         if self.arpa_lookup is not None:
             if use_arpabet is None:
-                use_arpabet = self.rng.random() < self.cfg.p_arpabet
+                use_arpabet = (self.arpa_decision(index)
+                               if index is not None
+                               else self.rng.random() < self.cfg.p_arpabet)
             if use_arpabet:
                 text = self.arpa_lookup(quote)
         ids = text_to_sequence(text, self.cfg.text_cleaners)
         return np.asarray(ids, np.int32)
+
+    def text_length(self, index: int) -> int:
+        """Token count for entry ``index`` WITHOUT any audio IO (cheap
+        host-side tokenization; deterministic ARPA decision), cached per
+        (epoch, index). Lets every host agree on the global text bucket
+        while loading only its own rows."""
+        key = (getattr(self, "epoch", 0), index)
+        n = self._text_len_cache.get(key)
+        if n is None:
+            n = len(self.get_text_ids(self.entries[index]["quote"],
+                                      index=index))
+            self._text_len_cache[key] = n
+        return n
 
     # -- item ----------------------------------------------------------------
     def __getitem__(self, index: int) -> Dict[str, Any]:
@@ -299,7 +332,7 @@ class TTSDataset:
             out["mel"] = mel
             out["mel_length"] = mel.shape[0]
         if "text" in self.features:
-            ids = self.get_text_ids(e["quote"])
+            ids = self.get_text_ids(e["quote"], index=index)
             out["text"] = ids
             out["text_length"] = len(ids)
             out["transcript"] = e["quote"]
@@ -427,20 +460,30 @@ class TBPTTSampler:
 def collate(items: Sequence[Dict[str, Any]],
             cfg: DataConfig,
             segments: Optional[Sequence[Segment]] = None,
-            static_shapes: bool = True) -> Dict[str, np.ndarray]:
+            static_shapes: bool = True,
+            pad_to: Optional[Tuple[int, int]] = None
+            ) -> Dict[str, np.ndarray]:
     """Pad-and-stack a batch with bucketed static shapes + gate targets.
 
     Reference Collate.__call__ (data_utils.py:996-1076): left-aligned
     padding, gate target 1.0 from the last valid frame on (final segment
     only), ``pres_prev_state`` marks TBPTT continuations.
+
+    ``pad_to=(t_max, m_max)`` overrides the computed text/mel widths —
+    multi-host training derives GLOBAL bucket shapes from metadata so
+    each host can collate only its own rows and still agree on shapes
+    (see :func:`collate_local_shard`).
     """
     B = len(items)
     out: Dict[str, Any] = {}
 
     if "text" in items[0]:
-        t_max = max(len(it["text"]) for it in items)
-        if static_shapes:
-            t_max = bucket_size(t_max, cfg.text_buckets)
+        if pad_to is not None:
+            t_max = pad_to[0]
+        else:
+            t_max = max(len(it["text"]) for it in items)
+            if static_shapes:
+                t_max = bucket_size(t_max, cfg.text_buckets)
         text = np.zeros((B, t_max), np.int32)
         text_lengths = np.zeros((B,), np.int32)
         for i, it in enumerate(items):
@@ -452,8 +495,14 @@ def collate(items: Sequence[Dict[str, Any]],
 
     if "mel" in items[0]:
         m_req = max(it["mel"].shape[0] for it in items)
-        m_max = m_req
-        if static_shapes:
+        if pad_to is not None:
+            m_max = pad_to[1]
+            assert m_max >= (m_req if segments is None
+                             else min(m_req, cfg.max_segment_frames)), \
+                "pad_to mel width would truncate a row"
+        else:
+            m_max = m_req
+        if static_shapes and pad_to is None:
             m_max = bucket_size(m_req, cfg.mel_buckets)
             if segments is None and m_max < m_req:
                 # never silently truncate full utterances (GTA / eval
@@ -525,3 +574,39 @@ def collate(items: Sequence[Dict[str, Any]],
         out["torchmoji"] = np.stack([it["torchmoji"] for it in items])
     out["audiopath"] = [it["audiopath"] for it in items]
     return out
+
+
+def global_bucket_shapes(dataset: "TTSDataset", segs: Sequence[Segment],
+                         cfg: DataConfig) -> Tuple[int, int]:
+    """(text_bucket, mel_bucket) for a batch from METADATA ONLY: mel
+    lengths from the .len/npy-header cache, text lengths from cheap
+    deterministic tokenization — no audio or mel loads. Every host
+    computes the same shapes for the same segment list."""
+    t_req = max(dataset.text_length(s.file_idx) for s in segs)
+    m_req = max(min(dataset.mel_frame_length(s.file_idx)
+                    - s.seg_idx * cfg.max_segment_frames,
+                    cfg.max_segment_frames) for s in segs)
+    return (bucket_size(t_req, cfg.text_buckets),
+            bucket_size(m_req, cfg.mel_buckets))
+
+
+def collate_local_shard(dataset: "TTSDataset", segs: Sequence[Segment],
+                        cfg: DataConfig, process_index: int,
+                        process_count: int) -> Dict[str, np.ndarray]:
+    """Multi-host batch loading that LOADS ONLY THIS HOST'S ROWS.
+
+    The round-2 path collated the full global batch on every host and
+    kept a slice (N-times duplicated audio/mel work — the reference
+    shards loading per rank via DistributedSampler, train.py:158,395).
+    Here the global padded shapes come from :func:`global_bucket_shapes`
+    (pure metadata), so each host featurizes just its
+    ``len(segs)/process_count`` rows and the per-host arrays still
+    assemble into one consistent global batch via ``shard_batch``.
+    """
+    B = len(segs)
+    assert B % process_count == 0, (B, process_count)
+    per = B // process_count
+    pad = global_bucket_shapes(dataset, segs, cfg)
+    local = list(segs[process_index * per: (process_index + 1) * per])
+    items = [dataset[s.file_idx] for s in local]
+    return collate(items, cfg, segments=local, pad_to=pad)

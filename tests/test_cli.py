@@ -589,3 +589,64 @@ def test_cli_waveglow_heldout_validation(tmp_path):
     with open(os.path.join(run_dir, "best_val_model.json")) as f:
         meta = json.load(f)
     assert "plateau_scale" in meta and "n_restarts" in meta
+
+
+def test_collate_local_shard_matches_full_collate(tmp_path):
+    """Multi-host data sharding (SURVEY §2.6): each simulated host loads
+    ONLY batch/process_count items, derives the global padded shapes from
+    pure metadata, and the stacked per-host shards equal the full-batch
+    collate bit-for-bit (reference DistributedSampler semantics,
+    train.py:158,395)."""
+    from cookietts_tpu.data.dataset import (DataConfig, TBPTTSampler,
+                                            TTSDataset, collate,
+                                            collate_local_shard,
+                                            global_bucket_shapes)
+    sr = 22050
+    root = tmp_path / "mh"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(8):
+        dur = 0.3 + 0.1 * i            # varied lengths -> varied buckets
+        audio = (0.1 * rng.standard_normal(int(sr * dur))).astype(
+            np.float32)
+        p = str(root / f"m{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        entries.append({"path": p, "quote": f"utterance number {i} spoken",
+                        "speaker_id": i % 3})
+    dcfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                      win_length=512, trim_enable=False, target_lufs=None,
+                      text_buckets=[16, 32], mel_buckets=[64, 128, 256])
+    ds = TTSDataset(entries, dcfg)
+    sampler = TBPTTSampler(ds.mel_frame_lengths(), batch_size=4,
+                           max_segment_frames=256, seed=0)
+    segs = next(iter(sampler))
+
+    # full-batch collate (the single-host path)
+    full = collate([ds[s.file_idx] for s in segs], dcfg, segments=segs)
+    # metadata-only shapes agree with the loaded-item shapes
+    t_b, m_b = global_bucket_shapes(ds, segs, dcfg)
+    assert full["text"].shape[1] == t_b
+    assert full["mels"].shape[1] == m_b
+
+    # two simulated hosts: count item loads, stack shards
+    loads = []
+    orig = TTSDataset.__getitem__
+
+    def spy(self, idx):
+        loads.append(idx)
+        return orig(self, idx)
+
+    TTSDataset.__getitem__ = spy
+    try:
+        shards = [collate_local_shard(ds, segs, dcfg, p, 2)
+                  for p in range(2)]
+    finally:
+        TTSDataset.__getitem__ = orig
+    assert len(loads) == len(segs), \
+        "each host must load exactly batch/process_count items"
+    for key in ("text", "text_lengths", "mels", "mel_lengths",
+                "gate_target", "pres_prev_state", "speaker_id", "sylps"):
+        stacked = np.concatenate([np.asarray(s[key]) for s in shards])
+        np.testing.assert_array_equal(stacked, np.asarray(full[key]),
+                                      err_msg=key)

@@ -385,3 +385,55 @@ def test_attsc_checkpoint_follows_inference_score(tmp_path):
         lines = f.read()
     assert '"prefix": "validation_inf"' in lines
     assert '"prefix": "validation"' in lines
+
+
+def test_bf16_convergence_tracks_f32():
+    """bf16 convergence evidence (SURVEY §2.6 mixed precision): a
+    multi-hundred-step overfit run in bf16 tracks the f32 loss curve —
+    the round-2 one-step test showed only that bf16 trains finite, not
+    that it converges; the bench headlines run bf16."""
+    from cookietts_tpu.runtime.trainer import (make_tacotron2_train_step,
+                                               scalars_to_arrays)
+    from cookietts_tpu.losses import DEFAULT_LOSS_SCALARS
+    from tests.test_tacotron2 import make_batch, tiny_cfg
+
+    def run(dtype, n_iters=150):
+        cfg = tiny_cfg(dtype=dtype)
+        model = Tacotron2(cfg)
+        rng = np.random.default_rng(0)
+        batch = dict(make_batch(rng, cfg, B=2, T_txt=8, T_mel=12))
+        batch["gate_target"] = (
+            jnp.arange(12)[None, :] >= batch["mel_lengths"][:, None] - 1
+        ).astype(jnp.float32)
+        batch["pres_prev_state"] = jnp.zeros((2,), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            **{k: v for k, v in batch.items()
+               if k not in ("gate_target", "pres_prev_state")},
+            key=jax.random.PRNGKey(2), deterministic=False)
+        state = TrainState.create(
+            model.apply, variables["params"], adam(),
+            {k: v for k, v in variables.items() if k != "params"})
+        step = make_tacotron2_train_step(model, donate=False)
+        ctrl = scalars_to_arrays({
+            "lr": 2e-3, "grad_clip": 5.0, "p_teacher_forcing": 1.0,
+            "teacher_force_till": 20, "drop_frame_rate": 0.0,
+            **DEFAULT_LOSS_SCALARS})
+        losses = []
+        for it in range(n_iters):
+            state, ld, _, _ = step(state, batch, jax.random.PRNGKey(it),
+                                   ctrl)
+            losses.append(float(ld["loss"]))
+        return np.asarray(losses)
+
+    f32 = run(jnp.float32)
+    bf16 = run(jnp.bfloat16)
+    assert np.all(np.isfinite(f32)) and np.all(np.isfinite(bf16))
+    f32_tail = f32[-10:].mean()
+    bf16_tail = bf16[-10:].mean()
+    # both overfit the fixture substantially...
+    assert f32_tail < 0.35 * f32[:5].mean(), (f32[:5].mean(), f32_tail)
+    assert bf16_tail < 0.35 * bf16[:5].mean(), (bf16[:5].mean(), bf16_tail)
+    # ...and bf16 lands in the same neighborhood as f32
+    assert bf16_tail < 1.5 * f32_tail + 0.1, (f32_tail, bf16_tail)
