@@ -250,16 +250,30 @@ def make_tacotron2_inference_eval_step(model, mesh=None) -> Callable:
 
 def adapt_carry(carry, t_enc: int, batch_size: int):
     """Fit a TBPTT carry from the previous iteration to this batch's
-    shapes. Returns None (fresh start) on a batch-size change; attention
-    weights over the text axis are truncated / zero-padded to the new
-    encoder length, keeping the common prefix (the reference copies
-    ``COMMON_ENCODE = min(old, new)`` columns, model.py:570-575 —
-    positions past the old padding carry no information anyway)."""
+    shapes. Attention weights over the text axis are truncated /
+    zero-padded to the new encoder length, keeping the common prefix (the
+    reference copies ``COMMON_ENCODE = min(old, new)`` columns,
+    model.py:570-575 — positions past the old padding carry no
+    information anyway). A batch-size change (trailing partial batches,
+    bucketing shifts) keeps the common LANES and zero-fills new ones —
+    zero state is exactly what a ``pres_prev_state==0`` reset produces,
+    and the sampler marks fresh lanes that way, so surviving lanes keep
+    their continuity instead of all lanes silently resetting."""
     if carry is None:
         return None
     att = carry.attention
-    if att.weights.shape[0] != batch_size:
-        return None
+    b_old = att.weights.shape[0]
+    if b_old != batch_size:
+        def fit_lanes(x):
+            if not hasattr(x, "shape") or x.ndim == 0 \
+                    or x.shape[0] != b_old:
+                return x
+            if b_old > batch_size:
+                return x[:batch_size]
+            pad = [(0, batch_size - b_old)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad)
+        carry = jax.tree_util.tree_map(fit_lanes, carry)
+        att = carry.attention
     t_old = att.weights.shape[1]
     if t_old == t_enc:
         return carry

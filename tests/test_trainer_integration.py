@@ -145,7 +145,21 @@ def test_adapt_carry_resizes_attention():
     assert np.all(np.asarray(grown.attention.weights[:, T:]) == 0)
     shrunk = adapt_carry(carry, 4, B)
     assert shrunk.attention.weights.shape == (B, 4)
-    assert adapt_carry(carry, T, B + 1) is None   # batch-size change resets
+    # batch-size changes keep the common LANES (round-2 weak item: all
+    # lanes silently reset on any trailing partial batch); new lanes get
+    # zero state == a pres_prev_state reset
+    wider = adapt_carry(carry, T, B + 2)
+    assert wider.attention.weights.shape == (B + 2, T)
+    np.testing.assert_allclose(np.asarray(wider.attention.weights[:B]),
+                               np.asarray(att.weights))
+    assert np.all(np.asarray(wider.attention.weights[B:]) == 0)
+    assert wider.attn_cell[0].shape == (B + 2, 4)
+    narrower = adapt_carry(carry, T, B - 1)
+    assert narrower.attention.weights.shape == (B - 1, T)
+    np.testing.assert_allclose(
+        np.asarray(narrower.attention.weights),
+        np.asarray(att.weights[:B - 1]))
+    assert narrower.finished.shape == (B - 1,)
 
 
 def test_explosion_recovery_with_donation(tmp_path):
