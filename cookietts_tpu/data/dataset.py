@@ -57,6 +57,33 @@ def get_args(func: Callable) -> List[str]:
     return list(inspect.signature(func).parameters.keys())
 
 
+# model/step argument name -> dataset feature name (the reference's
+# TTSDataset derives its feature set by introspecting the model/loss arg
+# names via get_args, utils/_utils_.py:3-37 + data_utils.py:329-360)
+FEATURE_FOR_ARG: Dict[str, str] = {
+    "text": "text", "text_lengths": "text",
+    "mels": "mel", "mel_lengths": "mel", "gate_target": "gate",
+    "speaker_id": "speaker_id", "sylps": "sylps",
+    "torchmoji_hidden": "torchmoji", "torchmoji": "torchmoji",
+    "durations": "durations", "f0": "f0", "energy": "energy",
+    "emotion_id": "emotion_id", "emotion_onehot": "emotion_id",
+    "audio": "audio",
+}
+
+
+def requested_features_of(func: Callable) -> List[str]:
+    """Feature names a model/step signature needs, in first-seen order —
+    the explicit-TPU equivalent of the reference's arg-name
+    introspection: ``TTSDataset(entries, cfg,
+    features=requested_features_of(model.__call__))``."""
+    feats: List[str] = []
+    for a in get_args(func):
+        f = FEATURE_FOR_ARG.get(a)
+        if f is not None and f not in feats:
+            feats.append(f)
+    return feats
+
+
 @dataclasses.dataclass
 class DataConfig:
     # audio frontend (tacotron2_tm/hparams.py:119-151)

@@ -650,3 +650,17 @@ def test_collate_local_shard_matches_full_collate(tmp_path):
         stacked = np.concatenate([np.asarray(s[key]) for s in shards])
         np.testing.assert_array_equal(stacked, np.asarray(full[key]),
                                       err_msg=key)
+
+
+def test_requested_features_of_introspection():
+    """Feature selection from a model signature — the explicit equivalent
+    of the reference's get_args introspection (utils/_utils_.py:3-37)."""
+    from cookietts_tpu.data.dataset import requested_features_of
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.models.untts import UnTTS
+    feats = requested_features_of(Tacotron2.__call__)
+    assert feats[:2] == ["text", "mel"]
+    assert {"speaker_id", "sylps", "torchmoji", "emotion_id"} <= set(feats)
+    u_feats = requested_features_of(UnTTS.__call__)
+    assert {"text", "mel", "speaker_id", "durations", "f0",
+            "energy"} <= set(u_feats)
