@@ -117,6 +117,14 @@ class WaveGlowConfig:
     # overlaps weight loads and drops loop overhead — measured ~9% on a
     # v5e at the bench config; 1 disables). Clamped to n_group.
     inverse_height_unroll: int = 8
+    # fuse each inverse row step into ONE Pallas kernel (all WN layers
+    # VMEM-resident per width tile; GTU only — other units fall back to
+    # the matmul row step). Measured on a v5e at the bench config:
+    # 68 ms -> 39 ms (73x -> 128x RT). "auto" = on when the backend is a
+    # real TPU; True forces it (interpret-mode emulation off-TPU, used
+    # by the parity tests); False disables.
+    pallas_row_step: Any = "auto"
+    pallas_row_tile: int = 1536          # width tile (multiple of 128)
     # training
     memory_efficient: bool = True  # jax.checkpoint each flow
     sigma: float = 1.0
@@ -426,6 +434,38 @@ class WN2D(nn.Module):
         st = skip_sum @ w_e + b_e                           # [B, W, 2]
         return st, jnp.stack(new_partials)
 
+    def pack_pallas_weights(self):
+        """Repack this WN's params for the fused Pallas row step
+        (ops/pallas_kernels.waveflow_row_step): conv kernels become
+        patch-major matmul weights; the last layer's skip-only res_skip
+        is zero-padded to the uniform [C, 2C] (res half is a no-op)."""
+        C = self.n_channels
+        kh, kw = self.kernel_size_h, self.kernel_size
+        k_all, rs_w, rs_b, biases = [], [], [], []
+        for i in range(self.n_layers):
+            K = self._p(self.in_layers[i], "kernel")   # [kh, kw, C, 2C]
+            k_all.append(K.reshape(kh * kw * C, 2 * C))
+            biases.append(self._p(self.in_layers[i], "bias"))
+            w = self._p(self.res_skips[i], "kernel")
+            w = w.reshape(w.shape[-2], w.shape[-1])
+            b = self._p(self.res_skips[i], "bias")
+            if w.shape[-1] < 2 * C:                    # last layer: skip only
+                w = jnp.concatenate(
+                    [jnp.zeros((C, C), w.dtype), w], axis=-1)
+                b = jnp.concatenate([jnp.zeros((C,), b.dtype), b])
+            rs_w.append(w)
+            rs_b.append(b)
+        return {
+            "start_w": self._p(self.start, "kernel").reshape(1, C),
+            "start_b": self._p(self.start, "bias"),
+            "k_all": jnp.stack(k_all),
+            "in_biases": jnp.stack(biases),            # [L, 2C]
+            "rs_w": jnp.stack(rs_w),
+            "rs_b": jnp.stack(rs_b),
+            "end_w": self._p(self.end, "kernel").reshape(C, 2),
+            "end_b": self._p(self.end, "bias"),
+        }
+
 
 class UpsampleNet(nn.Module):
     """Multi-stage transposed-conv mel upsampler.
@@ -664,6 +704,12 @@ class WaveGlow(nn.Module):
         """
         cfg = self.cfg
         B, H, W = z.shape
+        use_pallas = (cfg.pallas_row_step is True
+                      or (cfg.pallas_row_step == "auto"
+                          and jax.default_backend() == "tpu"))
+        if (use_pallas and cfg.fused_height_inverse
+                and cfg.gated_unit == "GTU"):
+            return self._inverse_waveflow_pallas(z, cond)
         fused = cfg.fused_height_inverse
         for k in reversed(range(cfg.n_flows)):
             cond_all = self.wn[k].precompute_cond(cond)
@@ -678,7 +724,9 @@ class WaveGlow(nn.Module):
                                                     cond_all)
                 log_s, t = st[..., 0], st[..., 1]
                 x_row = (z_row - t) * jnp.exp(-log_s)
-                return (queues, x_row[..., None]), x_row
+                # cast: with an f32 z into a bf16 model the carry dtype
+                # must stay stable across scan steps
+                return (queues, x_row[..., None].astype(cfg.dtype)), x_row
 
             init = ((self.wn[k].init_partials(B, W) if fused
                      else self.wn[k].init_queues(B, W)),
@@ -696,6 +744,72 @@ class WaveGlow(nn.Module):
             inv_order = np.argsort(order)
             z = x[:, inv_order, :]
         return z
+
+    def _inverse_waveflow_pallas(self, z: jnp.ndarray, cond: jnp.ndarray
+                                 ) -> jnp.ndarray:
+        """AR-in-height inverse with ONE fused Pallas kernel per row step
+        (every WN layer VMEM-resident per width tile; see
+        ops/pallas_kernels.waveflow_row_step). Numerically equivalent to
+        the matmul row-step path — parity-tested."""
+        from ..ops.pallas_kernels import waveflow_row_step
+        cfg = self.cfg
+        B, H, W = z.shape
+        L, kh, kw, C = (cfg.n_layers, cfg.kernel_size_h, cfg.kernel_size,
+                        cfg.n_channels)
+        halo = -(-((kw // 2) * (2 ** L - 1)) // 128) * 128
+        Wt = min(cfg.pallas_row_tile, -(-W // 128) * 128)
+        n_tiles = -(-W // Wt)
+        Wp = halo + n_tiles * Wt + halo
+        dt = cfg.dtype
+
+        def padw(x, axis):
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (halo, Wp - halo - x.shape[axis])
+            return jnp.pad(x, pads)
+
+        z = z.astype(jnp.float32)
+        for k in reversed(range(cfg.n_flows)):
+            wts = self.wn[k].pack_pallas_weights()
+            cond_all = self.wn[k].precompute_cond(cond)     # [B, W, 2C*L]
+            # channel-major [L, 2C, B*W'] with the conv bias folded in
+            cond_bc = jnp.stack(
+                [cond_all[..., 2 * C * i: 2 * C * (i + 1)]
+                 + wts["in_biases"][i] for i in range(L)]).astype(dt)
+            cond_bc = padw(cond_bc, 2)                      # [L, B, W', 2C]
+            cond_bc = cond_bc.transpose(0, 3, 1, 2).reshape(
+                L, 2 * C, B * Wp)
+            queues = jnp.zeros((L, kh - 1, C, B * Wp), dt)
+            z_pad = padw(z[:, :, :], 2)                     # [B, H, W']
+
+            def step(carry, z_row, wts=wts, cond_bc=cond_bc):
+                queues, x_prev = carry
+                log_s, t, queues = waveflow_row_step(
+                    x_prev, queues, cond_bc,
+                    wts["start_w"].reshape(C, 1).astype(dt),
+                    wts["start_b"].reshape(C, 1).astype(dt),
+                    wts["k_all"].transpose(0, 2, 1).astype(dt),
+                    wts["rs_w"].transpose(0, 2, 1).astype(dt),
+                    wts["rs_b"].astype(jnp.float32),
+                    wts["end_w"].T.astype(dt),
+                    wts["end_b"].reshape(2, 1).astype(jnp.float32),
+                    L=L, kh=kh, kw=kw, C=C, Wt=Wt, halo=halo, W=W)
+                x_row = (z_row - t) * jnp.exp(-log_s)
+                # keep the pad region exactly zero for the next step
+                x_row = jnp.where(
+                    (jnp.arange(Wp) >= halo) & (jnp.arange(Wp) < halo + W),
+                    x_row, 0.0)
+                # x stays f32: [1, N] packed-dtype (bf16) HBM refs break
+                # mosaic's sublane tiling; the kernel casts internally
+                return (queues, x_row), x_row
+
+            init = (queues, jnp.zeros((B, Wp), jnp.float32))
+            _, rows = jax.lax.scan(
+                step, init, jnp.swapaxes(z_pad, 0, 1),
+                unroll=max(1, min(cfg.inverse_height_unroll, H)))
+            x = jnp.swapaxes(rows, 0, 1)[:, :, halo: halo + W]
+            order = permute_height_order(cfg.n_group, "bipartize", k)
+            z = x[:, np.argsort(order), :]
+        return z.astype(cfg.dtype)
 
     # -- public API ----------------------------------------------------------
     def __call__(self, audio: jnp.ndarray, mel: jnp.ndarray,

@@ -189,3 +189,25 @@ def test_fused_inverse_matches_queue_inverse(kh):
     np.testing.assert_allclose(np.asarray(rec),
                                np.asarray(audio[:, :rec.shape[1]]),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("kh", [2, 3])
+def test_pallas_row_step_inverse_matches(kh):
+    """The fully-fused Pallas row-step inverse (all WN layers VMEM-
+    resident per width tile, ops/pallas_kernels.waveflow_row_step) equals
+    the matmul streaming inverse — interpret mode on CPU, bit-exact."""
+    import dataclasses
+    cfg = tiny_cfg(channel_mixing="permuteheight", n_flows=3, n_group=8,
+                   n_layers=3, n_channels=16, kernel_size_h=kh,
+                   hop_length=16, upsample_strides=(2,),
+                   pallas_row_tile=256)
+    model = WaveGlow(cfg)
+    rng = np.random.default_rng(0)
+    audio, mel = _data(rng, cfg, B=2, T=64)
+    v = model.init(jax.random.PRNGKey(0), audio, mel)
+    z = jnp.asarray(rng.standard_normal((2, 8, 64 // 8)), jnp.float32)
+    x_mm = model.apply(v, z, mel, method=WaveGlow.inverse)
+    pall = WaveGlow(dataclasses.replace(cfg, pallas_row_step=True))
+    x_pl = pall.apply(v, z, mel, method=WaveGlow.inverse)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_mm),
+                               atol=1e-5, rtol=1e-5)
