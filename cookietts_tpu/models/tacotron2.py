@@ -791,7 +791,6 @@ class Tacotron2(nn.Module):
         if key is None:
             key = jax.random.PRNGKey(0)
         key, k_mem, k_dec = jax.random.split(key, 3)
-        B = text.shape[0]
         # sylps=None -> the encoder's predicted rate (reference
         # model.py:1058); pass an explicit [B] array to control pacing
 
