@@ -245,7 +245,12 @@ def main():
     # keeps what finished), and re-print the round-over-round headline
     # (WaveGlow, else the best available line) LAST for tail-line
     # parsers.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # 2700s default: cold-compile latency through the tunnel has grown
+    # (serving leg alone measured ~1300s cold this round, and the fused
+    # Pallas WaveFlow inverse adds ~300s) — a 900s budget would skip the
+    # last legs on a cold cache. Every line still prints the moment its
+    # leg finishes, so a kill at any point keeps what completed.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     t0 = time.monotonic()
     printed = 0
     for fn in (bench_serving, bench_waveglow, bench_waveflow):
