@@ -664,3 +664,25 @@ def test_requested_features_of_introspection():
     u_feats = requested_features_of(UnTTS.__call__)
     assert {"text", "mel", "speaker_id", "durations", "f0",
             "energy"} <= set(u_feats)
+
+
+def test_cli_train_full_ssvae_config(tts_dataset, tmp_path):
+    """The COMPLETE ssvae configuration — TPGST style tokens AND the
+    semi-supervised EmotionNet heads together — trains from the CLI
+    (reference tacotron2_ssvae trains both, model.py:919-1042)."""
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_ssvae_full")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS +
+              ",use_gst=True,gst_token_num=4,gst_token_embedding_size=8,"
+              "gst_num_heads=2,gst_att_dim=8,"
+              "use_emotionnet=True,n_emotion_classes=4,"
+              "emotionnet_latent_dim=4"])
+    import json
+    with open(os.path.join(run_dir, "events.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    keys = set().union(*(r.keys() for r in recs))
+    # both heads contributed losses in the SAME run
+    assert "em_kld" in keys and "aux_em_MSE" in keys, keys
+    assert any(f.startswith("checkpoint_") for f in os.listdir(run_dir))
