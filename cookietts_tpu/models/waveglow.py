@@ -645,9 +645,81 @@ class WaveGlow(nn.Module):
         z = jnp.concatenate(early_out, axis=-1)
         return z, log_s_sum, logdet_w_sum
 
+    def _wn_st_pallas(self, k: int, x_in: jnp.ndarray, cond: jnp.ndarray
+                      ) -> jnp.ndarray:
+        """Evaluate flow k's WN (log_s, t) through the fused Pallas kernel
+        (ops/pallas_kernels.waveglow_wn_forward): channel-major width
+        tiles, all layers VMEM-resident. Numerically equivalent to
+        ``self.wn[k](x_in, cond)`` — parity-tested. Inference-only."""
+        from ..ops.pallas_kernels import waveglow_wn_forward
+        cfg = self.cfg
+        L, kw, C = cfg.n_layers, cfg.kernel_size, cfg.n_channels
+        B, T, n_in = x_in.shape
+        p = self.wn[k].variables["params"]
+        dt = cfg.dtype
+
+        halo = -(-((kw // 2) * (2 ** L - 1)) // 128) * 128
+        Wt = min(cfg.pallas_row_tile, -(-T // 128) * 128)
+        n_tiles = -(-T // Wt)
+        Tp = halo + n_tiles * Wt + halo
+        cin_p = -(-n_in // 16) * 16          # sublane-pad channel dims
+        n_half_out = p["end"]["kernel"].shape[1] // 2
+        cout_p = -(-(2 * n_half_out) // 16) * 16
+
+        def cm(x, rows):                     # [B, T, C] -> [rows, B*Tp]
+            x = jnp.pad(x, ((0, 0), (halo, Tp - halo - T),
+                            (0, rows - x.shape[-1])))
+            return x.transpose(2, 0, 1).reshape(rows, B * Tp)
+
+        x_cm = cm(x_in.astype(jnp.float32), cin_p)
+        # cond projection (the WN's fused cond_layer Dense) + conv
+        # biases, computed CHANNEL-MAJOR directly (kᵀ @ condᵀ) so no
+        # [T, 2CL]-sized transpose materializes per flow
+        cond_cm = cm(cond.astype(dt), cond.shape[-1])     # [D, B*Tp]
+        k_cond = p["cond_layer"]["kernel"].astype(dt)     # [D, 2CL]
+        cond_all_cm = k_cond.T @ cond_cm                  # [2CL, B*Tp]
+        bias = (p["cond_layer"]["bias"]
+                + jnp.concatenate([p[f"in_layer{i}"]["bias"]
+                                   for i in range(L)])).astype(dt)
+        cond_bc = (cond_all_cm + bias[:, None]).reshape(
+            L, 2 * C, B * Tp)
+
+        start_w = jnp.pad(p["start"]["kernel"].T,
+                          ((0, 0), (0, cin_p - n_in))).astype(dt)
+        start_b = p["start"]["bias"].reshape(C, 1).astype(jnp.float32)
+        k_all, rs_w, rs_b = [], [], []
+        for i in range(L):
+            K = p[f"in_layer{i}"]["kernel"]             # [kw, C, 2C]
+            k_all.append(K.reshape(kw * C, 2 * C).T)
+            w = p[f"res_skip{i}"]["kernel"]
+            w = w.reshape(w.shape[-2], w.shape[-1]).T   # [out, C]
+            b = p[f"res_skip{i}"]["bias"]
+            if w.shape[0] < 2 * C:                      # last: skip only
+                w = jnp.concatenate([jnp.zeros((C, C), w.dtype), w])
+                b = jnp.concatenate([jnp.zeros((C,), b.dtype), b])
+            rs_w.append(w)
+            rs_b.append(b)
+        end_w = jnp.pad(p["end"]["kernel"].T,
+                        ((0, cout_p - 2 * n_half_out), (0, 0)))
+        end_b = jnp.pad(p["end"]["bias"],
+                        (0, cout_p - 2 * n_half_out)).reshape(cout_p, 1)
+
+        st = waveglow_wn_forward(
+            x_cm, cond_bc, start_w, start_b,
+            jnp.stack(k_all).astype(dt), jnp.stack(rs_w).astype(dt),
+            jnp.stack(rs_b).astype(jnp.float32), end_w.astype(dt),
+            end_b.astype(jnp.float32),
+            L=L, kw=kw, C=C, Wt=Wt, halo=halo, T=T, B=B)
+        st = st.reshape(cout_p, B, Tp).transpose(1, 2, 0)
+        return st[:, halo: halo + T, : 2 * n_half_out].astype(dt)
+
     def _inverse_waveglow(self, z: jnp.ndarray, cond: jnp.ndarray,
                           ) -> jnp.ndarray:
         cfg = self.cfg
+        use_pallas = ((cfg.pallas_row_step is True
+                       or (cfg.pallas_row_step == "auto"
+                           and jax.default_backend() == "tpu"))
+                      and cfg.gated_unit == "GTU")
         # split z back into early outputs + final remaining channels
         early_sizes = [e for e in self._early if e]
         n_final = self._n_remaining
@@ -655,15 +727,20 @@ class WaveGlow(nn.Module):
         parts = jnp.split(z, splits, axis=-1) if splits else [z]
         early_parts, x = parts[:-1], parts[-1]
 
+        def wn_st(k, x_in):
+            if use_pallas:
+                return self._wn_st_pallas(k, x_in, cond)
+            return self.wn[k](x_in, cond)
+
         for k in reversed(range(cfg.n_flows)):
             half = self._half[k]
             xa, xb = x[..., :half], x[..., half:]
             if cfg.couple_transform == "second":
-                st = self.wn[k](xa, cond)
+                st = wn_st(k, xa)
                 log_s, t = jnp.split(st, 2, axis=-1)
                 xb = (xb - t) * jnp.exp(-log_s)
             else:
-                st = self.wn[k](xb, cond)
+                st = wn_st(k, xb)
                 log_s, t = jnp.split(st, 2, axis=-1)
                 xa = (xa - t) * jnp.exp(-log_s)
             x = jnp.concatenate([xa, xb], axis=-1)

@@ -486,3 +486,121 @@ def waveflow_row_step(x_prev, queues, cond_bc, start_w, start_b, k_all,
       start_w, start_b, k_all, rs_w, rs_b, end_w, end_b)
     logs, t, new_q = out
     return logs.reshape(B, Wp), t.reshape(B, Wp), new_q
+
+
+# ---------------------------------------------------------------------------
+# WaveGlow inverse: fused WN forward (all layers VMEM-resident per tile)
+# ---------------------------------------------------------------------------
+#
+# The WaveGlow inverse runs n_flows (48 at the bench config) sequential
+# WN evaluations; each is ~30 HBM-bound XLA ops whose [T, 512]
+# intermediates round-trip to HBM (~400 MB per flow at 5 s / 48 kHz).
+# Same fusion recipe as the WaveFlow row step above, minus the
+# autoregressive queues: channel-major tiles, dilated convs as patch
+# matmuls, dilation halos, validity masking for the conv zero padding.
+# Inference-only (the kernel has no autodiff; training keeps stock XLA).
+
+
+def _waveglow_wn_kernel(L, kw, C, Cin, Cout, Wt, halo, T, Tp,
+                        x_ref, cond_ref, start_w_ref, start_b_ref,
+                        k_ref, rs_w_ref, rs_b_ref, end_w_ref, end_b_ref,
+                        st_ref, x_s, cond_s, st_s, sem):
+    b = pl.program_id(0)
+    tile = pl.program_id(1)
+    ext = Wt + 2 * halo
+    base = tile * Wt
+    off = b * Tp + base
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1)
+    valid_ext = ((pos >= halo) & (pos < halo + T))
+    center = slice(halo, halo + Wt)
+
+    def copy(src, dst):
+        dma = pltpu.make_async_copy(src, dst, sem)
+        dma.start()
+        dma.wait()
+
+    copy(x_ref.at[:, pl.ds(off, ext)], x_s)
+    h = jax.lax.dot(start_w_ref[:], x_s[:].astype(start_w_ref.dtype),
+                    preferred_element_type=jnp.float32) \
+        + start_b_ref[:, 0][:, None]
+    h = jnp.where(valid_ext, h.astype(x_ref.dtype), 0.0)   # [C, ext]
+    skip = jnp.zeros((C, Wt), jnp.float32)
+
+    def shifts(r, d):
+        half = kw // 2
+        out = []
+        for t in range(kw):
+            offn = (t - half) * d
+            if offn < 0:
+                zl = jnp.zeros((C, -offn), r.dtype)
+                out.append(jnp.concatenate([zl, r[:, :offn]], 1))
+            elif offn > 0:
+                zr = jnp.zeros((C, offn), r.dtype)
+                out.append(jnp.concatenate([r[:, offn:], zr], 1))
+            else:
+                out.append(r)
+        return out
+
+    for i in range(L):
+        d = 2 ** i
+        copy(cond_ref.at[i, :, pl.ds(off, ext)], cond_s)
+        patches = jnp.concatenate(shifts(h, d), axis=0)    # [kw*C, ext]
+        acts = jax.lax.dot(k_ref[i], patches,
+                           preferred_element_type=jnp.float32)
+        acts = acts + cond_s[:].astype(jnp.float32)        # [2C, ext]
+        a, g = acts[:C], acts[C:]
+        out = (jnp.tanh(a) * jax.nn.sigmoid(g)).astype(x_ref.dtype)
+        rs = jax.lax.dot(rs_w_ref[i], out,
+                         preferred_element_type=jnp.float32) \
+            + rs_b_ref[i][:, None]
+        h = h + rs[:C].astype(x_ref.dtype)
+        h = jnp.where(valid_ext, h, 0.0)
+        skip = skip + rs[C:, center]
+
+    st = jax.lax.dot(end_w_ref[:], skip.astype(x_ref.dtype),
+                     preferred_element_type=jnp.float32) \
+        + end_b_ref[:, 0][:, None]                         # [Cout, Wt]
+    st_s[:] = st
+    copy(st_s, st_ref.at[:, pl.ds(off + halo, Wt)])
+
+
+@functools.partial(jax.jit, static_argnames=("L", "kw", "C", "Wt",
+                                             "halo", "T", "B"))
+def waveglow_wn_forward(x_cm, cond_bc, start_w, start_b, k_all, rs_w,
+                        rs_b, end_w, end_b, *, L, kw, C, Wt, halo, T, B):
+    """Fused WN (log_s, t) evaluation for the WaveGlow inverse.
+
+    CHANNEL-MAJOR over padded width T' (sublane-padded channel dims):
+    x_cm [Cin_p, B*T']; cond_bc [L, 2C, B*T'] (cond projection + conv
+    bias, precomputed per flow); start_w [C, Cin_p]; k_all
+    [L, 2C, kw*C]; rs_w [L, 2C, C] (last layer zero-padded on the res
+    half); end_w [Cout_p, C] (zero rows beyond the real 2*n_half).
+    Returns st [Cout_p, B*T'].
+    """
+    Cin = x_cm.shape[0]
+    Cout = end_w.shape[0]
+    BTp = x_cm.shape[1]
+    dt = cond_bc.dtype
+    ext = Wt + 2 * halo
+    Tp = BTp // B
+    assert Tp * B == BTp and (Tp - 2 * halo) % Wt == 0, (BTp, B, Wt, halo)
+    n_tiles = (Tp - 2 * halo) // Wt
+    kernel = functools.partial(_waveglow_wn_kernel, L, kw, C, Cin, Cout,
+                               Wt, halo, T, Tp)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[hbm, hbm, vmem, vmem, vmem, vmem, vmem, vmem, vmem],
+        out_specs=[hbm],
+        out_shape=[jax.ShapeDtypeStruct((Cout, BTp), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((Cin, ext), x_cm.dtype),           # x_s
+            pltpu.VMEM((2 * C, ext), dt),                 # cond_s
+            pltpu.VMEM((Cout, Wt), jnp.float32),          # st_s
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(x_cm, cond_bc, start_w, start_b, k_all, rs_w, rs_b, end_w,
+      end_b)[0]

@@ -211,3 +211,30 @@ def test_pallas_row_step_inverse_matches(kh):
     x_pl = pall.apply(v, z, mel, method=WaveGlow.inverse)
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_mm),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("transform", ["first", "second"])
+def test_pallas_wn_waveglow_inverse_matches(transform):
+    """The fused Pallas WN forward (waveglow_wn_forward) drives the
+    WaveGlow inverse to the same result as the stock path — interpret
+    mode on CPU, bit-exact, including early outputs and both coupling
+    transforms."""
+    import dataclasses
+    cfg = tiny_cfg(channel_mixing="1x1conv", n_flows=4,
+                   n_early_every=(2 if transform == "first" else 0),
+                   n_early_size=2, n_group=8, n_layers=3, n_channels=16,
+                   hop_length=8, upsample_strides=(1,),
+                   couple_transform=transform, pallas_row_tile=256)
+    model = WaveGlow(cfg)
+    rng = np.random.default_rng(0)
+    audio, mel = _data(rng, cfg, B=2, T=128)
+    v = model.init(jax.random.PRNGKey(0), audio, mel)
+    out = model.apply(v, audio, mel)
+    x_ref = model.apply(v, out["z"], mel, method=WaveGlow.inverse)
+    pall = WaveGlow(dataclasses.replace(cfg, pallas_row_step=True))
+    x_pl = pall.apply(v, out["z"], mel, method=WaveGlow.inverse)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
+                               atol=1e-5, rtol=1e-5)
+    # and it still inverts the forward
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(audio),
+                               atol=1e-4)
