@@ -221,7 +221,8 @@ def bench_serving(on_tpu, dtype):
     mel_ins = [jnp.asarray(rng.standard_normal((VB, T_dec, 80)),
                            jnp.float32) for _ in range(2 * n_iters + 1)]
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(4), mel_ins[0])
-    g_infer = jax.jit(gen.apply)
+    # infer=True enables the fused Pallas MRF resblocks (inference-only)
+    g_infer = jax.jit(lambda v, m: gen.apply(v, m, infer=True))
     n_voc = max(B // VB, 1)          # vocode all B mels in VB batches
     voc_elapsed = _timed(lambda m: g_infer(gvars, m),
                          lambda i: (mel_ins[i],),

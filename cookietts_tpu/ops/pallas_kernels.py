@@ -604,3 +604,111 @@ def waveglow_wn_forward(x_cm, cond_bc, start_w, start_b, k_all, rs_w,
         interpret=_interpret(),
     )(x_cm, cond_bc, start_w, start_b, k_all, rs_w, rs_b, end_w,
       end_b)[0]
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN MRF resblock: both convs of every dilation pair fused per tile
+# ---------------------------------------------------------------------------
+#
+# The serving north-star is vocoder-bound: each generator stage runs 3
+# resblocks x 3 dilation pairs x 2 convs (18 convs) over [B, T, C]
+# activations that at the late stages exceed 1 GB per tensor (B=64,
+# T=262k). Stock XLA round-trips every conv; this kernel keeps a whole
+# resblock (leaky_relu -> dilated conv -> leaky_relu -> conv -> residual
+# add, for all dilation pairs) VMEM-resident per width tile. Same
+# channel-major patch-matmul recipe as the WaveGlow/WaveFlow kernels.
+# Inference-only (no autodiff); training keeps stock XLA.
+
+
+def _hifigan_resblock_kernel(P, k, C, Wt, halo, T, Tp, dilations, slope,
+                             x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                             out_ref, x_s, out_s, sem):
+    b = pl.program_id(0)
+    tile = pl.program_id(1)
+    ext = Wt + 2 * halo
+    base = tile * Wt
+    off = b * Tp + base
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1)
+    valid_ext = ((pos >= halo) & (pos < halo + T))
+    center = slice(halo, halo + Wt)
+
+    def copy(src, dst):
+        dma = pltpu.make_async_copy(src, dst, sem)
+        dma.start()
+        dma.wait()
+
+    def shift1(r, offn):
+        if offn < 0:
+            zl = jnp.zeros((C, -offn), r.dtype)
+            return jnp.concatenate([zl, r[:, :offn]], 1)
+        if offn > 0:
+            zr = jnp.zeros((C, offn), r.dtype)
+            return jnp.concatenate([r[:, offn:], zr], 1)
+        return r
+
+    def conv(w_ref_row, r, d, bias):
+        # per-tap accumulating dots: a [k*C, ext] patch buffer at C=256
+        # would blow VMEM; k small [C, C] x [C, ext] dots do not
+        half = k // 2
+        acc = jnp.broadcast_to(bias[:, None], (C, ext)).astype(
+            jnp.float32)
+        for t in range(k):
+            w_t = w_ref_row[:, t * C:(t + 1) * C]
+            acc = acc + jax.lax.dot(
+                w_t, shift1(r, (t - half) * d),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    def lrelu(v):
+        # max/min form: bf16 predicate compares are unsupported on the
+        # v5e VPU ("Target does not support this comparison")
+        return jnp.maximum(v, 0) + slope * jnp.minimum(v, 0)
+
+    copy(x_ref.at[:, pl.ds(off, ext)], x_s)
+    cur = x_s[:]                                   # [C, ext]
+    for p in range(P):
+        d = dilations[p]
+        h = conv(w1_ref[p], lrelu(cur), d, b1_ref[p])
+        h = lrelu(h).astype(cur.dtype)
+        h = jnp.where(valid_ext, h, 0.0)
+        h2 = conv(w2_ref[p], h, 1, b2_ref[p])
+        cur = cur + h2.astype(cur.dtype)
+        cur = jnp.where(valid_ext, cur, 0.0)
+    out_s[:] = cur[:, center]
+    copy(out_s, out_ref.at[:, pl.ds(off + halo, Wt)])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "C", "Wt", "halo",
+                                             "T", "B", "dilations",
+                                             "slope"))
+def hifigan_resblock(x_cm, w1, b1, w2, b2, *, k, C, Wt, halo, T, B,
+                     dilations, slope):
+    """One fused MRF resblock over padded width T'.
+
+    CHANNEL-MAJOR: x_cm [C, B*T']; w1/w2 [P, C, k*C] (patch-major,
+    weight-norm folded); b1/b2 [P, C]. Returns the resblock output
+    (residual adds included) [C, B*T'].
+    """
+    P = w1.shape[0]
+    BTp = x_cm.shape[1]
+    Tp = BTp // B
+    assert Tp * B == BTp and (Tp - 2 * halo) % Wt == 0, (BTp, B, Wt, halo)
+    ext = Wt + 2 * halo
+    dt = x_cm.dtype
+    kernel = functools.partial(_hifigan_resblock_kernel, P, k, C, Wt,
+                               halo, T, Tp, dilations, slope)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, (Tp - 2 * halo) // Wt),
+        in_specs=[hbm, vmem, vmem, vmem, vmem],
+        out_specs=[hbm],
+        out_shape=[jax.ShapeDtypeStruct((C, BTp), dt)],
+        scratch_shapes=[
+            pltpu.VMEM((C, ext), dt),                     # x_s
+            pltpu.VMEM((C, Wt), dt),                      # out_s
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(x_cm, w1, b1, w2, b2)[0]

@@ -315,3 +315,29 @@ def test_hifigan_denoiser_staged_training():
     g_state, g_m = g2(g_state, d_state, batch, ctrl)
     assert np.isfinite(float(d_m["d_loss"])) and float(d_m["d_loss"]) > 0
     assert "adv" in g_m and np.isfinite(float(g_m["adv"]))
+
+
+def test_hifigan_fused_resblocks_match_stock():
+    """The inference-only fused Pallas MRF path (infer=True,
+    ops/pallas_kernels.hifigan_resblock) equals the stock generator —
+    interpret mode on CPU (weight-norm folding included)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    cfg = HiFiGANConfig(
+        n_mel_channels=8, upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5), resblock_dilations=((1, 2), (1, 2)),
+        pallas_tile=256, pallas_resblocks=True)
+    g = Generator(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 40, 8)), jnp.float32)
+    v = g.init(jax.random.PRNGKey(0), mel)
+    y_ref = g.apply(v, mel)
+    y_fused = g.apply(v, mel, infer=True)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-6, rtol=1e-5)
