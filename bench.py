@@ -11,6 +11,14 @@
 3. waveglow_rtf_48khz_batch1 — the round-over-round headline:
    reference WaveGlow architecture (48 flows / group 24 / 8 layers /
    256 ch) in bf16, batch 1, ~5 s clips (baseline 5.19x RTF).
+4. waveflow_train_samples_per_s — TRAINING throughput of the 256
+   res-channel WaveFlow the reference budgeted 1.28e11 samples /
+   8.78 days for: batch 1 x 3 GPUs x 36000-sample segments / 0.64
+   s/iter = 168,750 audio samples/s (scripts/Waveflow training
+   time.ipynb). Ours: full jitted train step (fwd + grads + global-norm
+   clip + Adam) at the same segment length on ONE v5e chip, batch
+   chosen to fill the chip — an aggregate-throughput comparison of one
+   chip vs the author's 3-GPU node.
 
 Leg order and printing are built for the tunnel's cache-less compile
 service (latency swings 1-20+ min per big graph): cheapest-compiling
@@ -38,6 +46,9 @@ import jax.numpy as jnp
 BASELINE_WAVEGLOW_RTF_48K = 5.1905   # BASELINE.md WaveGlow batch 1
 BASELINE_WAVEFLOW_RTF_48K = 7.81     # BASELINE.md WaveFlow best config
 NORTH_STAR_SERVING_RTF = 100.0       # BASELINE.json >=100x batched serving
+# Waveflow training time.ipynb: batch 1 x 3 GPUs x 36000-sample segments
+# at 0.64 s/iter for the 256 res-channel WaveFlow
+BASELINE_WAVEFLOW_TRAIN_SAMPLES_S = (1 * 3 * 36000) / 0.64
 
 
 _RESULTS = []
@@ -144,6 +155,61 @@ def bench_waveflow(on_tpu, dtype):
                      n, _check_program(n))
     _emit("waveflow_rtf_48khz_batch1", audio_seconds / elapsed,
           "x_realtime", BASELINE_WAVEFLOW_RTF_48K)
+
+
+def bench_waveflow_training(on_tpu, dtype):
+    """Training throughput (audio samples consumed per second) of the
+    256 res-channel WaveFlow from the reference's training-budget
+    notebook. The step is the REAL training path: memory-efficient
+    (remat-per-flow) forward, flow NLL, grads, global-norm clip, Adam
+    update — bf16 activations with f32 logdets, exactly what
+    `train --model waveglow` runs."""
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (make_waveglow_train_step,
+                                               scalars_to_arrays)
+
+    cfg = WaveGlowConfig(
+        n_mel_channels=160, n_flows=6, n_group=8,
+        n_early_every=0, n_early_size=0,
+        channel_mixing="permuteheight",
+        n_layers=8, n_channels=256, kernel_size=3,
+        hop_length=600, upsample_strides=(75,),
+        upsample_channels=128, memory_efficient=True,
+        dtype=dtype,
+    )
+    model = WaveGlow(cfg)
+    if on_tpu:
+        seg, B, n = 36000, 12, 6      # reference segment_length 36000
+    else:
+        seg, B, n = 4800, 1, 1
+    rng = np.random.default_rng(0)
+    t_mel = seg // cfg.hop_length
+    mk = lambda i: {                                  # noqa: E731
+        "audio": jnp.asarray(rng.standard_normal((B, seg)), jnp.float32),
+        "mels": jnp.asarray(
+            rng.standard_normal((B, t_mel, cfg.n_mel_channels)),
+            jnp.float32)}
+    batches = [mk(i) for i in range(2 * n + 1)]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batches[0]["audio"],
+                                    batches[0]["mels"])
+    state = TrainState.create(model, variables["params"], adam())
+    # donate=False: the same state is re-stepped with distinct batches
+    # (throughput of one optimizer step; chaining states would serialize
+    # on the donated buffer without changing the per-step compute)
+    train_step = make_waveglow_train_step(model, donate=False)
+    ctrl = scalars_to_arrays({"lr": 1e-4, "grad_clip": 150.0})
+    key = jax.random.PRNGKey(0)
+
+    def run(batch):
+        _, metrics = train_step(state, batch, key, ctrl)
+        return metrics["loss"]
+
+    elapsed = _timed(run, lambda i: (batches[i],), n, _check_program(n))
+    _emit("waveflow_train_samples_per_s", B * seg / elapsed,
+          "samples_per_s", BASELINE_WAVEFLOW_TRAIN_SAMPLES_S)
 
 
 def bench_serving(on_tpu, dtype):
@@ -254,7 +320,8 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     t0 = time.monotonic()
     printed = 0
-    for fn in (bench_serving, bench_waveglow, bench_waveflow):
+    for fn in (bench_serving, bench_waveglow, bench_waveflow,
+               bench_waveflow_training):
         if time.monotonic() - t0 > budget:
             print(f"[bench] skipping {fn.__name__}: over "
                   f"{budget:.0f}s budget", flush=True)

@@ -617,18 +617,18 @@ class WaveGlow(nn.Module):
                 early_out.append(x[..., : self._early[k]])
                 x = x[..., self._early[k]:]
 
-            def flow(x, cond, k=k):
-                y, logdet_w = self.convinv[k](x)
-                half = self._half[k]
+            def flow(mdl, x, cond, k=k):
+                y, logdet_w = mdl.convinv[k](x)
+                half = mdl._half[k]
                 xa, xb = y[..., :half], y[..., half:]
-                if self.cfg.couple_transform == "second":
+                if mdl.cfg.couple_transform == "second":
                     # reference order (glow.py:297-308): transform
                     # audio_1 conditioned on audio_0
-                    st = self.wn[k](xa, cond)
+                    st = mdl.wn[k](xa, cond)
                     log_s, t = jnp.split(st, 2, axis=-1)
                     xb = xb * jnp.exp(log_s) + t
                 else:
-                    st = self.wn[k](xb, cond)
+                    st = mdl.wn[k](xb, cond)
                     log_s, t = jnp.split(st, 2, axis=-1)
                     xa = xa * jnp.exp(log_s) + t
                 out = jnp.concatenate([xa, xb], axis=-1)
@@ -636,8 +636,13 @@ class WaveGlow(nn.Module):
                     logdet_w.astype(jnp.float32)
 
             if cfg.memory_efficient:
-                flow = jax.checkpoint(flow, static_argnums=())
-            x, ls, lw = flow(x, cond)
+                # rematerialize each flow in backward (the TPU equivalent
+                # of the reference's recompute-from-output invertible
+                # autograd, efficient_modules.py:108-233). MUST be the
+                # LIFTED flax remat: jax.checkpoint around a closure over
+                # bound submodules leaks tracers out of init/apply.
+                flow = nn.remat(flow)
+            x, ls, lw = flow(self, x, cond)
             log_s_sum = log_s_sum + ls
             logdet_w_sum = logdet_w_sum + lw * (B * TG)
 
@@ -758,15 +763,17 @@ class WaveGlow(nn.Module):
             order = permute_height_order(cfg.n_group, "bipartize", k)
             x = x[:, order, :]
 
-            def flow(x, cond, k=k):
-                st = self.wn[k](x[..., None], cond)     # [B, H, W, 2]
+            def flow(mdl, x, cond, k=k):
+                st = mdl.wn[k](x[..., None], cond)      # [B, H, W, 2]
                 log_s, t = st[..., 0], st[..., 1]
                 y = x * jnp.exp(log_s) + t
                 return y, jnp.sum(log_s.astype(jnp.float32))
 
             if cfg.memory_efficient:
-                flow = jax.checkpoint(flow)
-            x, ls = flow(x, cond)
+                # lifted remat (see _forward_waveglow): jax.checkpoint
+                # over bound submodules leaks tracers out of init/apply
+                flow = nn.remat(flow)
+            x, ls = flow(self, x, cond)
             log_s_sum = log_s_sum + ls
         return x, log_s_sum, jnp.zeros((), jnp.float32)
 

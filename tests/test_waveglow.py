@@ -238,3 +238,40 @@ def test_pallas_wn_waveglow_inverse_matches(transform):
     # and it still inverts the forward
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(audio),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("mixing", ["1x1conv", "permuteheight"])
+def test_memory_efficient_matches_plain(mixing):
+    """memory_efficient=True (remat-per-flow, the DEFAULT and the
+    TPU equivalent of the reference's recompute-from-output invertible
+    autograd, efficient_modules.py:108-233) must produce the same loss
+    and gradients as the plain path. Regression: jax.checkpoint around
+    closures over bound flax submodules leaked tracers out of
+    jit(init) — every other test sets memory_efficient=False, so the
+    default path was never exercised; the fix is the lifted nn.remat."""
+    kw = dict(channel_mixing=mixing)
+    if mixing == "1x1conv":
+        kw.update(n_flows=4, n_group=8, n_early_every=2, n_early_size=2,
+                  hop_length=8)
+    cfg_on = tiny_cfg(memory_efficient=True, **kw)
+    cfg_off = tiny_cfg(memory_efficient=False, **kw)
+    m_on, m_off = WaveGlow(cfg_on), WaveGlow(cfg_off)
+    rng = np.random.default_rng(2)
+    audio, mel = _data(rng, cfg_on, T=64)
+    # the round-2 bug fired at init already (UnexpectedTracerError)
+    v = jax.jit(m_on.init)(jax.random.PRNGKey(0), audio, mel)
+
+    def make_loss(m):
+        def f(p):
+            out = m.apply({"params": p}, audio, mel)
+            loss, _ = waveglow_loss(out)
+            return loss
+        return f
+
+    l_on, g_on = jax.jit(jax.value_and_grad(make_loss(m_on)))(v["params"])
+    l_off, g_off = jax.jit(jax.value_and_grad(make_loss(m_off)))(v["params"])
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                    jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
