@@ -181,7 +181,10 @@ def bench_waveflow_training(on_tpu, dtype):
     )
     model = WaveGlow(cfg)
     if on_tpu:
-        seg, B, n = 36000, 12, 6      # reference segment_length 36000
+        # B sweep on the v5e (same protocol): 12 -> 214k samples/s,
+        # 24 -> 260k; 32/48 crash the tunnel's compile helper (compiler
+        # host OOM on the bigger remat backward graph)
+        seg, B, n = 36000, 24, 4      # reference segment_length 36000
     else:
         seg, B, n = 4800, 1, 1
     rng = np.random.default_rng(0)
