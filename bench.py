@@ -223,18 +223,19 @@ def bench_serving(on_tpu, dtype):
 
     sr, hop = 44100, 512
     if on_tpu:
-        # B/VB=64: measured sweep (one v5e chip, bf16, distinct inputs)
-        # shows both stages still scaling at 64 — taco 2347x, vocoder
-        # 1130x aggregate — while VB=16 (the reference server's batch,
-        # text2speech.py:658-666) leaves ~2x on the table
-        B, T_txt, T_dec, n_iters = 64, 128, 512, 3
+        # B/VB=128: same-session sweep (one v5e chip, bf16, distinct
+        # inputs): B=64 -> taco 41.0 ms / voc 338.8 ms = 1002x combined;
+        # B=128 -> taco 67.9 ms / voc 437.7 ms = 1505x; B=256 crashes the
+        # tunnel's compile service. VB=16 (the reference server's batch,
+        # text2speech.py:658-666) leaves ~3x on the table.
+        B, T_txt, T_dec, n_iters = 128, 128, 512, 3
         tcfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype,
                                max_decoder_steps=T_dec)
         hcfg = HiFiGANConfig(n_mel_channels=80,
                              upsample_rates=(8, 8, 4, 2),
                              upsample_kernel_sizes=(16, 16, 8, 4),
                              dtype=dtype)
-        VB = 64
+        VB = 128
     else:
         B, T_txt, T_dec, n_iters = 2, 12, 32, 1
         tcfg = Tacotron2Config(

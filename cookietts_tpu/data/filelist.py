@@ -169,6 +169,25 @@ def write_filelists(result: Dict[str, Any], out_dir: str,
                   f, indent=1)
 
 
+def load_speaker_info(path: str) -> Dict[str, int]:
+    """Parse ``speaker_info.txt`` (``;dataset|speaker_name|speaker_id|
+    duration_hrs`` — the :func:`write_filelists` output surface, matching
+    the reference's speaker info file, start_preprocess.py:448-497) into
+    a {speaker_name: id} lookup. Two-column ``name|id`` lines are also
+    accepted."""
+    out: Dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for ln in f:
+            if not ln.strip() or ln.startswith(";"):
+                continue
+            parts = ln.rstrip("\n").split("|")
+            if len(parts) >= 3:
+                out[parts[1]] = int(parts[2])
+            elif len(parts) == 2:
+                out[parts[0]] = int(parts[1])
+    return out
+
+
 def load_filelist(path: str) -> List[Dict[str, Any]]:
     """Parse ``path|quote|speaker_id[|phoneme|emotion_id|noise]`` lines."""
     entries = []

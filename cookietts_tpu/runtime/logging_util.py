@@ -24,6 +24,17 @@ except Exception:  # pragma: no cover
     SummaryWriter = None
 
 
+def _flatten_tree(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    """Flatten a nested params dict to {dotted.path: leaf array}."""
+    out: Dict[str, Any] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}."))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
 class MetricsLogger:
     def __init__(self, log_dir: str, smoothing: float = 0.95,
                  use_tensorboard: bool = True):
@@ -56,6 +67,26 @@ class MetricsLogger:
     def log_image(self, step: int, name: str, image) -> None:
         if self.tb is not None:
             self.tb.add_image(name, image, step, dataformats="HWC")
+
+    def log_histograms(self, step: int, params: Any,
+                       prefix: str = "params") -> None:
+        """Per-parameter histograms (reference logger.py:57-58 logs
+        ``model.named_parameters()`` histograms every 20k iters).
+        TensorBoard gets full histograms; the JSONL stream gets compact
+        min/mean/max/std summaries so it stays machine-greppable."""
+        import numpy as np
+        flat = _flatten_tree(params)
+        rec = {"step": step, "time": time.time(), "prefix": prefix}
+        for name, v in flat.items():
+            a = np.asarray(v, dtype=np.float32)
+            if a.size == 0:
+                continue
+            if self.tb:
+                self.tb.add_histogram(f"{prefix}/{name}", a, step)
+            rec[name] = [float(a.min()), float(a.mean()),
+                         float(a.max()), float(a.std())]
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
 
     def close(self):
         self._jsonl.close()

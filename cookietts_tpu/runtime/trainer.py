@@ -443,6 +443,13 @@ class Trainer:
             metrics["lr"] = float(ctrl["lr"])
             metrics["s_per_iter"] = self._iter_time_ema
             self.logger.log_scalars(it, metrics)
+        # param histograms every 20k iters (reference logger.py:57-58);
+        # live-configurable, 0 disables
+        hi = int(self.live.get("histogram_interval", 20000) or 0)
+        if hi > 0 and int(self.state.step) % hi == 0:
+            self.logger.log_histograms(
+                int(self.state.step),
+                jax.tree.map(np.asarray, self.state.params))
         if self.ckpt.manual_save_requested():
             self.save(periodic=True)
 

@@ -163,6 +163,25 @@ def test_file_loss_db_smoothing_and_filter(tmp_path):
     assert os.path.getsize(str(tmp_path / "fl.csv")) > 0
 
 
+def test_logger_histograms(tmp_path):
+    """Param histograms (reference logger.py:57-58): summary stats land
+    in the JSONL stream for every leaf of a nested params tree."""
+    import json
+    from cookietts_tpu.runtime.logging_util import MetricsLogger
+    lg = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    params = {"encoder": {"conv": {"kernel": np.arange(6.0)}},
+              "gate": {"bias": np.asarray([1.0, -1.0])}}
+    lg.log_histograms(7, params)
+    lg.close()
+    recs = [json.loads(ln) for ln in
+            open(str(tmp_path / "events.jsonl"))]
+    rec = [r for r in recs if r.get("prefix") == "params"][0]
+    assert rec["step"] == 7
+    lo, mean, hi, std = rec["encoder.conv.kernel"]
+    assert (lo, hi) == (0.0, 5.0) and abs(mean - 2.5) < 1e-6
+    assert rec["gate.bias"][1] == 0.0
+
+
 # -- collate / TBPTT ----------------------------------------------------------------
 
 def _items(lengths, n_mel=8):
