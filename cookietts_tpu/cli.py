@@ -42,6 +42,18 @@ def cmd_preprocess(args):
     run_preprocess(cfg)
 
 
+def _speaker_map(args, entries):
+    """{speaker_name: id} for checkpoint metadata: from --speaker_info
+    (the preprocess stage's speaker_info.txt) when given, else synthesized
+    from the filelist's integer ids (reference speaker_name_lookup,
+    train.py:255-279)."""
+    if getattr(args, "speaker_info", None):
+        from .data.filelist import load_speaker_info
+        return load_speaker_info(args.speaker_info)
+    return {f"speaker{int(e['speaker_id'])}": int(e["speaker_id"])
+            for e in entries}
+
+
 def _build_tacotron2(overrides):
     import jax
     from .models.tacotron2 import Tacotron2, Tacotron2Config
@@ -168,6 +180,19 @@ def cmd_train(args):
         val_batches=val_batches,
         inference_eval_step=make_tacotron2_inference_eval_step(model,
                                                                mesh=mesh))
+    # self-describing checkpoints: model kind + the config overrides that
+    # rebuild it + the speaker map + audio frontend (the reference bundles
+    # hparams and speaker_id_lookup into every checkpoint,
+    # train.py:255-279) — `server`/`tts` reload from the checkpoint alone
+    trainer.default_metadata = {
+        "model": "tacotron2",
+        "model_config": {k: v for k, v in overrides.items()
+                         if k in set(type(mcfg).__dataclass_fields__)},
+        "speaker_ids": _speaker_map(args, entries),
+        "audio": {"sampling_rate": dcfg.sampling_rate,
+                  "hop_length": dcfg.hop_length,
+                  "n_mel_channels": dcfg.n_mel_channels},
+    }
     if getattr(args, "resume", None):
         trainer.resume(None if args.resume == "auto" else args.resume)
 
@@ -792,6 +817,18 @@ def _train_waveglow(args, overrides):
     trainer = _make_trainer(args, overrides, state, train_step,
                             eval_step=eval_adapter, val_batches=val_batches,
                             plateau=ReduceLROnPlateau(), grad_clip=150.0)
+    trainer.default_metadata = {
+        "model": "waveglow",
+        "model_config": {
+            "n_mel_channels": dcfg.n_mel_channels,
+            "hop_length": dcfg.hop_length,
+            **{k: v for k, v in overrides.items()
+               if k in m_valid and k not in ("n_mel_channels",
+                                             "hop_length")}},
+        "audio": {"sampling_rate": dcfg.sampling_rate,
+                  "hop_length": dcfg.hop_length,
+                  "n_mel_channels": dcfg.n_mel_channels},
+    }
 
     def make_batch(it):
         # stream keyed by iteration: a resumed run continues the data
@@ -904,6 +941,16 @@ def _train_hifigan(args, overrides):
     trainer = _make_trainer(args, overrides, state, train_step,
                             eval_step=eval_adapter, val_batches=val_batches,
                             base_lr=2e-4, grad_clip=1000.0)
+    trainer.default_metadata = {
+        "model": "hifigan",
+        "model_config": {
+            "n_mel_channels": dcfg.n_mel_channels,
+            **{k: v for k, v in overrides.items()
+               if k in h_valid and k != "n_mel_channels"}},
+        "audio": {"sampling_rate": dcfg.sampling_rate,
+                  "hop_length": dcfg.hop_length,
+                  "n_mel_channels": dcfg.n_mel_channels},
+    }
     if getattr(args, "resume", None):
         # full GAN resume: G AND D params + optimizer moments + step
         # (the reference resumes from paired g_/do_ checkpoints,
@@ -1063,6 +1110,7 @@ def cmd_convert(args):
         tree = {"step": 0, "params": params}
     else:
         raise SystemExit(f"no converter for model {args.model!r}")
+    meta = {"model": args.model, **meta}   # self-describing for server/tts
     save_checkpoint(args.output, tree, meta)
     n = sum(1 for _ in _iter_leaves(params))
     print(f"converted {n} tensors -> {args.output}")
@@ -1076,18 +1124,183 @@ def _iter_leaves(tree):
         yield tree
 
 
-def cmd_server(args):
-    import json as _json
+def _load_vocoder(path, overrides, vocoder_model=None):
+    """(vocoder_fn, infer_with_key_fn, audio_info) from a vocoder
+    checkpoint. Detects hifigan vs waveglow/waveflow from the stamped
+    ``model`` metadata, else from the param layout. ``vocoder_fn(mel
+    [B,T,M]) -> audio [B, T*hop]`` is the T2S contract."""
+    import itertools
+
     import jax
-    from .pipeline.server import serve
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .runtime.checkpoint import load_checkpoint
+
+    tree, meta = load_checkpoint(path)
+    meta = meta or {}
+    params = tree["params"]
+    kind = vocoder_model or meta.get("model")
+    if not kind:
+        keys = set(params)
+        kind = ("hifigan" if "conv_pre" in keys
+                else "waveglow" if any(k.startswith("wn") for k in keys)
+                else None)
+        if kind is None:
+            raise SystemExit(f"cannot detect vocoder type of {path}; "
+                             "pass --vocoder_model")
+    mc = dict(meta.get("model_config", {}))
+    mc.update(overrides)
+    audio_info = dict(meta.get("audio", {}))
+
+    if kind == "hifigan":
+        from .models.hifigan import Generator, HiFiGANConfig
+        valid = set(HiFiGANConfig.__dataclass_fields__)
+        kw = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in mc.items() if k in valid}
+        if "upsample_kernel_sizes" in kw and "upsample_rates" not in kw:
+            # reference configs use rate = kernel // 2 throughout
+            kw["upsample_rates"] = tuple(
+                k // 2 for k in kw["upsample_kernel_sizes"])
+        cfg = HiFiGANConfig(**kw)
+        gen = Generator(cfg)
+        g = jax.jit(lambda m: gen.apply({"params": params}, m, infer=True))
+        audio_info.setdefault("hop_length",
+                              int(np.prod(cfg.upsample_rates)))
+        infer_with_key = lambda mel, key: g(mel)          # noqa: E731
+        return (lambda mel: g(jnp.asarray(mel))), infer_with_key, audio_info
+
+    from .models.waveglow import WaveGlow, WaveGlowConfig
+    valid = set(WaveGlowConfig.__dataclass_fields__)
+    kw = {k: (tuple(v) if isinstance(v, list) else v)
+          for k, v in mc.items() if k in valid}
+    cfg = WaveGlowConfig(**kw)
+    model = WaveGlow(cfg)
+    sigma = float(overrides.get("sigma", cfg.sigma))
+    infer = jax.jit(lambda m, k: model.apply(
+        {"params": params}, m, k, sigma=sigma, method=WaveGlow.infer))
+    audio_info.setdefault("hop_length", cfg.hop_length)
+    audio_info.setdefault("sampling_rate", cfg.sampling_rate)
+    counter = itertools.count()
+
+    def vocoder_fn(mel):
+        return infer(jnp.asarray(mel), jax.random.PRNGKey(next(counter)))
+
+    return vocoder_fn, infer, audio_info
+
+
+def _build_t2s(args):
+    """Assemble a serving-ready T2S worker from checkpoints + flags
+    (the reference server builds its worker from t2s_config.json model
+    entries, app.py + text2speech.py:151-334): tacotron2 checkpoint
+    (self-describing metadata), optional vocoder / ARPA dict / torchMoji
+    / denoiser."""
+    import json as _json
+
+    from .config import parse_override_string
     from .pipeline.text2speech import T2S, T2SConfig
     from .runtime.checkpoint import load_checkpoint
 
+    overrides = (parse_override_string(args.hparams)
+                 if getattr(args, "hparams", "") else {})
+    t2s_valid = set(T2SConfig.__dataclass_fields__)
+    cfg_kw = {}
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            raw = _json.load(f)
+        cfg_kw = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in raw.items() if k in t2s_valid}
+    cfg_kw.update({k: v for k, v in overrides.items() if k in t2s_valid})
+    t2s_cfg = T2SConfig(**cfg_kw)
+
     tree, meta = load_checkpoint(args.checkpoint)
-    model, _ = _build_tacotron2((meta or {}).get("model_config", {}))
-    variables = {"params": tree["params"], **tree.get("mutables", {})}
-    speaker_ids = (meta or {}).get("speaker_ids") or {"default": 0}
-    t2s = T2S(T2SConfig(), model, variables, speaker_ids=speaker_ids)
+    meta = meta or {}
+    model, _ = _build_tacotron2({**meta.get("model_config", {}),
+                                 **overrides})
+    variables = {"params": tree["params"], **(tree.get("mutables") or {})}
+    if getattr(args, "speaker_info", None):
+        from .data.filelist import load_speaker_info
+        speaker_ids = load_speaker_info(args.speaker_info)
+    else:
+        speaker_ids = meta.get("speaker_ids") or {"default": 0}
+
+    audio_info = dict(meta.get("audio", {}))
+    vocoder_fn = denoiser_fn = None
+    if getattr(args, "vocoder", None):
+        vocoder_fn, infer_with_key, v_audio = _load_vocoder(
+            args.vocoder, overrides,
+            getattr(args, "vocoder_model", None))
+        audio_info = {**audio_info, **v_audio}
+        if getattr(args, "denoiser", False):
+            from .models.denoiser import Denoiser
+            denoiser_fn = Denoiser(
+                infer_with_key,
+                sampling_rate=int(audio_info.get("sampling_rate", 44100)),
+                n_mel_channels=int(audio_info.get("n_mel_channels", 80)))
+
+    arpa_fn = None
+    if getattr(args, "arpa_dict", None):
+        from .text.cmudict import ARPADict
+        arpa_fn = ARPADict(args.arpa_dict).get
+
+    torchmoji_fn = None
+    if getattr(args, "torchmoji", None):
+        from .models.torchmoji import TorchMojiEncoder, load_vocabulary
+        tm_tree, _tm_meta = load_checkpoint(args.torchmoji)
+        torchmoji_fn = TorchMojiEncoder(
+            load_vocabulary(args.torchmoji_vocab),
+            {"params": tm_tree["params"]})
+
+    sr = int(overrides.get("sampling_rate",
+                           audio_info.get("sampling_rate", 44100)))
+    hop = int(overrides.get("hop_length", audio_info.get("hop_length", 512)))
+    return T2S(t2s_cfg, model, variables, speaker_ids=speaker_ids,
+               vocoder_fn=vocoder_fn, torchmoji_fn=torchmoji_fn,
+               arpa_fn=arpa_fn, denoiser_fn=denoiser_fn,
+               sample_rate=sr, hop_length=hop)
+
+
+def cmd_tts(args):
+    """One-shot synthesis: text -> wav (or mel .npy without a vocoder),
+    the CLI equivalent of one POST to the reference server's /tts."""
+    import json as _json
+
+    import numpy as np
+
+    t2s = _build_t2s(args)
+    res = t2s.infer(
+        args.text,
+        speaker=args.speaker or (),
+        use_arpabet=bool(getattr(args, "arpa_dict", None)),
+        target_score=args.target_score,
+        max_attempts=args.max_attempts,
+        denoise_strength=args.denoise_strength,
+        cat_silence_s=args.cat_silence_s,
+        seed=args.seed)
+    stats = {k: (float(v) if isinstance(v, (int, float, np.floating))
+                 else None)
+             for k, v in res.items()
+             if k in ("audio_seconds", "gen_time", "total_time", "xrt",
+                      "failure_rate")}
+    stats["segments"] = len(res["segments"])
+    stats["scores"] = [round(float(s), 4) for s in res["scores"]]
+    if res["audio"].size:
+        from .data.audio_io import save_wav
+        save_wav(args.out, res["audio"], t2s.sample_rate)
+        stats["out"] = args.out
+    else:
+        out = args.out.rsplit(".", 1)[0] + ".mel.npy"
+        np.save(out, res["mels"][0] if len(res["mels"]) == 1
+                else np.asarray(res["mels"], dtype=object))
+        stats["out"] = out
+        stats["note"] = "no --vocoder: wrote mel instead of audio"
+    print(_json.dumps(stats))
+
+
+def cmd_server(args):
+    from .pipeline.server import serve
+
+    t2s = _build_t2s(args)
     serve(t2s, port=args.port)
 
 
@@ -1125,6 +1338,9 @@ def main(argv=None):
     t.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis size (shards the big "
                         "gate/WN matmuls; data parallel uses the rest)")
+    t.add_argument("--speaker_info", default=None,
+                   help="speaker_info.txt stamping {name: id} into "
+                        "checkpoint metadata for server/tts")
     _add_common(t)
     t.set_defaults(fn=cmd_train)
 
@@ -1137,10 +1353,51 @@ def main(argv=None):
     _add_common(g)
     g.set_defaults(fn=cmd_gta)
 
+    def _add_t2s_args(sp):
+        sp.add_argument("--checkpoint", required=True,
+                        help="tacotron2 checkpoint (self-describing "
+                             "metadata rebuilds the model config)")
+        sp.add_argument("-c", "--config", default=None,
+                        help="t2s_config.json (target_score, batch sizes, "
+                             "segmentation — reference t2s_config surface)")
+        sp.add_argument("--vocoder", default=None,
+                        help="hifigan / waveglow / waveflow checkpoint")
+        sp.add_argument("--vocoder_model", default=None,
+                        choices=("hifigan", "waveglow"),
+                        help="override vocoder auto-detection")
+        sp.add_argument("--denoiser", action="store_true",
+                        help="enable vocoder-bias removal "
+                             "(denoise_strength per request)")
+        sp.add_argument("--arpa_dict", default=None,
+                        help="merged.dict for {ARPA} substitution")
+        sp.add_argument("--torchmoji", default=None,
+                        help="converted torchMoji checkpoint (style path)")
+        sp.add_argument("--torchmoji_vocab", default=None,
+                        help="vocabulary.json for --torchmoji")
+        sp.add_argument("--speaker_info", default=None,
+                        help="speaker_info.txt overriding the checkpoint's "
+                             "speaker map")
+        _add_common(sp)
+
     s = sub.add_parser("server")
-    s.add_argument("--checkpoint", required=True)
+    _add_t2s_args(s)
     s.add_argument("--port", type=int, default=5000)
     s.set_defaults(fn=cmd_server)
+
+    tt = sub.add_parser(
+        "tts", help="one-shot synthesis: text -> wav (CLI equivalent of "
+        "one POST to the server's /tts)")
+    _add_t2s_args(tt)
+    tt.add_argument("--text", required=True)
+    tt.add_argument("-o", "--out", default="tts_out.wav")
+    tt.add_argument("--speaker", action="append", default=None,
+                    help="speaker name (repeatable; fuzzy-matched)")
+    tt.add_argument("--target_score", type=float, default=None)
+    tt.add_argument("--max_attempts", type=int, default=None)
+    tt.add_argument("--denoise_strength", type=float, default=0.0)
+    tt.add_argument("--cat_silence_s", type=float, default=0.0)
+    tt.add_argument("--seed", type=int, default=0)
+    tt.set_defaults(fn=cmd_tts)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

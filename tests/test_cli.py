@@ -686,3 +686,91 @@ def test_cli_train_full_ssvae_config(tts_dataset, tmp_path):
     # both heads contributed losses in the SAME run
     assert "em_kld" in keys and "aux_em_MSE" in keys, keys
     assert any(f.startswith("checkpoint_") for f in os.listdir(run_dir))
+
+
+def test_cli_tts_one_shot_and_self_describing_ckpts(tts_dataset, tmp_path,
+                                                    capsys):
+    """The full serving surface from the CLI alone (the reference needs
+    t2s_config.json + the Flask app): `train` stamps self-describing
+    metadata (model kind + config + speaker map + audio frontend), then
+    `tts` synthesizes text to a wav through a trained vocoder, and to a
+    mel file without one."""
+    import json
+
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_tts_t2")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS])
+    ckpts = sorted(f for f in os.listdir(run_dir)
+                   if f.startswith("checkpoint_")
+                   and not f.endswith(".json"))
+    ckpt = os.path.join(run_dir, ckpts[-1])
+
+    # self-describing checkpoint metadata (reference bundles hparams +
+    # speaker_id_lookup into every checkpoint, train.py:255-279)
+    with open(ckpt + ".json") as f:
+        meta = json.load(f)
+    assert meta["model"] == "tacotron2"
+    assert meta["model_config"]["attention_rnn_dim"] == 16
+    assert meta["speaker_ids"] == {"speaker0": 0}
+    assert meta["audio"] == {"sampling_rate": 22050, "hop_length": 128,
+                             "n_mel_channels": 20}
+
+    # no vocoder -> mel sidecar + stats JSON on stdout
+    out_wav = str(tmp_path / "one.wav")
+    cli.main(["tts", "--checkpoint", ckpt, "--text", "Hello there.",
+              "--out", out_wav, "--max_attempts", "1",
+              "--hparams", "batch_size=2,max_text_len=32,"
+              "frames_per_char=2.0,step_buckets=[64]"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["out"].endswith(".mel.npy") and os.path.exists(stats["out"])
+    mel = np.load(stats["out"])
+    assert mel.ndim == 2 and mel.shape[1] == 20
+
+    # train a tiny WaveGlow at the SAME audio frontend and synthesize audio
+    wg_dir = str(tmp_path / "run_tts_wg")
+    lines = [ln.split("|")[0] + "||0"
+             for ln in open(filelist).read().splitlines()]
+    map_file = str(tmp_path / "map_tts.txt")
+    with open(map_file, "w") as f:
+        f.write("\n".join(lines))
+    cli.main(["train", "--model", "waveglow", "--filelist", map_file,
+              "--iters", "2", "--run_dir", wg_dir,
+              "--hparams",
+              "batch_size=2,n_iters=2,segment_length=2048,"
+              "sampling_rate=22050,filter_length=512,hop_length=128,"
+              "win_length=512,n_mel_channels=20,mel_fmax=8000.0,"
+              "n_flows=2,n_group=4,n_early_every=0,n_layers=1,"
+              "n_channels=8,upsample_strides=[4,8],upsample_channels=8,"
+              "memory_efficient=False,load_from_disk_dtw=False"])
+    wg_ckpts = sorted(f for f in os.listdir(wg_dir)
+                      if f.startswith("checkpoint_")
+                      and not f.endswith(".json"))
+    wg_ckpt = os.path.join(wg_dir, wg_ckpts[-1])
+    with open(wg_ckpt + ".json") as f:
+        wg_meta = json.load(f)
+    assert wg_meta["model"] == "waveglow"
+    assert wg_meta["model_config"]["n_flows"] == 2
+
+    cli.main(["tts", "--checkpoint", ckpt, "--vocoder", wg_ckpt,
+              "--text", "Hello there.", "--out", out_wav,
+              "--max_attempts", "1",
+              "--hparams", "batch_size=2,max_text_len=32,"
+              "frames_per_char=2.0,step_buckets=[64]"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["out"] == out_wav
+    audio, got_sr = audio_io.load_wav(out_wav)
+    assert got_sr == 22050 and audio.size > 0
+    assert stats["xrt"] > 0 and stats["segments"] == 1
+
+
+def test_load_speaker_info(tmp_path):
+    from cookietts_tpu.data.filelist import load_speaker_info
+    p = str(tmp_path / "speaker_info.txt")
+    with open(p, "w") as f:
+        f.write(";dataset|speaker_name|speaker_id|duration_hrs\n"
+                "ds1|Alice|0|1.2345\n"
+                "ds1|Bob|3|0.5\n"
+                "Carol|7\n")
+    assert load_speaker_info(p) == {"Alice": 0, "Bob": 3, "Carol": 7}
