@@ -261,7 +261,10 @@ def cmd_train(args):
                 seed=epoch)
             if len(cur) >= batch_size:
                 entries_cur = cur
-                dataset = TTSDataset(entries_cur, dcfg)
+                # keep the SAME feature list as the initial dataset —
+                # dropping it here silently disabled emotion supervision
+                # after the first curation rebuild
+                dataset = TTSDataset(entries_cur, dcfg, features=features)
                 print(f"[curation] epoch {epoch}: dataset rebuilt with "
                       f"{len(entries_cur)} entries")
     trainer.save(periodic=True)

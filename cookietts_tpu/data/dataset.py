@@ -521,11 +521,23 @@ def collate(items: Sequence[Dict[str, Any]],
         out["text_lengths"] = text_lengths
 
     if "mel" in items[0]:
-        m_req = max(it["mel"].shape[0] for it in items)
+        # the width each row ACTUALLY needs: for TBPTT rows that is the
+        # remaining frames of the segment (a final tail can be far
+        # shorter than both the full utterance and max_segment_frames —
+        # sizing by those would inflate single-host buckets and reject
+        # correct multi-host continuation batches). Matches the
+        # metadata-only global_bucket_shapes formula.
+        if segments is None:
+            m_req = max(it["mel"].shape[0] for it in items)
+        else:
+            m_req = max(
+                min(it["mel"].shape[0]
+                    - s.seg_idx * cfg.max_segment_frames,
+                    cfg.max_segment_frames)
+                for it, s in zip(items, segments))
         if pad_to is not None:
             m_max = pad_to[1]
-            assert m_max >= (m_req if segments is None
-                             else min(m_req, cfg.max_segment_frames)), \
+            assert m_max >= m_req, \
                 "pad_to mel width would truncate a row"
         else:
             m_max = m_req

@@ -841,7 +841,9 @@ class WaveGlow(nn.Module):
         L, kh, kw, C = (cfg.n_layers, cfg.kernel_size_h, cfg.kernel_size,
                         cfg.n_channels)
         halo = -(-((kw // 2) * (2 ** L - 1)) // 128) * 128
-        Wt = min(cfg.pallas_row_tile, -(-W // 128) * 128)
+        # Wt >= halo: the kernel's deferred-write pipeline defers by one
+        # tile, so an ext window may reach at most one center leftwards
+        Wt = max(min(cfg.pallas_row_tile, -(-W // 128) * 128), halo)
         n_tiles = -(-W // Wt)
         Wp = halo + n_tiles * Wt + halo
         dt = cfg.dtype
@@ -867,6 +869,9 @@ class WaveGlow(nn.Module):
 
             def step(carry, z_row, wts=wts, cond_bc=cond_bc):
                 queues, x_prev = carry
+                # new queues alias the input IN PLACE (deferred-write
+                # pipeline inside the kernel keeps cross-tile halo reads
+                # hazard-free; pad columns stay zero)
                 log_s, t, queues = waveflow_row_step(
                     x_prev, queues, cond_bc,
                     wts["start_w"].reshape(C, 1).astype(dt),

@@ -337,21 +337,40 @@ fused_lstm_gates.defvjp(_lstm_fwd, _lstm_bwd)
 # reaches the written center. A validity mask reproduces the true conv's
 # zero padding at the sequence edges (queue/hidden values outside the
 # real width are forced to zero so they cannot contaminate neighbors).
+#
+# Queue buffering: the new queues alias the queue input IN PLACE, but
+# naively writing each tile's center creates a cross-tile
+# read-after-write hazard — TPU grid programs run sequentially, so tile
+# t's left queue halo would read tile t-1's JUST-WRITTEN next-step rows
+# instead of the current-step ones (verified corrupting on-chip with a
+# direct aliased call; alternatives measured slower: a fresh output
+# buffer or a ping-ponged scratch buffer both cost ~25% of the whole
+# inverse because XLA materializes a 32 MB queue copy per row step
+# inside the unrolled height scan). The fix that keeps in-place speed
+# is a DEFERRED-WRITE PIPELINE: each tile stages its queue update in
+# VMEM scratch (which persists across grid steps) and writes the
+# PREVIOUS tile's staged center only after its own halo reads are done;
+# the last tile flushes its own center directly. No grid step ever
+# reads a region a newer step has written (requires Wt >= halo so a
+# tile's ext window only reaches one center leftwards — asserted).
+# Pad columns are never written, so with in-place aliasing they keep
+# the zeros the caller initialized (read as conv zero padding).
 
 
-def _waveflow_row_kernel(L, kh, kw, C, Wt, halo, W, Wp, x_ref, q_ref,
-                         cond_ref,
+def _waveflow_row_kernel(L, kh, kw, C, Wt, halo, W, Wp, n_tiles, x_ref,
+                         q_ref, cond_ref,
                          start_w_ref, start_b_ref, k_ref, rs_w_ref,
                          rs_b_ref, end_w_ref, end_b_ref,
                          logs_ref, t_ref, qout_ref,
-                         x_s, cond_s, logs_s, t_s, sem, *row_s):
+                         x_s, cond_s, logs_s, t_s, stg, sem, *row_s):
     """Channel-major layout: every width-long array keeps W on the LANE
     axis ([C, W']-shaped tiles), so all DMA slices are 128-lane aligned
     and every matmul is [small, ext]-shaped with the long axis on lanes.
-    row_s: kh-1 queue-in staging refs then kh-1 queue-out staging refs.
+    row_s: kh-1 queue-in staging refs. stg [(L*(kh-1), C, Wt)] holds the
+    deferred queue-center writes across grid steps (see the pipeline
+    note above).
     """
     q_s = row_s[: kh - 1]
-    qout_s = row_s[kh - 1:]
     b = pl.program_id(0)
     tile = pl.program_id(1)
     ext = Wt + 2 * halo
@@ -396,12 +415,25 @@ def _waveflow_row_kernel(L, kh, kw, C, Wt, halo, W, Wp, x_ref, q_ref,
         for j in range(kh - 1):
             copy(q_ref.at[i, j, :, pl.ds(off, ext)], q_s[j])
         copy(cond_ref.at[i, :, pl.ds(off, ext)], cond_s)
-        rows = [q_s[j][:] for j in range(kh - 1)] + [h]
-        # queue update FIRST (h is still this layer's input row): drop
-        # the oldest row, append the current one
+        # deferred-write pipeline: this tile's halo reads of layer i are
+        # done, so the PREVIOUS tile's staged center can land in the
+        # in-place-aliased queue buffer without any later read seeing it
         for j in range(kh - 1):
-            qout_s[j][:] = rows[j + 1][:, center]
-            copy(qout_s[j], qout_ref.at[i, j, :, pl.ds(off + halo, Wt)])
+            @pl.when(tile > 0)
+            def _(i=i, j=j):
+                copy(stg.at[i * (kh - 1) + j],
+                     qout_ref.at[i, j, :, pl.ds(off - Wt + halo, Wt)])
+        rows = [q_s[j][:] for j in range(kh - 1)] + [h]
+        # queue update (h is still this layer's input row): drop the
+        # oldest row, append the current one — STAGED in VMEM; the last
+        # tile flushes its own center directly (no next tile to do it)
+        for j in range(kh - 1):
+            stg[i * (kh - 1) + j] = rows[j + 1][:, center]
+
+            @pl.when(tile == n_tiles - 1)
+            def _(i=i, j=j):
+                copy(stg.at[i * (kh - 1) + j],
+                     qout_ref.at[i, j, :, pl.ds(off + halo, Wt)])
         # patches: (kernel-row, width-tap, channel) blocks along dim 0 —
         # rows run oldest -> current, taps at (t - kw//2) * d
         parts = []
@@ -432,17 +464,21 @@ def _waveflow_row_kernel(L, kh, kw, C, Wt, halo, W, Wp, x_ref, q_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("L", "kh", "kw", "C", "Wt", "halo", "W"))
-def waveflow_row_step(x_prev, queues, cond_bc, start_w, start_b, k_all,
-                      rs_w, rs_b, end_w, end_b, *, L, kh, kw, C, Wt,
-                      halo, W):
+def waveflow_row_step(x_prev, queues, cond_bc, start_w,
+                      start_b, k_all, rs_w, rs_b, end_w, end_b, *, L, kh,
+                      kw, C, Wt, halo, W):
     """One fused WaveFlow inverse row step over padded width W'.
 
     CHANNEL-MAJOR layout (W' on the lane axis): x_prev [B, W'] (previous
-    generated row, zero for row 0); queues [L, kh-1, C, B*W'];
+    generated row, zero for row 0); queues [L, kh-1, C, B*W'] with ZERO
+    pad columns (the kernel preserves them — they are the conv zero
+    padding every ext window reads);
     cond_bc [L, 2C, B*W'] (cond + conv bias, precomputed per flow);
     k_all [L, 2C, kh*kw*C] (output-major); rs_w [L, 2C, C] (last layer
     zero-padded on the res half); start_w [C, 1]; end_w [2, C].
-    Returns (log_s [B, W'], t [B, W'], new_queues).
+    Returns (log_s [B, W'], t [B, W'], new_queues). new_queues aliases
+    `queues` IN PLACE (deferred-write pipeline, see the note above) —
+    treat the input as consumed.
 
     Only the gated unit GTU is fused (the reference default); callers
     must fall back for other units.
@@ -450,10 +486,13 @@ def waveflow_row_step(x_prev, queues, cond_bc, start_w, start_b, k_all,
     B, Wp = x_prev.shape
     n_tiles = (Wp - 2 * halo) // Wt
     assert n_tiles * Wt + 2 * halo == Wp, (Wp, Wt, halo)
+    # the deferred-write pipeline defers by exactly ONE tile, so a
+    # tile's ext window may reach at most one center leftwards
+    assert Wt >= halo, (Wt, halo)
     ext = Wt + 2 * halo
     dt = queues.dtype
     kernel = functools.partial(_waveflow_row_kernel, L, kh, kw, C, Wt,
-                               halo, W, Wp)
+                               halo, W, Wp, n_tiles)
     out_shape = [
         jax.ShapeDtypeStruct((1, B * Wp), jnp.float32),   # log_s (flat)
         jax.ShapeDtypeStruct((1, B * Wp), jnp.float32),   # t (flat)
@@ -474,12 +513,13 @@ def waveflow_row_step(x_prev, queues, cond_bc, start_w, start_b, k_all,
             pltpu.VMEM((2 * C, ext), dt),                 # cond_s
             pltpu.VMEM((1, Wt), jnp.float32),             # logs_s
             pltpu.VMEM((1, Wt), jnp.float32),             # t_s
+            pltpu.VMEM((L * (kh - 1), C, Wt), dt),        # deferred qout
             pltpu.SemaphoreType.DMA(()),
-        ] + [pltpu.VMEM((C, ext), dt) for _ in range(kh - 1)]
-          + [pltpu.VMEM((C, Wt), dt) for _ in range(kh - 1)],
-        # queues alias in->out: the kernel writes only the valid-center
-        # columns; the halo/pad columns must KEEP their (zero) values —
-        # a fresh output buffer would leave them uninitialized
+        ] + [pltpu.VMEM((C, ext), dt) for _ in range(kh - 1)],
+        # queues alias in->out (in-place update, pads keep their zeros);
+        # safe ONLY because of the deferred-write pipeline in the kernel
+        # — naive center writes would corrupt later tiles' halo reads
+        # (TPU grid programs run sequentially; verified on-chip)
         input_output_aliases={1: 2},
         interpret=_interpret(),
     )(x_prev.reshape(1, B * Wp), queues, cond_bc,

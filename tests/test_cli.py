@@ -474,10 +474,13 @@ def test_collate_emotion_onehot_and_unknown():
     np.testing.assert_array_equal(out["emotion_onehot"][3], np.zeros(4))
 
 
-def test_cli_train_ssvae_emotion_supervision(tmp_path):
+def test_cli_train_ssvae_emotion_supervision(tmp_path, capsys):
     """End-to-end ssvae training: filelist emotion ids reach sup_em_nll
     through collate and the train step, and the supervised NLL decreases
-    (round-2 gap: the labels never reached the model in real training)."""
+    (round-2 gap: the labels never reached the model in real training).
+    The run spans several epochs (2 iters each), so this also guards the
+    curation rebuild: it must keep the dataset's feature list (a rebuild
+    without it silently drops emotion_id and supervision stops)."""
     import json
     sr = 22050
     root = tmp_path / "ds"
@@ -497,8 +500,16 @@ def test_cli_train_ssvae_emotion_supervision(tmp_path):
         f.write("\n".join(lines))
 
     run_dir = str(tmp_path / "run_ssvae")
+    # live config that makes curation KEEP every file (an untrained
+    # model's attention scores would otherwise drop them all and the
+    # rebuild path would never run)
+    live = str(tmp_path / "live_ssvae.py")
+    with open(live, "w") as f:
+        f.write("curation_min_att_score = -1.0\n"
+                "curation_min_avg_max_attention = -1.0\n")
     cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
               "--iters", "21", "--run_dir", run_dir,
+              "--live_config", live,
               "--hparams", TINY_TTS_HPARAMS +
               ",use_emotionnet=True,n_emotion_classes=4,"
               "emotionnet_latent_dim=4,trim_enable=False"])
@@ -512,6 +523,15 @@ def test_cli_train_ssvae_emotion_supervision(tmp_path):
     assert len(nll) >= 2, "sup_em_nll never logged from real training"
     assert all(np.isfinite(v) for _, v in nll)
     assert nll[-1][1] < nll[0][1], nll
+    # emotion supervision must SURVIVE the epoch-boundary curation
+    # rebuild: at least one curation happened, and sup_em_nll was still
+    # being logged afterwards (the rebuilt dataset keeps emotion_id)
+    out = capsys.readouterr().out
+    cur_lines = [ln for ln in out.splitlines() if "[curation]" in ln]
+    assert cur_lines, "curation never triggered; test no longer covers it"
+    assert nll[-1][0] >= 18, \
+        f"sup_em_nll stopped early (last step {nll[-1][0]}): " \
+        "emotion feature lost across the curation rebuild?"
 
 
 def test_cli_resume_all_unified_trainers(tts_dataset, tmp_path):
@@ -650,6 +670,51 @@ def test_collate_local_shard_matches_full_collate(tmp_path):
         stacked = np.concatenate([np.asarray(s[key]) for s in shards])
         np.testing.assert_array_equal(stacked, np.asarray(full[key]),
                                       err_msg=key)
+
+
+def test_collate_local_shard_continuation_tail(tmp_path):
+    """A multi-host batch whose rows are all SHORT TBPTT continuation
+    tails must collate at the small metadata-derived bucket: the pad_to
+    guard has to compare against the remaining segment frames, not the
+    full utterance length (which exceeds the bucket and used to trip the
+    'would truncate' assert on perfectly valid batches)."""
+    from cookietts_tpu.data.dataset import (DataConfig, Segment,
+                                            TTSDataset, collate,
+                                            collate_local_shard,
+                                            global_bucket_shapes)
+    sr = 22050
+    root = tmp_path / "mh_tail"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    entries = []
+    for i in range(2):
+        # ~320 mel frames at hop 128 -> 2 segments of (256, ~64)
+        audio = (0.1 * rng.standard_normal(int(320.5 * 128))).astype(
+            np.float32)
+        p = str(root / f"t{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        entries.append({"path": p, "quote": "a fairly long sentence here",
+                        "speaker_id": 0})
+    dcfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                      win_length=512, trim_enable=False, target_lufs=None,
+                      text_buckets=[32], mel_buckets=[64, 128, 256],
+                      max_segment_frames=256)
+    ds = TTSDataset(entries, dcfg)
+    n0 = ds.mel_frame_length(0)
+    assert n0 > 256, n0
+    segs = [Segment(0, 1, 2), Segment(1, 1, 2)]   # both final tails
+    t_b, m_b = global_bucket_shapes(ds, segs, dcfg)
+    assert m_b < 256, m_b                          # the small bucket
+    shards = [collate_local_shard(ds, segs, dcfg, p, 2) for p in range(2)]
+    full = collate([ds[s.file_idx] for s in segs], dcfg, segments=segs)
+    assert full["mels"].shape[1] == m_b            # single-host agrees
+    for p, s in enumerate(shards):
+        assert s["mels"].shape[1] == m_b
+        n = int(s["mel_lengths"][0])
+        assert 0 < n <= m_b
+        # final segment: gate fires from the last valid frame on
+        np.testing.assert_array_equal(s["gate_target"][0, n - 1:], 1.0)
+        assert s["pres_prev_state"][0] == 1.0
 
 
 def test_requested_features_of_introspection():

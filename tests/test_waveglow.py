@@ -213,6 +213,33 @@ def test_pallas_row_step_inverse_matches(kh):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_row_step_inverse_matches_multi_tile():
+    """MULTI-TILE regression for the fused Pallas row step: with several
+    width tiles per grid, each tile's left queue halo lies inside the
+    previous tile's center — naive in-place queue writes make later
+    tiles read NEXT-step rows (TPU grid programs run sequentially;
+    verified corrupting on-chip). The kernel's deferred-write pipeline
+    (stage in VMEM, write the previous tile's center after this tile's
+    halo reads) must keep the in-place-aliased update hazard-free.
+    W per row = 256 with pallas_row_tile=128 -> 2 tiles."""
+    import dataclasses
+    cfg = tiny_cfg(channel_mixing="permuteheight", n_flows=2, n_group=4,
+                   n_layers=3, n_channels=8, kernel_size_h=2,
+                   hop_length=64, upsample_strides=(4, 4),
+                   upsample_channels=8, pallas_row_tile=128)
+    model = WaveGlow(cfg)
+    rng = np.random.default_rng(0)
+    T = 4 * 256                           # W = T / n_group = 256
+    audio, mel = _data(rng, cfg, B=1, T=T)
+    v = model.init(jax.random.PRNGKey(0), audio, mel)
+    z = jnp.asarray(rng.standard_normal((1, 4, 256)), jnp.float32)
+    x_mm = model.apply(v, z, mel, method=WaveGlow.inverse)
+    pall = WaveGlow(dataclasses.replace(cfg, pallas_row_step=True))
+    x_pl = pall.apply(v, z, mel, method=WaveGlow.inverse)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_mm),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("transform", ["first", "second"])
 def test_pallas_wn_waveglow_inverse_matches(transform):
     """The fused Pallas WN forward (waveglow_wn_forward) drives the
