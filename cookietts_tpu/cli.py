@@ -243,6 +243,17 @@ def cmd_train(args):
         # epoch-boundary dataset curation: drop weak-attention files and
         # MSE-resample speakers, then rebuild the sampler
         # (reference train.py:803-825, get_mse_sampled_filelist :323-369)
+        if jax.process_count() > 1:
+            # every host tracked per-file losses only for ITS OWN rows;
+            # curation must filter from identical stats on all hosts or
+            # the rebuilt filelists (and thus batch shapes) diverge —
+            # union-merge the dbs the way the reference merges ranks via
+            # pickle+barrier (train.py:282-308)
+            from .parallel.launch import allgather_object
+            merged = {}
+            for db in allgather_object(trainer.file_db.db):
+                merged.update(db)
+            trainer.file_db.db = merged
         if (trainer.live.get("curation_enable", True)
                 and trainer.file_db.db and it < n_iters):
             from .data.curation import (filter_by_attention_quality,
@@ -523,7 +534,12 @@ def _train_gan_postnet(args, overrides):
 
     def speaker_code(sid: int) -> np.ndarray:
         if embed_table is not None:
-            return embed_table[sid % embed_table.shape[0]]
+            if not 0 <= sid < embed_table.shape[0]:
+                raise SystemExit(
+                    f"map file speaker id {sid} out of range for the "
+                    f"checkpoint's {embed_table.shape[0]}-speaker "
+                    "embedding table — mismatched map/checkpoint pair")
+            return embed_table[sid]
         return np.random.default_rng(1000 + sid).standard_normal(
             pcfg.speaker_embedding_dim).astype(np.float32)
 
@@ -813,8 +829,10 @@ def _train_waveglow(args, overrides):
     # one fixed held-out val batch (deterministic across validations)
     val_entries = ([dataset[len(dataset) - n_val + i] for i in range(n_val)]
                    if n_val else [dataset[i] for i in train_idx])
+    # repeat entries up to the TRAINING batch shape: a smaller val batch
+    # would compile a second program (multi-minute tunnel compiles)
     val_items = [val_entries[i % len(val_entries)]
-                 for i in range(min(batch_size, max(len(val_entries), 1)))]
+                 for i in range(batch_size if val_entries else 0)]
     val_batches = [_to_dev(collate_mel2samp(val_items))]
 
     trainer = _make_trainer(args, overrides, state, train_step,
@@ -934,8 +952,10 @@ def _train_hifigan(args, overrides):
 
     val_entries = ([dataset[len(dataset) - n_val + i] for i in range(n_val)]
                    if n_val else [dataset[i] for i in train_idx])
+    # repeat entries up to the TRAINING batch shape: a smaller val batch
+    # would compile a second program (multi-minute tunnel compiles)
     val_items = [val_entries[i % len(val_entries)]
-                 for i in range(min(batch_size, max(len(val_entries), 1)))]
+                 for i in range(batch_size if val_entries else 0)]
     vb = collate_mel2samp(val_items)
     val_batches = [{"mels": jnp.asarray(vb["mels"]),
                     "audio": jnp.asarray(vb["audio"])}]

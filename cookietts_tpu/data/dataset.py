@@ -319,8 +319,15 @@ class TTSDataset:
         """Token count for entry ``index`` WITHOUT any audio IO (cheap
         host-side tokenization; deterministic ARPA decision), cached per
         (epoch, index). Lets every host agree on the global text bucket
-        while loading only its own rows."""
-        key = (getattr(self, "epoch", 0), index)
+        while loading only its own rows. Only the current epoch's
+        lengths are ever queried, so the cache is cleared when the
+        epoch changes (it would otherwise grow by O(dataset) per epoch
+        over reference-scale multi-day runs)."""
+        epoch = getattr(self, "epoch", 0)
+        if self._text_len_cache and next(
+                iter(self._text_len_cache))[0] != epoch:
+            self._text_len_cache.clear()
+        key = (epoch, index)
         n = self._text_len_cache.get(key)
         if n is None:
             n = len(self.get_text_ids(self.entries[index]["quote"],

@@ -55,3 +55,31 @@ def global_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def allgather_object(obj):
+    """All hosts' copies of a JSON-serializable object, as a list of
+    length ``process_count()`` indexed by process.
+
+    The TPU-native replacement for the reference's pickle-file +
+    ``dist.barrier()`` cross-rank object exchange
+    (tacotron2_tm/train.py:126-143,282-308): the object rides the ICI/
+    DCN collectives as a length-padded byte array. Single-process:
+    returns ``[obj]`` without touching the device."""
+    import json
+
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(json.dumps(obj).encode("utf-8"), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int32))
+    m = int(sizes.max())
+    buf = np.zeros((m,), np.uint8)
+    buf[: data.size] = data
+    out = multihost_utils.process_allgather(buf)
+    return [json.loads(bytes(out[i, : int(sizes[i])]).decode("utf-8"))
+            for i in range(out.shape[0])]

@@ -140,12 +140,14 @@ def _restore_train_state_from_tree(state, tree):
     return new
 
 
-def _flatten(d, prefix=""):
+def _flatten(d, prefix="", sep="/"):
+    """Flatten a nested params dict to {joined/path: leaf} (shared by
+    warm_start and the logger's histogram dump)."""
     out = {}
     for k, v in d.items():
-        kk = f"{prefix}/{k}" if prefix else k
+        kk = f"{prefix}{sep}{k}" if prefix else k
         if isinstance(v, dict):
-            out.update(_flatten(v, kk))
+            out.update(_flatten(v, kk, sep))
         else:
             out[kk] = v
     return out

@@ -24,15 +24,10 @@ except Exception:  # pragma: no cover
     SummaryWriter = None
 
 
-def _flatten_tree(tree: Any, prefix: str = "") -> Dict[str, Any]:
+def _flatten_tree(tree: Any) -> Dict[str, Any]:
     """Flatten a nested params dict to {dotted.path: leaf array}."""
-    out: Dict[str, Any] = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten_tree(v, f"{prefix}{k}."))
-    else:
-        out[prefix[:-1]] = tree
-    return out
+    from .checkpoint import _flatten
+    return _flatten(tree, sep=".") if isinstance(tree, dict) else {"": tree}
 
 
 class MetricsLogger:

@@ -287,6 +287,28 @@ def adapt_carry(carry, t_enc: int, batch_size: int):
         weights=resize(att.weights), weights_cum=resize(att.weights_cum)))
 
 
+def align_file_losses(paths, file_losses):
+    """Per-file loss rows paired with THIS host's ``paths``, as numpy.
+
+    Single-host (paths cover the whole batch): a straight device_get.
+    Multi-host sharded loading: this host collated only its own dp rows
+    ``[pi*per, (pi+1)*per)`` of the global batch (cli
+    ``collate_local_shard`` layout), but the train step's per-file losses
+    span the FULL global batch — slice this host's rows before pairing
+    them with its local paths. The rows are host-addressable by the
+    ``shard_batch`` layout; ``np.asarray`` of the full array would be
+    wrong on every host but 0 and raises on real multi-host arrays.
+    Mirrors the reference's per-rank ``file_losses`` accounting
+    (tacotron2_tm/train.py:282-321)."""
+    first = next(iter(file_losses.values()))
+    if len(paths) != int(first.shape[0]):
+        per = len(paths)
+        lo = jax.process_index() * per
+        file_losses = {k: v[lo:lo + per] for k, v in file_losses.items()}
+    return {k: np.asarray(jax.device_get(v))
+            for k, v in file_losses.items()}
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     run_dir: str = "runs/default"
@@ -432,9 +454,9 @@ class Trainer:
 
         self.state = new_state
         self.carry = new_carry
-        if paths is not None:
+        if paths is not None and file_losses:
             self.file_db.update(
-                paths, {k: np.asarray(v) for k, v in file_losses.items()})
+                paths, align_file_losses(paths, file_losses))
         metrics = {k: float(v) for k, v in loss_dict.items()}
         dt = time.perf_counter() - t_start
         self._iter_time_ema = (dt if self._iter_time_ema is None

@@ -451,3 +451,27 @@ def test_bf16_convergence_tracks_f32():
     assert bf16_tail < 0.35 * bf16[:5].mean(), (bf16[:5].mean(), bf16_tail)
     # ...and bf16 lands in the same neighborhood as f32
     assert bf16_tail < 1.5 * f32_tail + 0.1, (f32_tail, bf16_tail)
+
+
+def test_align_file_losses_slices_local_host_rows(monkeypatch):
+    """Multi-host sharded loading: when the paths list covers only this
+    host's dp rows of the global batch, align_file_losses pairs them with
+    the matching rows of the global per-file loss arrays."""
+    from cookietts_tpu.runtime.trainer import align_file_losses
+
+    fl = {"spec_MSE": jnp.arange(6, dtype=jnp.float32),
+          "att_score": 10.0 + jnp.arange(6, dtype=jnp.float32)}
+    # single host: paths span the whole batch -> unchanged
+    out = align_file_losses([f"p{i}" for i in range(6)], fl)
+    np.testing.assert_array_equal(out["spec_MSE"], np.arange(6))
+    # simulated host 2 of 3 (2 rows each): rows [2, 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    out = align_file_losses(["local_a", "local_b"], fl)
+    np.testing.assert_array_equal(out["spec_MSE"], [2.0, 3.0])
+    np.testing.assert_array_equal(out["att_score"], [12.0, 13.0])
+
+
+def test_allgather_object_single_process_roundtrip():
+    from cookietts_tpu.parallel.launch import allgather_object
+    obj = {"a.wav": {"spec_MSE": 0.5}, "b.wav": {"att": [1, 2]}}
+    assert allgather_object(obj) == [obj]
