@@ -811,12 +811,14 @@ def _train_waveglow(args, overrides):
     tx = lamb() if use_lamb else adam()
     state = TrainState.create(model.apply, variables["params"], tx)
     tp = int(getattr(args, "tp", 1) or 1)
+    sp = int(getattr(args, "sp", 1) or 1)
     mesh = tp_rules = None
-    if tp > 1 and len(jax.devices()) > 1:
+    if (tp > 1 or sp > 1) and len(jax.devices()) > 1:
         from .parallel.mesh import make_mesh
-        from .parallel.tp import WAVEGLOW_TP_RULES
-        mesh = make_mesh(tp=tp)
-        tp_rules = WAVEGLOW_TP_RULES
+        mesh = make_mesh(tp=tp, sp=sp)
+        if tp > 1:
+            from .parallel.tp import WAVEGLOW_TP_RULES
+            tp_rules = WAVEGLOW_TP_RULES
     train_step = make_waveglow_train_step(model, mesh=mesh, donate=False,
                                           tp_rules=tp_rules)
     val_step = make_waveglow_val_step(model)
@@ -1361,6 +1363,10 @@ def main(argv=None):
     t.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis size (shards the big "
                         "gate/WN matmuls; data parallel uses the rest)")
+    t.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh axis size (vocoder models:"
+                        " shards the audio/mel time axis; GSPMD inserts "
+                        "the conv halo exchanges)")
     t.add_argument("--speaker_info", default=None,
                    help="speaker_info.txt stamping {name: id} into "
                         "checkpoint metadata for server/tts")

@@ -661,13 +661,18 @@ def make_waveglow_train_step(model, mesh=None, sigma: float = 1.0,
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
-    bs = batch_sharding(mesh)
     rep = replicated(mesh)
     cache = {}
 
     def wrapped(state, batch, key, ctrl):
         if "jitted" not in cache:
             ss = _state_shardings(mesh, tp_rules, state)
+            # sp meshes additionally shard the audio/mel TIME axes —
+            # the flows are pointwise-in-time given cond, so GSPMD only
+            # inserts conv halo exchanges (sequence parallelism; the
+            # reference has none, SURVEY §2.6)
+            from ..parallel.mesh import sp_batch_shardings
+            bs = sp_batch_shardings(batch, mesh)
             cache["jitted"] = jax.jit(
                 step, in_shardings=(ss, bs, rep, rep),
                 out_shardings=(ss, rep),
