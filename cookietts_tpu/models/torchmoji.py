@@ -102,7 +102,12 @@ class TorchMoji(nn.Module):
         emb = jnp.tanh(emb)
         h0 = self._bilstm(emb, lengths, "lstm_0")          # [B, T, 1024]
         h1 = self._bilstm(h0, lengths, "lstm_1")           # [B, T, 1024]
-        feats = jnp.concatenate([h0, h1, emb], axis=-1)    # [B, T, 2304]
+        # [lstm_1, lstm_0, embed] — the reference's merge order
+        # (model_def.py:224-227, "ordering ... is important for
+        # consistency with the pretrained model"): the published
+        # attention vector AND every downstream consumer trained on the
+        # 2304-d feature (tm_linear, AuxEmotionNet) assume it
+        feats = jnp.concatenate([h1, h0, emb], axis=-1)    # [B, T, 2304]
 
         # masked exp attention (attlayer.py:13-68)
         att_vec = self.param("attention_vector",

@@ -207,3 +207,43 @@ def test_tokenizer_golden_ids_vs_reference():
     assert vocab["CUSTOM_URL"] in flat
     assert vocab["CUSTOM_NUMBER"] in flat
     assert vocab["CUSTOM_UNKNOWN"] in flat
+
+
+def test_torchmoji_model_matches_reference():
+    """Full-model numerical parity vs the LIVE reference TorchMoji
+    (model_def.py:100-247, lstm.py LSTMHardSigmoid, attlayer.py masked
+    attention): random reference weights -> convert_torch_checkpoint ->
+    identical 2304-d features, including the reference's
+    [lstm_1, lstm_0, embed] merge order (model_def.py:224-227) and its
+    sort-by-length packed-sequence path."""
+    import sys
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from CookieTTS.utils.torchmoji.model_def import TorchMoji as RefMoji
+    finally:
+        sys.path.pop(0)
+
+    nb_tokens = 64
+    torch.manual_seed(0)
+    ref = RefMoji(nb_classes=None, nb_tokens=nb_tokens, feature_output=True)
+    ref.eval()
+
+    rng = np.random.default_rng(1)
+    B, T = 4, 9
+    lengths = np.asarray([9, 4, 7, 1])
+    ids = np.zeros((B, T), np.int64)
+    for b, L in enumerate(lengths):
+        ids[b, :L] = rng.integers(1, nb_tokens, (L,))
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(ids)).numpy()
+    assert ref_out.shape == (B, FEATURE_DIM)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_torch_checkpoint(sd)
+    model = TorchMoji(nb_tokens=nb_tokens)
+    out = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=1e-4)
