@@ -91,3 +91,59 @@ def convert_hifigan_state_dict(sd: Mapping[str, Any]
             for i in range(n_ups)),
     )
     return params, hints
+
+
+def convert_hifigan_discriminators(mpd_sd: Mapping[str, Any],
+                                   msd_sd: Mapping[str, Any],
+                                   periods=(2, 3, 5, 7, 11)
+                                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """(mpd_params, msd_params) from the reference training checkpoint's
+    ``mpd``/``msd`` state dicts (models.py:150-267, saved by
+    _4_mtw/hifigan/train.py as do_* files).
+
+    MPD convs are weight-normed Conv2d [out, in, kh, 1]; MSD scale 0 is
+    SPECTRAL-normed (weight_orig mapped onto :class:`SNConv`'s raw
+    kernel — our forward recomputes sigma), pooled scales weight-normed.
+    """
+    mpd_sd = {k.replace("module.", "", 1): v for k, v in mpd_sd.items()}
+    msd_sd = {k.replace("module.", "", 1): v for k, v in msd_sd.items()}
+
+    def conv2d_w(sd, prefix):   # torch [out, in, kh, kw] -> [kh, kw, in, out]
+        return np.transpose(_weight(sd, prefix), (2, 3, 1, 0))
+
+    def conv1d_w(sd, prefix):   # torch [out, in/g, k] -> [k, in/g, out]
+        return np.transpose(_weight(sd, prefix), (2, 1, 0))
+
+    mpd: Dict[str, Any] = {}
+    for i, p in enumerate(periods):
+        d: Dict[str, Any] = {}
+        for j in range(5):
+            _wn_params(conv2d_w(mpd_sd, f"discriminators.{i}.convs.{j}"),
+                       _np(mpd_sd[f"discriminators.{i}.convs.{j}.bias"]),
+                       f"Conv_{j}", f"conv{j}", d)
+        _wn_params(conv2d_w(mpd_sd, f"discriminators.{i}.conv_post"),
+                   _np(mpd_sd[f"discriminators.{i}.conv_post.bias"]),
+                   "Conv_5", "conv_post", d)
+        mpd[f"period{p}"] = d
+
+    n_scales = 1 + max(int(k.split(".")[1]) for k in msd_sd
+                       if k.startswith("discriminators."))
+    msd: Dict[str, Any] = {}
+    for i in range(n_scales):
+        d = {}
+        names = [f"convs.{j}" for j in range(7)] + ["conv_post"]
+        ours = [f"conv{j}" for j in range(7)] + ["conv_post"]
+        if i == 0:
+            # spectral norm: raw weight_orig -> SNConv kernel
+            for src, dst in zip(names, ours):
+                pre = f"discriminators.0.{src}"
+                w = _np(msd_sd[f"{pre}.weight_orig"])
+                d[dst] = {"kernel": np.transpose(w, (2, 1, 0)),
+                          "bias": _np(msd_sd[f"{pre}.bias"])}
+        else:
+            for j, (src, dst) in enumerate(zip(names, ours)):
+                pre = f"discriminators.{i}.{src}"
+                _wn_params(conv1d_w(msd_sd, pre), _np(msd_sd[f"{pre}.bias"]),
+                           f"Conv_{j}", dst, d)
+        msd[f"scale{i}"] = d
+    return mpd, msd

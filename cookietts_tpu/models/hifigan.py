@@ -11,7 +11,9 @@ Capability rebuild of CookieTTS/_4_mtw/hifigan/models.py:
 - loss functions: LSGAN discriminator/generator losses + L1 feature
   matching (models.py:270-301).
 
-All convs use weight normalization like the reference. Audio layout [B, T];
+All convs use weight normalization like the reference, except the MSD's
+raw-audio scale which uses spectral norm (stateless power iteration —
+see :class:`SNConv`), also like the reference. Audio layout [B, T];
 mel layout [B, T_mel, n_mel] (time-major).
 """
 from __future__ import annotations
@@ -56,10 +58,62 @@ def _wn_conv(features, kernel, name, dtype, strides=1, dilation=1,
         conv = nn.ConvTranspose(features, (kernel,), strides=(strides,),
                                 padding="SAME", dtype=dtype)
     else:
+        # explicit torch-style symmetric padding (get_padding(k, d)):
+        # identical to SAME for stride-1 odd kernels, but SAME splits the
+        # pad asymmetrically for STRIDED convs (MSD's stride-2/4 stacks),
+        # shifting every window by one sample vs the reference
+        pad = dilation * (kernel - 1) // 2
         conv = nn.Conv(features, (kernel,), strides=(strides,),
-                       kernel_dilation=(dilation,), padding="SAME",
+                       kernel_dilation=(dilation,), padding=[(pad, pad)],
                        feature_group_count=groups, dtype=dtype)
     return nn.WeightNorm(conv, name=name)
+
+
+class SNConv(nn.Module):
+    """1-D conv with STATELESS spectral normalization (reference MSD's
+    first scale, models.py:213-214/240-244).
+
+    torch's spectral_norm warm-starts a persistent ``u`` vector with one
+    power iteration per training forward; persistent state is hostile to
+    jit / donated params, so we compute the top singular pair EXACTLY
+    each forward via ``eigh`` of the smaller Gram matrix — equal to
+    torch's converged fixed point, deterministic, stateless. Gradient
+    semantics match torch: u/v are detached, so d(sigma)/dW = u vᵀ."""
+    features: int
+    kernel: int
+    strides: int = 1
+    groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1] // self.groups
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, in_ch, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        # sigma of the torch-layout matrix [out, in*k] == sigma of our
+        # [k*in, out] flatten (singular values are transpose-invariant)
+        mat = w.reshape(-1, self.features).astype(jnp.float32)
+        m = jax.lax.stop_gradient(mat)
+        if mat.shape[0] >= mat.shape[1]:     # eigh the smaller Gram
+            _, vecs = jnp.linalg.eigh(m.T @ m)
+            u = vecs[:, -1]                              # [out]
+            v = m @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+        else:
+            _, vecs = jnp.linalg.eigh(m @ m.T)
+            v = vecs[:, -1]                              # [k*in]
+            u = m.T @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+        sigma = v @ (mat @ u)
+        w_n = (w / sigma).astype(self.dtype)
+        pad = ((self.kernel - 1) // 2, self.kernel // 2)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_n, (self.strides,), [pad],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups) + b.astype(self.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -220,9 +274,12 @@ class PeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    """One scale branch of the MSD (models.py:210-240)."""
+    """One scale branch of the MSD (models.py:210-240). The raw-audio
+    scale uses spectral norm, the pooled scales weight norm, exactly like
+    the reference (models.py:213-214,240-244)."""
     lrelu_slope: float = 0.1
     dtype: Any = jnp.float32
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray):
@@ -233,12 +290,18 @@ class ScaleDiscriminator(nn.Module):
             (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
             (1024, 5, 1, 1),
         ]
+
+        def make_conv(ch, k, s, g, name):
+            if self.use_spectral_norm:
+                return SNConv(ch, k, strides=s, groups=g,
+                              dtype=self.dtype, name=name)
+            return _wn_conv(ch, k, name, self.dtype, strides=s, groups=g)
+
         for i, (ch, k, s, g) in enumerate(specs):
-            x = _wn_conv(ch, k, f"conv{i}", self.dtype, strides=s,
-                         groups=g)(x)
+            x = make_conv(ch, k, s, g, f"conv{i}")(x)
             x = nn.leaky_relu(x, self.lrelu_slope)
             fmaps.append(x)
-        x = _wn_conv(1, 3, "conv_post", self.dtype)(x)
+        x = make_conv(1, 3, 1, 1, "conv_post")(x)
         fmaps.append(x)
         return x.reshape(audio.shape[0], -1), fmaps
 
@@ -269,16 +332,20 @@ class MultiScaleDiscriminator(nn.Module):
         r, f = real, fake
         for i in range(self.cfg.msd_scales):
             d = ScaleDiscriminator(self.cfg.lrelu_slope, self.cfg.dtype,
+                                   use_spectral_norm=(i == 0),
                                    name=f"scale{i}")
             rl, rf = d(r)
             fl, ff = d(f)
             r_logits.append(rl); f_logits.append(fl)
             r_fmaps.append(rf); f_fmaps.append(ff)
             if i != self.cfg.msd_scales - 1:
+                # AvgPool1d(4, 2, padding=2) with count_include_pad
+                # semantics (models.py:245-248): explicit (2, 2) pads,
+                # window-size divisor — flax avg_pool matches
                 r = nn.avg_pool(r[:, :, None], (4,), strides=(2,),
-                                padding="SAME")[..., 0]
+                                padding=((2, 2),))[..., 0]
                 f = nn.avg_pool(f[:, :, None], (4,), strides=(2,),
-                                padding="SAME")[..., 0]
+                                padding=((2, 2),))[..., 0]
         return r_logits, f_logits, r_fmaps, f_fmaps
 
 

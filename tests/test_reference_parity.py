@@ -1338,3 +1338,87 @@ def test_tacotron2_converted_checkpoint_inference_parity():
     np.testing.assert_allclose(
         np.asarray(out["pred_sylps"]),
         out_ref["pred_sylps"].numpy().ravel(), atol=5e-4, rtol=1e-3)
+
+
+def test_hifigan_discriminators_match_reference():
+    """MPD + MSD + GAN losses vs the LIVE reference (models.py:150-301):
+    converted weights reproduce the per-branch logits, feature maps, and
+    the exact feature/generator/discriminator losses — including MSD
+    scale 0's SPECTRAL norm (torch's persistent-u power iteration driven
+    to convergence vs our stateless recomputation) and the
+    AvgPool1d(4,2,pad=2) scale cascade."""
+    from CookieTTS._4_mtw.hifigan.models import (
+        MultiPeriodDiscriminator as RefMPD,
+        MultiScaleDiscriminator as RefMSD,
+        discriminator_loss as ref_d_loss,
+        feature_loss as ref_f_loss,
+        generator_loss as ref_g_loss)
+
+    from cookietts_tpu.convert.hifigan_torch import (
+        convert_hifigan_discriminators)
+    from cookietts_tpu.models.hifigan import (
+        HiFiGANConfig, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+        discriminator_loss, feature_loss, generator_loss)
+
+    torch.manual_seed(0)
+    periods = (2, 3)
+    ref_mpd = RefMPD(periods=list(periods))
+    ref_msd = RefMSD()
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 400
+    real = rng.standard_normal((B, T)).astype(np.float32) * 0.3
+    fake = rng.standard_normal((B, T)).astype(np.float32) * 0.3
+    tr = torch.from_numpy(real)[:, None]
+    tf = torch.from_numpy(fake)[:, None]
+
+    # converge torch's spectral-norm power-iteration state (one
+    # iteration per TRAIN-mode forward), then freeze for the comparison
+    # (one power iteration per train-mode forward; several hundred are
+    # needed before torch's sigma estimate reaches the true largest
+    # singular value our eigh computes exactly)
+    ref_msd.train()
+    with torch.no_grad():
+        for _ in range(400):
+            ref_msd(tr[:1, :, :64], tf[:1, :, :64])
+    ref_msd.eval()
+    ref_mpd.eval()
+
+    with torch.no_grad():
+        r_rs, r_gs, r_fr, r_fg = ref_mpd(tr, tf)
+        s_rs, s_gs, s_fr, s_fg = ref_msd(tr, tf)
+        ref_losses = (
+            float(ref_f_loss(r_fr, r_fg) + ref_f_loss(s_fr, s_fg)),
+            float(ref_g_loss(r_gs)[0] + ref_g_loss(s_gs)[0]),
+            float(ref_d_loss(r_rs, r_gs)[0] + ref_d_loss(s_rs, s_gs)[0]),
+        )
+
+    mpd_params, msd_params = convert_hifigan_discriminators(
+        ref_mpd.state_dict(), ref_msd.state_dict(), periods=periods)
+    cfg = HiFiGANConfig(mpd_periods=periods)
+    mpd = MultiPeriodDiscriminator(cfg)
+    msd = MultiScaleDiscriminator(cfg)
+    jr, jf = jnp.asarray(real), jnp.asarray(fake)
+    m_rs, m_gs, m_fr, m_fg = mpd.apply({"params": mpd_params}, jr, jf)
+    x_rs, x_gs, x_fr, x_fg = msd.apply({"params": msd_params}, jr, jf)
+
+    for got, ref_l in zip(m_rs + x_rs, r_rs + s_rs):
+        np.testing.assert_allclose(np.asarray(got), ref_l.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+    # every feature map of every branch
+    for got_f, ref_f in zip(m_fr + x_fr, r_fr + s_fr):
+        for g, r in zip(got_f, ref_f):
+            g = np.asarray(g)
+            r = r.numpy()
+            # ours is channels-last
+            r_cl = np.moveaxis(r, 1, -1)
+            np.testing.assert_allclose(g.reshape(r_cl.shape), r_cl,
+                                       atol=2e-4, rtol=1e-3)
+
+    got_losses = (
+        float(feature_loss(m_fr, m_fg) + feature_loss(x_fr, x_fg)),
+        float(generator_loss(m_gs) + generator_loss(x_gs)),
+        float(discriminator_loss(m_rs, m_gs)
+              + discriminator_loss(x_rs, x_gs)),
+    )
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
