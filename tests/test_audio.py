@@ -126,6 +126,38 @@ def test_bs1770_loudness_normalize():
     assert abs(measure_loudness_lufs(out, sr) - (-27.0)) < 0.5
 
 
+def _ensure_librosa_stub():
+    """Register a minimal librosa stand-in (not installed here) with the
+    documented numpy semantics of the three helpers the reference audio
+    stack uses — except filters.mel, which maps to OUR mel_filterbank
+    (covered by test_mel_filterbank_properties)."""
+    import sys
+    import types
+
+    if "librosa" in sys.modules:
+        return
+    lib = types.ModuleType("librosa")
+    util = types.ModuleType("librosa.util")
+    filters = types.ModuleType("librosa.filters")
+
+    def pad_center(data, size, axis=-1):
+        n = data.shape[axis]
+        lpad = (size - n) // 2
+        widths = [(0, 0)] * data.ndim
+        widths[axis] = (lpad, size - n - lpad)
+        return np.pad(data, widths)
+
+    util.pad_center = pad_center
+    util.tiny = lambda x: np.finfo(np.float32).tiny
+    util.normalize = lambda x, norm=None: x if norm is None else x
+    filters.mel = lambda sr, n_fft, n_mels, fmin, fmax: np.asarray(
+        mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    lib.util, lib.filters = util, filters
+    sys.modules["librosa"] = lib
+    sys.modules["librosa.util"] = util
+    sys.modules["librosa.filters"] = filters
+
+
 def test_tacotron_mel_matches_reference_chain():
     """Full mel-frontend parity vs the LIVE reference TacotronSTFT
     (utils/audio/stft.py:44-207): same audio -> same log-mel to 1e-4.
@@ -139,31 +171,10 @@ def test_tacotron_mel_matches_reference_chain():
     bmm mel projection, ln-clamp 1e-5) is genuinely cross-checked
     against the torch implementation."""
     import sys
-    import types
 
     import torch
 
-    if "librosa" not in sys.modules:
-        lib = types.ModuleType("librosa")
-        util = types.ModuleType("librosa.util")
-        filters = types.ModuleType("librosa.filters")
-
-        def pad_center(data, size, axis=-1):
-            n = data.shape[axis]
-            lpad = (size - n) // 2
-            widths = [(0, 0)] * data.ndim
-            widths[axis] = (lpad, size - n - lpad)
-            return np.pad(data, widths)
-
-        util.pad_center = pad_center
-        util.tiny = lambda x: np.finfo(np.float32).tiny
-        filters.mel = lambda sr, n_fft, n_mels, fmin, fmax: np.asarray(
-            mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
-        lib.util, lib.filters = util, filters
-        sys.modules["librosa"] = lib
-        sys.modules["librosa.util"] = util
-        sys.modules["librosa.filters"] = filters
-
+    _ensure_librosa_stub()
     sys.path.insert(0, "/root/reference")
     try:
         from CookieTTS.utils.audio.stft import TacotronSTFT as RefSTFT
@@ -191,3 +202,40 @@ def test_tacotron_mel_matches_reference_chain():
         got = np.swapaxes(got, 1, 2)
     assert got.shape == ref_mel.shape, (got.shape, ref_mel.shape)
     np.testing.assert_allclose(got, ref_mel, atol=1e-4, rtol=1e-4)
+
+
+def test_inverse_stft_matches_reference():
+    """Inverse STFT (conv-transpose OLA + window-sumsquare correction +
+    half-filter trim, reference stft.py:117-146) vs ours: same
+    (magnitude, phase) -> same signal. This is the deterministic core of
+    Griffin-Lim (audio_processing.py:59-75); given equal phase angles the
+    iteration is then the composition of the two transforms tested
+    here and in test_tacotron_mel_matches_reference_chain."""
+    import sys
+
+    import torch
+
+    _ensure_librosa_stub()
+    sys.path.insert(0, "/root/reference")
+    try:
+        from CookieTTS.utils.audio.stft import STFT as RefSTFT
+    finally:
+        sys.path.pop(0)
+
+    FL, HOP = 512, 128
+    ref = RefSTFT(FL, HOP, FL)
+    rng = np.random.default_rng(5)
+    audio = (0.4 * np.sin(2 * np.pi * 330 * np.arange(8192) / 22050)
+             + 0.02 * rng.standard_normal(8192)).astype(np.float32)
+    batch = np.stack([audio, audio * 0.5])
+
+    with torch.no_grad():
+        mag_t, phase_t = ref.transform(torch.from_numpy(batch))
+        rec_ref = ref.inverse(mag_t, phase_t).numpy()[:, 0]
+
+    ours = STFT(FL, HOP, FL)
+    mag, phase = ours.transform(jnp.asarray(batch))
+    rec = np.asarray(ours.inverse(mag, phase))
+    n = min(rec.shape[-1], rec_ref.shape[-1])
+    np.testing.assert_allclose(rec[:, :n], rec_ref[:, :n],
+                               atol=2e-4, rtol=1e-3)

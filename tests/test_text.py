@@ -72,3 +72,48 @@ def test_normalize_numbers():
 def test_cleaners():
     assert english_cleaners("Dr.  Smith   lives") == "doctor Smith lives"
     assert basic_cleaners("a  b") == "a b"
+
+
+def test_text_to_sequence_matches_reference():
+    """Symbol-ID space + cleaner + {ARPA} codec parity vs the LIVE
+    reference text frontend (utils/text/__init__.py:15-40, cleaners.py,
+    symbols.py). ``unidecode`` is stubbed as identity (inputs are ASCII;
+    the real package only transliterates non-ASCII) and ``inflect`` with
+    a sentinel engine (inputs are digit-free — the number grammar has
+    its own from-scratch tests; the reference needs the pip package)."""
+    import sys
+    import types
+
+    if "unidecode" not in sys.modules:
+        ud = types.ModuleType("unidecode")
+        ud.unidecode = lambda s: s
+        sys.modules["unidecode"] = ud
+    if "inflect" not in sys.modules:
+        inf = types.ModuleType("inflect")
+
+        class _Engine:
+            def number_to_words(self, *a, **k):
+                raise AssertionError("digit-free inputs only")
+        inf.engine = _Engine
+        sys.modules["inflect"] = inf
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from CookieTTS.utils.text import text_to_sequence as ref_t2s
+    finally:
+        sys.path.pop(0)
+
+    from cookietts_tpu.text import text_to_sequence
+
+    cases = [
+        "Hello, world!",
+        "Dr. Smith met Mrs. Jones; they left...",
+        "A  b\tc   d.",                       # whitespace collapse
+        "I know {AH0 B AW1 T} that.",         # ARPA curly codec
+        "{HH AH0 L OW1} there, {W ER1 L D}!",
+        "mixed CASE and mis, ters. etc?",
+        "quote \"this\" and 'that'.",
+    ]
+    for s in cases:
+        assert text_to_sequence(s, ["english_cleaners"]) == \
+            ref_t2s(s, ["english_cleaners"]), s
