@@ -1422,3 +1422,73 @@ def test_hifigan_discriminators_match_reference():
               + discriminator_loss(x_rs, x_gs)),
     )
     np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+
+
+def test_denoiser_matches_reference():
+    """Spectral denoiser vs the LIVE reference (denoiser.py:7-71): with
+    the same vocoder bias audio, the stored mean bias spectrum and the
+    denoised output (STFT subtract, clamp 0, inverse with original
+    phase) agree. The vocoder is a stub returning fixed audio — vocoder
+    parity itself is covered by the WaveGlow conversion test."""
+    from tests.test_audio import _ensure_librosa_stub
+    _ensure_librosa_stub()
+    from CookieTTS._4_mtw.waveglow.denoiser import Denoiser as RefDenoiser
+
+    from cookietts_tpu.models.denoiser import Denoiser
+
+    rng = np.random.default_rng(0)
+    T_bias = 8 * 128
+    bias_audio = (0.02 * rng.standard_normal(T_bias)).astype(np.float32)
+
+    class _StubWG:
+        def parameters(self):
+            yield torch.zeros(1)
+
+        def infer(self, mel, speaker_ids=None, sigma=None):
+            return torch.from_numpy(bias_audio)[None]
+
+    ref = RefDenoiser(_StubWG(), filter_length=512, hop_length=128,
+                      win_length=512, n_mel_channels=16, n_frames=8,
+                      stft_device="cpu")
+
+    ours = Denoiser(lambda mel, key: jnp.asarray(bias_audio)[None],
+                    filter_length=512, hop_length=128, win_length=512,
+                    n_mel_channels=16, n_frames=8)
+
+    np.testing.assert_allclose(
+        np.asarray(ours.bias_spec)[0, 0],
+        ref.bias_spec.numpy()[0, :, 0], atol=1e-5, rtol=1e-4)
+
+    audio = (0.3 * np.sin(2 * np.pi * 440 * np.arange(4096) / 48000)
+             + 0.01 * rng.standard_normal(4096)).astype(np.float32)
+    batch = np.stack([audio, 0.7 * audio])
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(batch), strength=0.2).numpy()
+    got = np.asarray(ours(jnp.asarray(batch), strength=0.2))
+    ref_out = ref_out.reshape(2, -1)
+    n = min(got.shape[-1], ref_out.shape[-1])
+    np.testing.assert_allclose(got[:, :n], ref_out[:, :n],
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_dynamic_loss_scaler_matches_reference():
+    """fp16 DynamicLossScaler state machine vs the live reference
+    (loss_scaler.py:31-69): identical scale trajectory over a mixed
+    overflow/good-step sequence (halve-on-overflow with floor 1, double
+    every scale_window good steps since the last overflow)."""
+    from CookieTTS._2_ttm.tacotron2_tm.loss_scaler import (
+        DynamicLossScaler as RefScaler)
+
+    from cookietts_tpu.runtime.optim import DynamicLossScaler
+
+    ref = RefScaler(init_scale=2.0 ** 8, scale_factor=2.0, scale_window=4)
+    ours = DynamicLossScaler(scale=2.0 ** 8, scale_factor=2.0,
+                             scale_window=4)
+    rng = np.random.default_rng(0)
+    overflows = ([False] * 6 + [True] + [False] * 9 + [True, True]
+                 + [False] * 12 + list(rng.random(40) < 0.2))
+    for i, ov in enumerate(overflows):
+        ref.update_scale(bool(ov))
+        ours.step(bool(ov))
+        assert ours.scale == ref.loss_scale, (i, ov, ours.scale,
+                                              ref.loss_scale)
