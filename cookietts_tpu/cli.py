@@ -1329,6 +1329,67 @@ def cmd_server(args):
     serve(t2s, port=args.port)
 
 
+def cmd_export(args):
+    """AOT serving export: bake checkpoints into serialized StableHLO
+    functions (jax.export) at fixed serving buckets. The artifact loads
+    and runs with `runtime.export_serving.load_artifact` — no model
+    code, checkpoint, or converter needed at deploy time."""
+    import json as _json
+
+    from .config import parse_override_string
+    from .runtime.checkpoint import load_checkpoint
+    from .runtime.export_serving import (export_tacotron2_serving,
+                                         export_vocoder_serving,
+                                         save_artifact)
+
+    overrides = (parse_override_string(args.hparams)
+                 if getattr(args, "hparams", "") else {})
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
+    entries, meta = {}, {"platforms": list(platforms)}
+
+    if args.checkpoint:
+        tree, ck_meta = load_checkpoint(args.checkpoint)
+        ck_meta = ck_meta or {}
+        model, mcfg = _build_tacotron2({**ck_meta.get("model_config", {}),
+                                        **overrides})
+        variables = {"params": tree["params"],
+                     **(tree.get("mutables") or {})}
+        buckets = [(int(args.batch), int(t)) for t in args.text_buckets]
+        entries.update(export_tacotron2_serving(
+            model, variables, buckets,
+            max_decoder_steps=args.max_decoder_steps or None,
+            platforms=platforms))
+        meta["t2s"] = {"buckets": [list(b) for b in buckets],
+                       "n_mel_channels": mcfg.n_mel_channels,
+                       "torchmoji_dim": mcfg.torchmoji_dim,
+                       "speaker_ids": ck_meta.get("speaker_ids"),
+                       "audio": ck_meta.get("audio", {})}
+
+    if args.vocoder:
+        # export the differentiable stock-XLA path: Pallas custom calls
+        # are backend/version-pinned, wrong for a portable artifact
+        _, infer_with_key, v_audio = _load_vocoder(
+            args.vocoder, {**overrides, "pallas_row_step": False},
+            getattr(args, "vocoder_model", None))
+        n_mel = int(overrides.get(
+            "n_mel_channels", v_audio.get("n_mel_channels",
+                                          meta.get("t2s", {}).get(
+                                              "n_mel_channels", 80))))
+        vb = [(int(args.batch), int(t)) for t in args.mel_buckets]
+        entries.update(export_vocoder_serving(
+            infer_with_key, n_mel, vb, needs_key=True,
+            platforms=platforms))
+        meta["vocoder"] = {"buckets": [list(b) for b in vb],
+                           "n_mel_channels": n_mel, "audio": v_audio}
+
+    if not entries:
+        raise SystemExit("export: pass --checkpoint and/or --vocoder")
+    save_artifact(args.out, entries, meta)
+    print(_json.dumps({"out": args.out, "functions": sorted(entries),
+                       "bytes": sum(len(v) for v in entries.values()),
+                       "platforms": list(platforms)}))
+
+
 def cmd_bench(args):
     import runpy
     sys.argv = ["bench.py"]
@@ -1427,6 +1488,28 @@ def main(argv=None):
     tt.add_argument("--cat_silence_s", type=float, default=0.0)
     tt.add_argument("--seed", type=int, default=0)
     tt.set_defaults(fn=cmd_tts)
+
+    ex = sub.add_parser(
+        "export",
+        help="AOT-export serving functions (jax.export StableHLO): "
+             "checkpoints baked in, fixed serving buckets, loadable "
+             "without model code (runtime.export_serving.load_artifact)")
+    ex.add_argument("--checkpoint", default=None,
+                    help="tacotron2 checkpoint (self-describing)")
+    ex.add_argument("--vocoder", default=None,
+                    help="vocoder checkpoint (hifigan/waveglow)")
+    ex.add_argument("--vocoder_model", default=None)
+    ex.add_argument("-o", "--out", default="serving.npz")
+    ex.add_argument("--batch", type=int, default=16)
+    ex.add_argument("--text_buckets", type=int, nargs="+",
+                    default=[64, 128])
+    ex.add_argument("--mel_buckets", type=int, nargs="+",
+                    default=[256, 512])
+    ex.add_argument("--max_decoder_steps", type=int, default=0)
+    ex.add_argument("--platforms", default="cpu,tpu",
+                    help="comma list of lowering platforms")
+    ex.add_argument("--hparams", default="")
+    ex.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

@@ -1,0 +1,157 @@
+"""AOT serving export: jax.export StableHLO artifacts round-trip and
+reproduce the live model outputs without model code."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cookietts_tpu.runtime.export_serving import (
+    export_tacotron2_serving, export_vocoder_serving, load_artifact,
+    save_artifact)
+from tests.test_tacotron2 import make_batch, tiny_cfg
+
+
+def test_tacotron2_export_roundtrip(tmp_path):
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+
+    cfg = tiny_cfg()
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    batch = make_batch(rng, cfg, B=B, T_txt=T, T_mel=16)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    variables = dict(variables)          # params + batch_stats
+
+    entries = export_tacotron2_serving(
+        model, variables, buckets=[(B, T)], max_decoder_steps=20,
+        platforms=("cpu",))
+    meta = {"model": "tacotron2", "buckets": [[B, T]]}
+    path = str(tmp_path / "serving.npz")
+    save_artifact(path, entries, meta)
+
+    fns, got_meta = load_artifact(path)
+    assert got_meta == meta
+    fn = fns[f"t2s_b{B}_t{T}"]
+
+    args = (batch["text"], batch["text_lengths"], batch["speaker_id"])
+    if cfg.torchmoji_dim:
+        args = args + (batch["torchmoji_hidden"],)
+    seed = jnp.asarray(7, jnp.uint32)
+    mel, mel_lengths, gate, align = fn(*args, seed)
+    assert mel.shape == (B, 20, cfg.n_mel_channels)
+    assert align.shape == (B, 20, T)
+
+    # identical to the live model with the same folded key
+    ref = model.apply(
+        variables, text=batch["text"], text_lengths=batch["text_lengths"],
+        speaker_id=batch["speaker_id"],
+        torchmoji_hidden=batch["torchmoji_hidden"]
+        if cfg.torchmoji_dim else None,
+        key=jax.random.fold_in(jax.random.PRNGKey(0), seed),
+        max_decoder_steps=20, method=Tacotron2.inference)
+    np.testing.assert_allclose(np.asarray(mel),
+                               np.asarray(ref["mel_outputs_postnet"]),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(mel_lengths),
+                                  np.asarray(ref["mel_lengths"]))
+
+
+def test_vocoder_export_roundtrip(tmp_path):
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+
+    B, T, M = 2, 8, 16
+
+    hcfg = HiFiGANConfig(
+        n_mel_channels=M, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=16)
+    gen = Generator(hcfg)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, T, M)), jnp.float32)
+    gvars = gen.init(jax.random.PRNGKey(0), mel)
+    g_fn = lambda m: gen.apply(gvars, m, infer=True)     # noqa: E731
+
+    wcfg = WaveGlowConfig(
+        n_mel_channels=M, n_flows=2, n_group=4, n_early_every=4,
+        n_early_size=2, n_layers=2, n_channels=16, hop_length=32,
+        upsample_strides=(4, 2), upsample_channels=16,
+        memory_efficient=False, pallas_row_step=False)
+    wg = WaveGlow(wcfg)
+    audio0 = jnp.zeros((B, T * wcfg.hop_length), jnp.float32)
+    wvars = wg.init(jax.random.PRNGKey(0), audio0, mel)
+    w_fn = lambda m, k: wg.apply(wvars, m, k, sigma=0.8,   # noqa: E731
+                                 method=WaveGlow.infer)
+
+    entries = {}
+    entries.update({f"hifigan_{k}": v for k, v in export_vocoder_serving(
+        g_fn, M, [(B, T)], platforms=("cpu",)).items()})
+    entries.update({f"waveglow_{k}": v for k, v in export_vocoder_serving(
+        w_fn, M, [(B, T)], needs_key=True, platforms=("cpu",)).items()})
+    path = str(tmp_path / "voc.npz")
+    save_artifact(path, entries, {"n_mel_channels": M})
+    fns, meta = load_artifact(path)
+    assert meta["n_mel_channels"] == M
+
+    got_h = fns[f"hifigan_vocoder_b{B}_t{T}"](mel)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(g_fn(mel)),
+                               atol=1e-5, rtol=1e-4)
+
+    seed = jnp.asarray(3, jnp.uint32)
+    got_w = fns[f"waveglow_vocoder_b{B}_t{T}"](mel, seed)
+    ref_w = w_fn(mel, jax.random.fold_in(jax.random.PRNGKey(0), seed))
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_cli_export_from_checkpoint(tmp_path):
+    """`python -m cookietts_tpu export` bakes a self-describing
+    checkpoint into a loadable StableHLO serving artifact."""
+    from cookietts_tpu import cli
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.runtime.checkpoint import save_checkpoint
+
+    cfg_kw = dict(
+        n_symbols=40, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, n_mel_channels=20,
+        encoder_speaker_embed_dim=4, encoder_conv_hidden_dim=16,
+        encoder_lstm_dim=16, encoder_n_convolutions=2,
+        torchmoji_dim=12, torchmoji_crushed_dim=4,
+        memory_bottleneck_dim=16, prenet_dim=12,
+        attention_rnn_dim=20, decoder_rnn_dim=16,
+        second_decoder_rnn_dim=16, attention_dim=12,
+        windowed_attention_range=4, postnet_embedding_dim=16,
+        postnet_n_convolutions=3, postnet_residual_connections=0,
+        max_decoder_steps=24)
+    cfg = tiny_cfg()
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg, B=2, T_txt=10, T_mel=14)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    ckpt = str(tmp_path / "checkpoint_1")
+    save_checkpoint(
+        ckpt,
+        {"params": variables["params"],
+         "mutables": {k: v for k, v in variables.items()
+                      if k != "params"}},
+        metadata={"model_config": cfg_kw,
+                  "speaker_ids": {"a": 0},
+                  "audio": {"sampling_rate": 22050, "hop_length": 128}})
+
+    out = str(tmp_path / "serving.npz")
+    cli.main(["export", "--checkpoint", ckpt, "-o", out,
+              "--batch", "2", "--text_buckets", "10",
+              "--max_decoder_steps", "16", "--platforms", "cpu"])
+
+    from cookietts_tpu.runtime.export_serving import load_artifact
+    fns, meta = load_artifact(out)
+    assert meta["t2s"]["buckets"] == [[2, 10]]
+    assert meta["t2s"]["speaker_ids"] == {"a": 0}
+    mel, mel_lengths, gate, align = fns["t2s_b2_t10"](
+        batch["text"], batch["text_lengths"], batch["speaker_id"],
+        batch["torchmoji_hidden"], jnp.asarray(1, jnp.uint32))
+    assert mel.shape == (2, 16, cfg.n_mel_channels)
+    assert np.isfinite(np.asarray(mel)).all()
