@@ -86,6 +86,12 @@ def cmd_train(args):
               f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     overrides = parse_override_string(args.hparams) if args.hparams else {}
+    if int(getattr(args, "sp", 1) or 1) > 1 and args.model != "waveglow":
+        # never drop a parallelism request silently
+        raise SystemExit(
+            "--sp (vocoder time-axis sequence parallelism) is only wired "
+            "for --model waveglow/waveflow; remove the flag or use that "
+            "trainer")
     if args.model == "waveglow":
         return _train_waveglow(args, overrides)
     if args.model == "hifigan":
@@ -813,7 +819,11 @@ def _train_waveglow(args, overrides):
     tp = int(getattr(args, "tp", 1) or 1)
     sp = int(getattr(args, "sp", 1) or 1)
     mesh = tp_rules = None
-    if (tp > 1 or sp > 1) and len(jax.devices()) > 1:
+    if tp > 1 or sp > 1:
+        if len(jax.devices()) < tp * sp:
+            raise SystemExit(
+                f"--tp {tp} --sp {sp} needs {tp * sp} devices; "
+                f"{len(jax.devices())} visible")
         from .parallel.mesh import make_mesh
         mesh = make_mesh(tp=tp, sp=sp)
         if tp > 1:
@@ -1192,6 +1202,7 @@ def _load_vocoder(path, overrides, vocoder_model=None):
         g = jax.jit(lambda m: gen.apply({"params": params}, m, infer=True))
         audio_info.setdefault("hop_length",
                               int(np.prod(cfg.upsample_rates)))
+        audio_info.setdefault("n_mel_channels", cfg.n_mel_channels)
         infer_with_key = lambda mel, key: g(mel)          # noqa: E731
         return (lambda mel: g(jnp.asarray(mel))), infer_with_key, audio_info
 
@@ -1206,6 +1217,7 @@ def _load_vocoder(path, overrides, vocoder_model=None):
         {"params": params}, m, k, sigma=sigma, method=WaveGlow.infer))
     audio_info.setdefault("hop_length", cfg.hop_length)
     audio_info.setdefault("sampling_rate", cfg.sampling_rate)
+    audio_info.setdefault("n_mel_channels", cfg.n_mel_channels)
     counter = itertools.count()
 
     def vocoder_fn(mel):
@@ -1425,7 +1437,7 @@ def main(argv=None):
                    help="tensor-parallel mesh axis size (shards the big "
                         "gate/WN matmuls; data parallel uses the rest)")
     t.add_argument("--sp", type=int, default=1,
-                   help="sequence-parallel mesh axis size (vocoder models:"
+                   help="sequence-parallel mesh axis size (waveglow/waveflow:"
                         " shards the audio/mel time axis; GSPMD inserts "
                         "the conv halo exchanges)")
     t.add_argument("--speaker_info", default=None,

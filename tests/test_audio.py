@@ -149,7 +149,13 @@ def _ensure_librosa_stub():
 
     util.pad_center = pad_center
     util.tiny = lambda x: np.finfo(np.float32).tiny
-    util.normalize = lambda x, norm=None: x if norm is None else x
+    def _normalize(x, norm=None):
+        if norm is not None:
+            raise NotImplementedError(
+                "librosa stub only supports norm=None")
+        return x
+
+    util.normalize = _normalize
     filters.mel = lambda sr, n_fft, n_mels, fmin, fmax: np.asarray(
         mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
     lib.util, lib.filters = util, filters

@@ -62,9 +62,10 @@ def test_dtw_align_matches_reference():
     import jax.numpy as jnp
     import torch
 
-    for name in ("soundfile", "librosa"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+    from tests.test_audio import _ensure_librosa_stub
+    _ensure_librosa_stub()
+    if "soundfile" not in sys.modules:
+        sys.modules["soundfile"] = types.ModuleType("soundfile")
     # file-direct import: the CookieTTS.utils.dataset package __init__
     # pulls in pyworld/pyloudnorm, which utils.py itself never needs
     import importlib.util
