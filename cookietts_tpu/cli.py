@@ -182,7 +182,9 @@ def cmd_train(args):
     val_batches = [collate([dataset[i] for i in range(n_val)], dcfg)]
     trainer = Trainer(TrainerConfig(
         run_dir=args.run_dir,
-        live_config_path=args.live_config), state, train_step, eval_step,
+        live_config_path=args.live_config,
+        async_save=bool(overrides.get("async_save", False))),
+        state, train_step, eval_step,
         val_batches=val_batches,
         inference_eval_step=make_tacotron2_inference_eval_step(model,
                                                                mesh=mesh))
@@ -712,7 +714,8 @@ def _make_trainer(args, overrides, state, train_step, eval_step=None,
     from .runtime.trainer import Trainer, TrainerConfig
     trainer = Trainer(
         TrainerConfig(run_dir=args.run_dir,
-                      live_config_path=getattr(args, "live_config", None)),
+                      live_config_path=getattr(args, "live_config", None),
+                      async_save=bool(overrides.get("async_save", False))),
         state, train_step, eval_step, val_batches=val_batches,
         plateau=plateau)
     trainer.live.values.update({

@@ -191,20 +191,58 @@ def warm_start(params: Any, restored: Any,
 
 
 class Checkpointer:
-    """Run-directory checkpoint manager with best-model tracking."""
+    """Run-directory checkpoint manager with best-model tracking.
 
-    def __init__(self, run_dir: str, keep_last: int = 3):
+    ``async_save=True`` overlaps serialization + disk IO with training:
+    the device→host copy happens synchronously (a consistent snapshot of
+    the step's params), then msgpack + write run on a single background
+    thread — one save in flight at a time, later saves wait for the
+    earlier one, and :meth:`wait` / process exit drain the queue. The
+    atomic temp+rename in :func:`save_checkpoint` means readers never
+    see a partial file. (The reference saves synchronously,
+    train.py:255-279; orbax-style async is the TPU-native upgrade.)"""
+
+    def __init__(self, run_dir: str, keep_last: int = 3,
+                 async_save: bool = False):
         self.run_dir = run_dir
         self.keep_last = keep_last
         os.makedirs(run_dir, exist_ok=True)
         self.best_val_loss = float("inf")
         self.best_inf_attsc = float("-inf")
+        self._executor = self._pending = None
+        if async_save:
+            import atexit
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-save")
+            atexit.register(self.wait)
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has landed on disk."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+
+    def _save(self, path: str, state_tree, metadata, after=None) -> None:
+        if self._executor is None:
+            save_checkpoint(path, state_tree, metadata)
+            if after:
+                after()
+            return
+        host_tree = _to_host(state_tree)   # consistent snapshot NOW
+        self.wait()                        # one save in flight
+
+        def job():
+            save_checkpoint(path, host_tree, metadata)
+            if after:
+                after()
+
+        self._pending = self._executor.submit(job)
 
     # -- periodic ----------------------------------------------------------
     def save_periodic(self, step: int, state_tree, metadata=None) -> str:
         path = os.path.join(self.run_dir, f"checkpoint_{step}")
-        save_checkpoint(path, state_tree, metadata)
-        self._gc()
+        self._save(path, state_tree, metadata, after=self._gc)
         return path
 
     def _gc(self):
@@ -224,8 +262,8 @@ class Checkpointer:
                             metadata=None) -> bool:
         if val_loss < self.best_val_loss:
             self.best_val_loss = val_loss
-            save_checkpoint(os.path.join(self.run_dir, "best_val_model"),
-                            state_tree, metadata)
+            self._save(os.path.join(self.run_dir, "best_val_model"),
+                       state_tree, metadata)
             return True
         return False
 
@@ -233,8 +271,8 @@ class Checkpointer:
                               metadata=None) -> bool:
         if att_score > self.best_inf_attsc:
             self.best_inf_attsc = att_score
-            save_checkpoint(os.path.join(self.run_dir, "best_inf_attsc"),
-                            state_tree, metadata)
+            self._save(os.path.join(self.run_dir, "best_inf_attsc"),
+                       state_tree, metadata)
             return True
         return False
 
@@ -247,6 +285,7 @@ class Checkpointer:
         return False
 
     def latest(self) -> Optional[str]:
+        self.wait()
         cks = [f for f in os.listdir(self.run_dir)
                if f.startswith("checkpoint_") and not f.endswith(".json")
                and not f.endswith(".tmp")]

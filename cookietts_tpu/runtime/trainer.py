@@ -321,6 +321,9 @@ class TrainerConfig:
     # iterations [start, stop) written under run_dir/profile)
     profile_start: Optional[int] = None
     profile_stop: Optional[int] = None
+    # overlap checkpoint serialization + IO with training (orbax-style;
+    # the device->host snapshot stays synchronous, writes drain at exit)
+    async_save: bool = False
 
 
 class Trainer:
@@ -349,7 +352,7 @@ class Trainer:
         # (reference _4_mtw/waveglow/train.py:671-700)
         self.plateau = plateau
         self.live = LiveConfig(cfg.live_config_path)
-        self.ckpt = Checkpointer(cfg.run_dir)
+        self.ckpt = Checkpointer(cfg.run_dir, async_save=cfg.async_save)
         self.logger = MetricsLogger(cfg.run_dir)
         self.file_db = FileLossDB()
         self.n_restarts = 0
@@ -512,6 +515,7 @@ class Trainer:
             raise LossExplosion(
                 f"loss {loss} exploded {self.n_restarts} times; giving up")
         import os
+        self.ckpt.wait()     # a best-model save may still be in flight
         best = os.path.join(self.cfg.run_dir, "best_val_model")
         if os.path.exists(best):
             from .checkpoint import restore_any

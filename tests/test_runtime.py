@@ -306,3 +306,41 @@ def test_prefetcher_early_break_stops_workers():
     import time
     time.sleep(0.1)
     assert threading.active_count() <= before + 2
+
+
+def test_checkpointer_async_save(tmp_path):
+    """async_save overlaps serialization/IO with training on a background
+    thread: latest()/wait() always observe landed, loadable files, and
+    best-model tracking works identically."""
+    import numpy as np
+
+    from cookietts_tpu.runtime.checkpoint import Checkpointer, load_checkpoint
+
+    ck = Checkpointer(str(tmp_path), keep_last=2, async_save=True)
+    tree = {"params": {"w": np.arange(6, dtype=np.float32)}, "step": 0}
+    for step in (1, 2, 3):
+        tree = {"params": {"w": np.arange(6, dtype=np.float32) * step},
+                "step": step}
+        ck.save_periodic(step, tree, {"step": step})
+    assert ck.maybe_save_best_val(0.5, tree, {"best": True})
+    assert not ck.maybe_save_best_val(0.9, tree)
+    latest = ck.latest()                      # waits for in-flight saves
+    assert latest.endswith("checkpoint_3")
+    got, meta = load_checkpoint(latest)
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  np.arange(6, dtype=np.float32) * 3)
+    assert meta["step"] == 3
+    ck.wait()
+    # gc kept only the last 2 periodic checkpoints; best model present
+    import os
+    names = sorted(os.listdir(str(tmp_path)))
+    assert "checkpoint_1" not in names
+    assert {"checkpoint_2", "checkpoint_3", "best_val_model"} <= set(names)
+    # the snapshot is taken at submit time: later mutation of the source
+    # tree must not leak into the file
+    tree["params"]["w"] *= 0.0
+    ck.save_periodic(4, {"params": {"w": np.ones(3, np.float32)},
+                         "step": 4}, None)
+    ck.wait()
+    got, _ = load_checkpoint(str(tmp_path / "checkpoint_4"))
+    np.testing.assert_array_equal(got["params"]["w"], np.ones(3, np.float32))
