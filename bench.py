@@ -183,7 +183,10 @@ def bench_waveflow_training(on_tpu, dtype):
     if on_tpu:
         # B sweep on the v5e (same protocol): 12 -> 214k samples/s,
         # 24 -> 260k; 32/48 crash the tunnel's compile helper (compiler
-        # host OOM on the bigger remat backward graph)
+        # host OOM on the bigger remat backward graph). memory_efficient
+        # =False (no remat recompute) also crashes the compile helper at
+        # every B tried (12/16/24) — the unremat'd backward graph is too
+        # big to compile here, so remat stays the operating point.
         seg, B, n = 36000, 24, 4      # reference segment_length 36000
     else:
         seg, B, n = 4800, 1, 1
