@@ -151,6 +151,12 @@ class T2SConfig:
     frames_per_char: float = 10.0  # dynamic max decoder steps scale
     max_decoder_steps: int = 3000
     vocoder_batch_size: int = 16
+    # streaming vocoding for LONG segments: mels above this many frames
+    # vocode in halo-overlapped chunks (pipeline/streaming.py), audio
+    # bit-identical to the whole-utterance run; 0 disables
+    streaming_over_frames: int = 0
+    streaming_chunk_frames: int = 256
+    streaming_halo_frames: int = 32
     gate_threshold: float = 0.5
     gate_delay: int = 10
     text_cleaners: Tuple[str, ...] = ("english_cleaners",)
@@ -355,7 +361,19 @@ class T2S:
                                  np.float32)
                 for r, m in enumerate(chunk):
                     mel_in[r, : m.shape[0]] = m
-                wav = np.asarray(self.vocoder_fn(jnp.asarray(mel_in)))
+                if (cfg.streaming_over_frames
+                        and t_pad > cfg.streaming_over_frames):
+                    # long segment: halo-overlapped chunks, bit-identical
+                    # audio, first samples available before the tail
+                    # frames vocode (pipeline/streaming.py)
+                    from .streaming import vocode_streamed
+                    wav = vocode_streamed(
+                        self.vocoder_fn, mel_in,
+                        chunk_frames=cfg.streaming_chunk_frames,
+                        halo_frames=cfg.streaming_halo_frames,
+                        hop_length=self.hop_length)
+                else:
+                    wav = np.asarray(self.vocoder_fn(jnp.asarray(mel_in)))
                 for r, m in enumerate(chunk):
                     if pieces and len(silence):
                         pieces.append(silence)   # input_cat_silence_s

@@ -385,3 +385,77 @@ def test_t2s_gst_torchmoji_style_path():
     n = min(r_a["mels"][0].shape[0], r_b["mels"][0].shape[0])
     assert not np.allclose(r_a["mels"][0][:n], r_b["mels"][0][:n]), \
         "torchMoji style embedding must condition GST generation"
+
+
+def test_streaming_vocode_bit_exact():
+    """Chunked HiFi-GAN vocoding with receptive-field halos reproduces
+    the full-utterance waveform EXACTLY (clamped slices mean sequence
+    edges see the generator's own zero padding like the full run)."""
+    import jax
+
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    from cookietts_tpu.pipeline.streaming import (streaming_vocode,
+                                                  vocode_streamed)
+
+    cfg = HiFiGANConfig(
+        n_mel_channels=12, resblock_kernel_sizes=(3, 7),
+        resblock_dilations=((1, 3, 5), (1, 3, 5)),
+        upsample_rates=(4, 4, 2), upsample_kernel_sizes=(8, 8, 4),
+        upsample_initial_channel=24)
+    gen = Generator(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 173                       # deliberately not chunk-aligned
+    mel = jnp.asarray(rng.standard_normal((B, T, 12)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), mel[:, :8])
+    voc = jax.jit(lambda m: gen.apply(variables, m))
+
+    full = np.asarray(voc(mel))
+    got = vocode_streamed(voc, mel, chunk_frames=48, halo_frames=24)
+    assert got.shape == full.shape
+    np.testing.assert_array_equal(got, full)
+
+    # pieces arrive in order with correct sample offsets
+    offs = [o for o, _ in streaming_vocode(voc, mel, 48, 24)]
+    hop = full.shape[1] // T
+    assert offs == [i * 48 * hop for i in range(len(offs))]
+
+    # too-small halo must actually break exactness (the test would be
+    # vacuous if the halo didn't matter at these dims)
+    loose = vocode_streamed(voc, mel, chunk_frames=48, halo_frames=1)
+    assert not np.array_equal(loose, full)
+
+
+def test_t2s_streaming_vocode_matches_batch(tiny_t2s):
+    """T2SConfig.streaming_over_frames: long segments vocode through
+    halo-overlapped chunks with audio identical to the whole-mel run."""
+    import dataclasses
+
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    n_mel = tiny_t2s.model.cfg.n_mel_channels
+    hcfg = HiFiGANConfig(
+        n_mel_channels=n_mel, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), upsample_rates=(4, 4),
+        upsample_kernel_sizes=(8, 8), upsample_initial_channel=16)
+    gen = Generator(hcfg)
+    gvars = gen.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 8, n_mel), jnp.float32))
+    voc_fn = jax.jit(lambda m: gen.apply(gvars, m))
+
+    old_cfg, old_voc, old_hop = (tiny_t2s.cfg, tiny_t2s.vocoder_fn,
+                                 tiny_t2s.hop_length)
+    try:
+        tiny_t2s.vocoder_fn = voc_fn
+        tiny_t2s.hop_length = 16
+        ref = tiny_t2s.infer("Streaming test sentence.",
+                             speaker=["alice"], seed=3)
+        tiny_t2s.cfg = dataclasses.replace(
+            tiny_t2s.cfg, streaming_over_frames=16,
+            streaming_chunk_frames=16, streaming_halo_frames=16)
+        got = tiny_t2s.infer("Streaming test sentence.",
+                             speaker=["alice"], seed=3)
+        np.testing.assert_array_equal(got["audio"], ref["audio"])
+        assert len(got["audio"]) > 0
+    finally:
+        tiny_t2s.cfg, tiny_t2s.vocoder_fn, tiny_t2s.hop_length = (
+            old_cfg, old_voc, old_hop)
