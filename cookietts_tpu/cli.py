@@ -360,6 +360,19 @@ def _train_untts(args, overrides):
                   resume=getattr(args, "resume", None))
 
 
+def _auto_dp_mesh(batch_size: int):
+    """Largest dp mesh the device count and batch divisibility allow
+    (None on one chip / indivisible batch) — the data-parallel default
+    every reference trainer gets via DDP."""
+    import math
+
+    import jax
+
+    from .parallel.mesh import make_mesh
+    dp = math.gcd(int(batch_size), len(jax.devices()))
+    return make_mesh(dp=dp, devices=jax.devices()[:dp]) if dp > 1 else None
+
+
 def _train_gantts(args, overrides):
     """GAN-TTS adversarial training from a filelist with MFA durations
     (reference _2_ttm/GANTTS/train.py surface: alternating BCE D/G
@@ -415,7 +428,8 @@ def _train_gantts(args, overrides):
     d_state = TrainState.create(disc.apply, d_vars["params"], adam())
 
     d_step, g_step = make_gantts_train_steps(
-        gen, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
+        gen, disc, mel_weight=float(overrides.get("mel_weight", 1.0)),
+        mesh=_auto_dp_mesh(batch_size))
 
     # held-out style validation: masked mel L1 of generated vs gt mels on
     # a FIXED batch (reference GANTTS/train.py validation loop)
@@ -591,7 +605,8 @@ def _train_gan_postnet(args, overrides):
         {k: v for k, v in d_vars.items() if k != "params"})
 
     d_step, g_step = make_gan_postnet_train_steps(
-        post, disc, mel_weight=float(overrides.get("mel_weight", 1.0)))
+        post, disc, mel_weight=float(overrides.get("mel_weight", 1.0)),
+        mesh=_auto_dp_mesh(batch_size))
 
     @jax.jit
     def _val_mse(g_params, g_mut, dec, spk, gt):
@@ -679,7 +694,7 @@ def _train_hifigan_denoiser(args, overrides):
         None, (dw_vars["params"], ds_vars["params"]), adam())
 
     d_step, g_step = make_hifigan_denoiser_train_steps(
-        gen, dw, ds, mrs, stage=stage)
+        gen, dw, ds, mrs, stage=stage, mesh=_auto_dp_mesh(batch_size))
 
     from .models.hifigan_denoiser import denoiser_loss
 
@@ -952,7 +967,8 @@ def _train_hifigan(args, overrides):
     from .models.hifigan import mel_l1_loss
     from .runtime.train_state import GANTrainState
     from .runtime.trainer import make_gan_trainer_step
-    d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn)
+    d_step, g_step = make_hifigan_train_steps(
+        gen, mpd, msd, mel_fn, mesh=_auto_dp_mesh(batch_size))
     train_step = make_gan_trainer_step(d_step, g_step, pass_key=False)
 
     @jax.jit

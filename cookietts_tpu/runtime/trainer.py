@@ -722,8 +722,21 @@ def make_waveglow_val_step(model, stft_windows=((1200, 300, 1200),
 
 # -- adversarial postnet (ssvae GAN postnet) steps -----------------------------
 
-def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0
-                                 ) -> Tuple[Callable, Callable]:
+def _gan_jit(step, mesh, has_key=False):
+    """jit a GAN step under an optional dp mesh: both states + ctrl (+key)
+    replicated, batch sharded over dp — GSPMD inserts the gradient
+    collectives (the data-parallel DDP the reference uses for hifigan,
+    _4_mtw/hifigan/train.py:66-69)."""
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh)
+    in_sh = (rep, rep, bs) + ((rep,) if has_key else ()) + (rep,)
+    return jax.jit(step, in_shardings=in_sh, out_shardings=(rep, rep))
+
+
+def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0,
+                                 mesh=None) -> Tuple[Callable, Callable]:
     """G/D steps for the ssvae adversarial postnet
     (reference tacotron2_ssvae/model.py:183-316): the postnet refines the
     decoder mel toward the ground truth while fooling a speaker-conditioned
@@ -775,7 +788,6 @@ def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0
                          "d_real": jnp.mean(d_real),
                          "d_fake": jnp.mean(d_fake)}, new_mut2)
 
-    @jax.jit
     def g_step(g_state, d_state, batch, key, ctrl):
         (loss, (metrics, new_mut)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(
@@ -788,7 +800,6 @@ def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0
         metrics["g_grad_norm"] = gn
         return g_state, metrics
 
-    @jax.jit
     def d_step(d_state, g_state, batch, key, ctrl):
         (loss, (metrics, new_mut)), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(
@@ -801,13 +812,14 @@ def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0
         metrics["d_grad_norm"] = gn
         return d_state, metrics
 
-    return d_step, g_step
+    return (_gan_jit(d_step, mesh, has_key=True),
+            _gan_jit(g_step, mesh, has_key=True))
 
 
 # -- HiFiGAN-Denoiser staged steps ----------------------------------------------
 
-def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0
-                                      ) -> Tuple[Callable, Callable]:
+def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0,
+                                      mesh=None) -> Tuple[Callable, Callable]:
     """Staged denoiser training (reference HiFiGAN_Denoiser/model.py:38-60):
     stage 0/1 = multi-res spectral L1+MSE only; stage >= 2 adds LSGAN
     adversarial terms from the wave (DW) and spectrogram (DS) critics
@@ -850,7 +862,6 @@ def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0
                 + jnp.mean((d_fake.astype(jnp.float32) - 1.0) ** 2)
         return loss, {"d_loss": loss}
 
-    @jax.jit
     def g_step(g_state, d_state, batch, ctrl):
         (loss, metrics), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params,
@@ -861,12 +872,12 @@ def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0
         metrics["g_grad_norm"] = gn
         return g_state, metrics
 
+    g_step = _gan_jit(g_step, mesh)
     if stage < 2:
         def d_step(d_state, g_state, batch, ctrl):   # pre-adversarial stage
             return d_state, {"d_loss": 0.0}
         return d_step, g_step
 
-    @jax.jit
     def d_step(d_state, g_state, batch, ctrl):
         (loss, metrics), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state.params, g_state.params, batch)
@@ -876,7 +887,7 @@ def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0
         metrics["d_grad_norm"] = gn
         return d_state, metrics
 
-    return d_step, g_step
+    return _gan_jit(d_step, mesh), g_step
 
 
 # -- UnTTS (NAR flow TTS) steps ------------------------------------------------
@@ -972,7 +983,8 @@ def make_untts_train_step(model, mesh=None, sigma: float = 1.0,
 
 def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
                              mel_weight: float = 45.0,
-                             fm_weight: float = 2.0) -> Tuple[Callable, Callable]:
+                             fm_weight: float = 2.0,
+                             mesh=None) -> Tuple[Callable, Callable]:
     """Build (d_step, g_step) for HiFi-GAN adversarial training.
 
     Reference _4_mtw/hifigan/train.py:26-283: AdamW both sides, mel L1
@@ -1013,7 +1025,6 @@ def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
         return loss, {"g_adv": adv, "g_fm": fm, "g_mel_l1": mel_rec,
                       "g_loss": loss}
 
-    @jax.jit
     def d_step(d_state, g_state, batch, ctrl):
         (loss, metrics), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state.params, g_state.params, batch)
@@ -1023,7 +1034,6 @@ def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
         metrics["d_grad_norm"] = gn
         return d_state, metrics
 
-    @jax.jit
     def g_step(g_state, d_state, batch, ctrl):
         (loss, metrics), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params, d_state.params, batch)
@@ -1033,13 +1043,13 @@ def make_hifigan_train_steps(gen, mpd, msd, mel_fn,
         metrics["g_grad_norm"] = gn
         return g_state, metrics
 
-    return d_step, g_step
+    return _gan_jit(d_step, mesh), _gan_jit(g_step, mesh)
 
 
 # -- GAN-TTS steps -----------------------------------------------------------
 
-def make_gantts_train_steps(gen, disc, mel_weight: float = 1.0
-                            ) -> Tuple[Callable, Callable]:
+def make_gantts_train_steps(gen, disc, mel_weight: float = 1.0,
+                            mesh=None) -> Tuple[Callable, Callable]:
     """(d_step, g_step) for GAN-TTS adversarial training.
 
     Reference _2_ttm/GANTTS/train.py:344-395: plain BCE on the
@@ -1093,7 +1103,6 @@ def make_gantts_train_steps(gen, disc, mel_weight: float = 1.0
                       "d_real_logit": jnp.mean(real_logits[0]),
                       "d_fake_logit": jnp.mean(fake_logits[0])}
 
-    @jax.jit
     def d_step(d_state, g_state, batch, key, ctrl):
         (loss, metrics), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state.params, g_state.params,
@@ -1104,7 +1113,6 @@ def make_gantts_train_steps(gen, disc, mel_weight: float = 1.0
         metrics["d_grad_norm"] = gn
         return d_state, metrics
 
-    @jax.jit
     def g_step(g_state, d_state, batch, key, ctrl):
         (loss, metrics), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params, d_state.params,
@@ -1115,4 +1123,5 @@ def make_gantts_train_steps(gen, disc, mel_weight: float = 1.0
         metrics["g_grad_norm"] = gn
         return g_state, metrics
 
-    return d_step, g_step
+    return (_gan_jit(d_step, mesh, has_key=True),
+            _gan_jit(g_step, mesh, has_key=True))

@@ -245,3 +245,57 @@ def test_waveglow_sp_inference_matches_single_device():
     with mesh:
         out = np.asarray(jax.jit(infer)(variables, mel_sp))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_hifigan_gan_steps_dp_matches_single_device():
+    """GAN training shards over dp like the reference's hifigan DDP
+    (train.py:66-69): a dp8 mesh reproduces the single-device d/g losses
+    and updated params."""
+    from cookietts_tpu.models.hifigan import (Generator, HiFiGANConfig,
+                                              MultiPeriodDiscriminator,
+                                              MultiScaleDiscriminator)
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.trainer import make_hifigan_train_steps
+
+    cfg = HiFiGANConfig(
+        n_mel_channels=8, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=16,
+        mpd_periods=(2,), msd_scales=1)
+    gen = Generator(cfg)
+    mpd = MultiPeriodDiscriminator(cfg)
+    msd = MultiScaleDiscriminator(cfg)
+    rng = np.random.default_rng(0)
+    B, T_mel = 8, 16
+    mels = jnp.asarray(rng.standard_normal((B, T_mel, 8)), jnp.float32)
+    audio = jnp.asarray(
+        rng.standard_normal((B, T_mel * 8)) * 0.3, jnp.float32)
+    batch = {"mels": mels, "audio": audio}
+    gv = gen.init(jax.random.PRNGKey(0), mels)
+    pv = mpd.init(jax.random.PRNGKey(1), audio, audio)
+    sv = msd.init(jax.random.PRNGKey(2), audio, audio)
+    mel_fn = lambda a: a.reshape(B, T_mel, 8)        # noqa: E731
+    ctrl = scalars_to_arrays({"lr": 1e-4, "grad_clip": 100.0})
+
+    results = {}
+    for name, mesh in (("single", None), ("dp", make_mesh(dp=8))):
+        d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn,
+                                                  mesh=mesh)
+        g_state = TrainState.create(gen.apply, gv["params"], adam())
+        d_state = TrainState.create(
+            None, (pv["params"], sv["params"]), adam())
+        b = shard_batch(batch, mesh) if mesh is not None else batch
+        if mesh is not None:
+            with mesh:
+                d_state, d_m = d_step(d_state, g_state, b, ctrl)
+                g_state, g_m = g_step(g_state, d_state, b, ctrl)
+        else:
+            d_state, d_m = d_step(d_state, g_state, b, ctrl)
+            g_state, g_m = g_step(g_state, d_state, b, ctrl)
+        results[name] = (float(d_m["d_loss"]), float(g_m["g_loss"]),
+                         jax.device_get(g_state.params))
+
+    assert np.isclose(results["single"][0], results["dp"][0], atol=1e-5)
+    assert np.isclose(results["single"][1], results["dp"][1], atol=2e-4)
+    _leaves_close(results["single"][2], results["dp"][2], atol=1e-4)
