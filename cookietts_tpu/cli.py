@@ -287,6 +287,7 @@ def cmd_train(args):
                 print(f"[curation] epoch {epoch}: dataset rebuilt with "
                       f"{len(entries_cur)} entries")
     trainer.save(periodic=True)
+    trainer.ckpt.wait()      # drain async saves before reporting done
     trainer.file_db.to_csv(os.path.join(args.run_dir, "file_losses.csv"))
     print(f"done: {it} iters, checkpoints in {args.run_dir}")
 
@@ -361,15 +362,23 @@ def _train_untts(args, overrides):
 
 
 def _auto_dp_mesh(batch_size: int):
-    """Largest dp mesh the device count and batch divisibility allow
-    (None on one chip / indivisible batch) — the data-parallel default
-    every reference trainer gets via DDP."""
-    import math
-
+    """Largest dp mesh the device count and batch divisibility allow:
+    the biggest divisor of ``batch_size`` that fits the visible devices
+    (None on one chip / batch 1) — the data-parallel default every
+    reference trainer gets via DDP. Single-host only: the GAN data paths
+    feed process-local batches, so on a pod (process_count > 1) this
+    returns None instead of building a mesh over unaddressable devices.
+    """
     import jax
 
     from .parallel.mesh import make_mesh
-    dp = math.gcd(int(batch_size), len(jax.devices()))
+    if jax.process_count() > 1:
+        print("[train] multi-host GAN training is not sharded; running "
+              "this trainer single-device per process")
+        return None
+    b, n = int(batch_size), len(jax.devices())
+    dp = max((d for d in range(1, min(b, n) + 1) if b % d == 0),
+             default=1)
     return make_mesh(dp=dp, devices=jax.devices()[:dp]) if dp > 1 else None
 
 
@@ -773,6 +782,7 @@ def _trainer_loop(trainer, make_batch, n_iters, run_dir, name,
         it_next = int(trainer.state.step)
         it = it_next if it_next > it else it + 1   # explosion rolls back
     trainer.save(periodic=True)
+    trainer.ckpt.wait()      # drain async saves before reporting done
     print(f"done: checkpoints in {run_dir}")
     return trainer
 
@@ -1242,6 +1252,9 @@ def _load_vocoder(path, overrides, vocoder_model=None):
     def vocoder_fn(mel):
         return infer(jnp.asarray(mel), jax.random.PRNGKey(next(counter)))
 
+    # flows draw per-position noise: chunked (streaming) vocoding would
+    # seam, so T2S skips it for this vocoder
+    vocoder_fn.stochastic = True
     return vocoder_fn, infer, audio_info
 
 

@@ -151,9 +151,14 @@ class T2SConfig:
     frames_per_char: float = 10.0  # dynamic max decoder steps scale
     max_decoder_steps: int = 3000
     vocoder_batch_size: int = 16
-    # streaming vocoding for LONG segments: mels above this many frames
-    # vocode in halo-overlapped chunks (pipeline/streaming.py), audio
-    # bit-identical to the whole-utterance run; 0 disables
+    # chunked vocoding for LONG segments: mels above this many frames
+    # vocode in halo-overlapped chunks (pipeline/streaming.py). Within
+    # infer() this bounds PEAK VOCODER MEMORY (the API still returns one
+    # assembled waveform — callers that want true streaming consume the
+    # pipeline/streaming.streaming_vocode generator directly); audio is
+    # bit-identical to the whole-utterance run for deterministic
+    # vocoders, and stochastic ones (WaveGlow, vocoder_fn.stochastic)
+    # skip chunking to avoid per-chunk noise seams. 0 disables.
     streaming_over_frames: int = 0
     streaming_chunk_frames: int = 256
     streaming_halo_frames: int = 32
@@ -362,10 +367,13 @@ class T2S:
                 for r, m in enumerate(chunk):
                     mel_in[r, : m.shape[0]] = m
                 if (cfg.streaming_over_frames
-                        and t_pad > cfg.streaming_over_frames):
+                        and t_pad > cfg.streaming_over_frames
+                        and not getattr(self.vocoder_fn, "stochastic",
+                                        False)):
                     # long segment: halo-overlapped chunks, bit-identical
-                    # audio, first samples available before the tail
-                    # frames vocode (pipeline/streaming.py)
+                    # assembled audio at bounded peak vocoder memory
+                    # (pipeline/streaming.py; stochastic vocoders skip —
+                    # per-chunk noise would seam)
                     from .streaming import vocode_streamed
                     wav = vocode_streamed(
                         self.vocoder_fn, mel_in,

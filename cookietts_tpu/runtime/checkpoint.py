@@ -218,10 +218,12 @@ class Checkpointer:
             atexit.register(self.wait)
 
     def wait(self) -> None:
-        """Block until any in-flight async save has landed on disk."""
+        """Block until any in-flight async save has landed on disk.
+        A failed save raises HERE (once) — _pending is cleared first so
+        one bad write never poisons every later save/wait/latest."""
         if self._pending is not None:
-            self._pending.result()
-            self._pending = None
+            pending, self._pending = self._pending, None
+            pending.result()
 
     def _save(self, path: str, state_tree, metadata, after=None) -> None:
         if self._executor is None:
@@ -229,7 +231,11 @@ class Checkpointer:
             if after:
                 after()
             return
-        host_tree = _to_host(state_tree)   # consistent snapshot NOW
+        # consistent snapshot NOW: np.array COPIES host-resident numpy
+        # leaves too (np.asarray would alias them, and the caller may
+        # mutate its tree while the background thread serializes)
+        host_tree = jax.tree_util.tree_map(
+            lambda x: np.array(x), _to_serializable(state_tree))
         self.wait()                        # one save in flight
 
         def job():

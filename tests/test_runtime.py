@@ -336,11 +336,47 @@ def test_checkpointer_async_save(tmp_path):
     names = sorted(os.listdir(str(tmp_path)))
     assert "checkpoint_1" not in names
     assert {"checkpoint_2", "checkpoint_3", "best_val_model"} <= set(names)
-    # the snapshot is taken at submit time: later mutation of the source
-    # tree must not leak into the file
-    tree["params"]["w"] *= 0.0
-    ck.save_periodic(4, {"params": {"w": np.ones(3, np.float32)},
-                         "step": 4}, None)
+    # the snapshot is COPIED synchronously at submit time: mutating the
+    # SAME tree right after save_periodic returns (while the background
+    # thread may still be serializing it) must not leak into the file
+    w = np.ones(3, np.float32)
+    live = {"params": {"w": w}, "step": 4}
+    ck.save_periodic(4, live, None)
+    w *= 0.0                                # in-place, post-submit
     ck.wait()
     got, _ = load_checkpoint(str(tmp_path / "checkpoint_4"))
-    np.testing.assert_array_equal(got["params"]["w"], np.ones(3, np.float32))
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  np.ones(3, np.float32))
+
+
+def test_checkpointer_async_failed_save_does_not_poison(tmp_path,
+                                                        monkeypatch):
+    """One failed background write raises ONCE at the next wait and the
+    Checkpointer keeps working afterwards (regression: a stale pending
+    future re-raised forever and dropped every later save)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cookietts_tpu.runtime import checkpoint as ckpt_mod
+    from cookietts_tpu.runtime.checkpoint import Checkpointer, load_checkpoint
+
+    ck = Checkpointer(str(tmp_path), async_save=True)
+    real_save = ckpt_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def flaky(path, tree, metadata=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full")
+        return real_save(path, tree, metadata)
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", flaky)
+    tree = {"params": {"w": np.ones(3, np.float32)}, "step": 1}
+    ck.save_periodic(1, tree, None)
+    with _pytest.raises(OSError):
+        ck.wait()
+    ck.wait()                      # cleared: no re-raise
+    ck.save_periodic(2, tree, None)
+    ck.wait()
+    got, _ = load_checkpoint(str(tmp_path / "checkpoint_2"))
+    np.testing.assert_array_equal(got["params"]["w"], tree["params"]["w"])

@@ -279,7 +279,8 @@ def test_hifigan_gan_steps_dp_matches_single_device():
     ctrl = scalars_to_arrays({"lr": 1e-4, "grad_clip": 100.0})
 
     results = {}
-    for name, mesh in (("single", None), ("dp", make_mesh(dp=8))):
+    for name, mesh in (("single", None),
+                       ("dp", make_mesh(dp=8, devices=jax.devices()[:8]))):
         d_step, g_step = make_hifigan_train_steps(gen, mpd, msd, mel_fn,
                                                   mesh=mesh)
         g_state = TrainState.create(gen.apply, gv["params"], adam())
