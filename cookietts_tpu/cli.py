@@ -1280,6 +1280,40 @@ def _build_t2s(args):
         cfg_kw = {k: (tuple(v) if isinstance(v, list) else v)
                   for k, v in raw.items() if k in t2s_valid}
     cfg_kw.update({k: v for k, v in overrides.items() if k in t2s_valid})
+
+    if getattr(args, "artifact", None):
+        # AOT artifact serving: exported StableHLO functions only — no
+        # model classes / checkpoints / converters on this host
+        from .runtime.export_serving import ArtifactT2SDecoder
+        dec = ArtifactT2SDecoder(args.artifact)
+        cfg_kw["batch_size"] = dec.batch      # buckets fix the batch
+        cfg_kw.setdefault("max_text_len", dec.text_buckets[-1])
+        t2s_cfg = T2SConfig(**cfg_kw)
+        torchmoji_fn = None
+        if getattr(args, "torchmoji", None):
+            from .models.torchmoji import TorchMojiEncoder, load_vocabulary
+            tm_tree, _m = load_checkpoint(args.torchmoji)
+            torchmoji_fn = TorchMojiEncoder(
+                load_vocabulary(args.torchmoji_vocab),
+                {"params": tm_tree["params"]})
+        arpa_fn = None
+        if getattr(args, "arpa_dict", None):
+            from .text.cmudict import ARPADict
+            arpa_fn = ARPADict(args.arpa_dict).get
+        sr = int(dec.audio.get("sampling_rate", 44100))
+        hop = int(dec.audio.get("hop_length", 512))
+        return T2S(t2s_cfg, None, None,
+                   speaker_ids=dec.speaker_ids,
+                   vocoder_fn=(dec.make_vocoder_fn()
+                               if dec._voc_fns else None),
+                   torchmoji_fn=torchmoji_fn, arpa_fn=arpa_fn,
+                   sample_rate=sr, hop_length=hop,
+                   decode_fn=dec.decode,
+                   torchmoji_dim=dec.torchmoji_dim)
+
+    if not getattr(args, "checkpoint", None):
+        raise SystemExit("pass --checkpoint (live model) or --artifact "
+                         "(AOT export)")
     t2s_cfg = T2SConfig(**cfg_kw)
 
     tree, meta = load_checkpoint(args.checkpoint)
@@ -1488,7 +1522,11 @@ def main(argv=None):
     g.set_defaults(fn=cmd_gta)
 
     def _add_t2s_args(sp):
-        sp.add_argument("--checkpoint", required=True,
+        sp.add_argument("--artifact", default=None,
+                        help="AOT serving artifact from `export` — "
+                             "replaces --checkpoint/--vocoder (no model "
+                             "code needed)")
+        sp.add_argument("--checkpoint", required=False, default=None,
                         help="tacotron2 checkpoint (self-describing "
                              "metadata rebuilds the model config)")
         sp.add_argument("-c", "--config", default=None,

@@ -180,15 +180,26 @@ class T2S:
             vocoder_fn=...)   # vocoder_fn(mel [B,T,M]) -> audio [B,T*hop]
     """
 
-    def __init__(self, cfg: T2SConfig, tts_model: Tacotron2,
+    def __init__(self, cfg: T2SConfig, tts_model: Optional[Tacotron2],
                  tts_variables: Any, speaker_ids: Dict[str, int],
                  vocoder_fn: Optional[Callable] = None,
                  torchmoji_fn: Optional[Callable[[str], np.ndarray]] = None,
                  arpa_fn: Optional[Callable[[str], str]] = None,
                  denoiser_fn: Optional[Callable] = None,
-                 sample_rate: int = 44100, hop_length: int = 512):
+                 sample_rate: int = 44100, hop_length: int = 512,
+                 decode_fn: Optional[Callable] = None,
+                 torchmoji_dim: Optional[int] = None):
+        """``decode_fn`` replaces the live model for AOT-artifact serving
+        (runtime/export_serving.ArtifactT2SDecoder.decode): it takes
+        (text, text_lengths, speaker_id, torchmoji, seed u32) and returns
+        (mels, mel_lengths, alignments); scoring runs on the returned
+        alignments. Exported decodes bake their gate threshold/delay and
+        step count, so those per-request fields are fixed in this mode."""
         self.cfg = cfg
         self.model = tts_model
+        self.decode_fn = decode_fn
+        self.torchmoji_dim = (torchmoji_dim if torchmoji_dim is not None
+                              else tts_model.cfg.torchmoji_dim)
         self.variables = tts_variables
         self.speaker_ids = dict(speaker_ids)
         self.vocoder_fn = vocoder_fn
@@ -206,6 +217,20 @@ class T2S:
         never recompile."""
         if max_steps in self._infer_cache:
             return self._infer_cache[max_steps]
+        if self.decode_fn is not None:
+            def run_artifact(variables, text, text_lengths, speaker_id,
+                             torchmoji, key, gate_threshold, gate_delay):
+                del variables, gate_threshold, gate_delay  # baked in AOT
+                seed = jnp.asarray(
+                    np.asarray(jax.random.key_data(key)).ravel()[-1],
+                    jnp.uint32)
+                mels, mel_lengths, align = self.decode_fn(
+                    text, text_lengths, speaker_id, torchmoji, seed)
+                atd = alignment_metric(align, text_lengths, mel_lengths)
+                scores = weighted_score(atd, text_lengths, mel_lengths)
+                return mels, mel_lengths, scores
+            self._infer_cache[max_steps] = run_artifact
+            return run_artifact
         chunk = max(64, self.model.cfg.gate_delay)
 
         def run(variables, text, text_lengths, speaker_id, torchmoji, key,
@@ -318,7 +343,7 @@ class T2S:
             lens = np.zeros((bsz,), np.int32)
             spk = np.zeros((bsz,), np.int32)
             tm_arr = np.zeros(
-                (bsz, self.model.cfg.torchmoji_dim), np.float32)
+                (bsz, max(self.torchmoji_dim, 1)), np.float32)
             for row, i in enumerate(batch_idx):
                 n = min(len(seqs[i]), t_pad)
                 text_arr[row, :n] = seqs[i][:n]

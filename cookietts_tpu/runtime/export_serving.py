@@ -137,3 +137,95 @@ def load_artifact(path: str
         exp = jax_export.deserialize(bytearray(data[k].tobytes()))
         fns[k] = exp.call
     return fns, meta
+
+
+class ArtifactT2SDecoder:
+    """Serving decoder backed by a saved export artifact — no model
+    classes, checkpoints, or converters on the host.
+
+    ``decode(text [B,T], lens, speaker_id, torchmoji, seed u32)`` pads
+    the text to the smallest exported (batch, text) bucket that fits and
+    returns (mels, mel_lengths, alignments cropped to T). Exported
+    decodes bake gate threshold/delay and the step count at export time.
+    ``vocoder(mel [B,T_mel,M], seed)`` routes to the exported vocoder
+    bucket when the artifact carries one.
+    """
+
+    def __init__(self, path: str):
+        fns, meta = load_artifact(path)
+        t2s = meta.get("t2s")
+        if not t2s:
+            raise ValueError(f"{path} has no exported t2s functions")
+        self.meta = meta
+        buckets = sorted(tuple(b) for b in t2s["buckets"])
+        self.batch = buckets[0][0]
+        if any(b != self.batch for b, _ in buckets):
+            raise ValueError("mixed batch sizes in artifact buckets")
+        self.text_buckets = sorted(t for _, t in buckets)
+        self.torchmoji_dim = int(t2s.get("torchmoji_dim") or 0)
+        self.n_mel_channels = int(t2s.get("n_mel_channels", 80))
+        self.speaker_ids = t2s.get("speaker_ids") or {"default": 0}
+        self.audio = dict(t2s.get("audio") or {})
+        self._fns = {t: fns[f"t2s_b{self.batch}_t{t}"]
+                     for t in self.text_buckets}
+        self._voc_fns = {}
+        voc = meta.get("vocoder")
+        if voc:
+            self.audio.update(voc.get("audio") or {})
+            for b, t in (tuple(x) for x in voc["buckets"]):
+                self._voc_fns[(b, t)] = fns[f"vocoder_b{b}_t{t}"]
+
+    def decode(self, text, text_lengths, speaker_id, torchmoji, seed):
+        text = np.asarray(text)
+        B, T = text.shape
+        if B != self.batch:
+            raise ValueError(
+                f"artifact exported at batch {self.batch}, got {B} "
+                "(set T2SConfig.batch_size to match)")
+        fit = [t for t in self.text_buckets if t >= T]
+        if not fit:
+            raise ValueError(
+                f"text length {T} exceeds the largest exported bucket "
+                f"{self.text_buckets[-1]}")
+        tb = fit[0]
+        padded = np.zeros((B, tb), text.dtype)
+        padded[:, :T] = text
+        args = [jnp.asarray(padded), jnp.asarray(text_lengths),
+                jnp.asarray(speaker_id)]
+        if self.torchmoji_dim:
+            tm = np.zeros((B, self.torchmoji_dim), np.float32)
+            if torchmoji is not None:
+                tm[:, : np.asarray(torchmoji).shape[-1]] = torchmoji
+            args.append(jnp.asarray(tm))
+        mels, mel_lengths, _gate, align = self._fns[tb](
+            *args, jnp.asarray(seed, jnp.uint32))
+        return mels, mel_lengths, align[:, :, :T]
+
+    def vocoder(self, mel, seed=0):
+        if not self._voc_fns:
+            raise ValueError("artifact has no exported vocoder")
+        B, T = np.asarray(mel).shape[:2]
+        keys = sorted(k for k in self._voc_fns if k[0] == B and k[1] >= T)
+        if not keys:
+            raise ValueError(
+                f"no vocoder bucket fits mel [{B}, {T}]; exported: "
+                f"{sorted(self._voc_fns)}")
+        b, t = keys[0]
+        padded = np.full((B, t, np.asarray(mel).shape[2]), -11.52,
+                         np.float32)
+        padded[:, :T] = mel
+        hop = int(self.audio.get("hop_length", 0))
+        audio = self._voc_fns[(b, t)](jnp.asarray(padded),
+                                      jnp.asarray(seed, jnp.uint32))
+        return audio[:, : T * hop] if hop else audio
+
+    def make_vocoder_fn(self):
+        """A T2S-compatible ``vocoder_fn(mel) -> audio`` closure."""
+        import itertools
+        counter = itertools.count()
+
+        def fn(mel):
+            return self.vocoder(mel, seed=next(counter))
+
+        fn.stochastic = True       # per-call seeds: skip chunked vocoding
+        return fn

