@@ -300,3 +300,32 @@ def test_hifigan_gan_steps_dp_matches_single_device():
     assert np.isclose(results["single"][0], results["dp"][0], atol=1e-5)
     assert np.isclose(results["single"][1], results["dp"][1], atol=2e-4)
     _leaves_close(results["single"][2], results["dp"][2], atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_hifigan_sp_inference_matches_single_device():
+    """HiFi-GAN inference with the mel TIME axis sharded over sp=8 (one
+    long utterance across chips; GSPMD halo-exchanges the convs) matches
+    the single-device waveform."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    cfg = HiFiGANConfig(
+        n_mel_channels=8, resblock_kernel_sizes=(3, 7),
+        resblock_dilations=((1, 3, 5), (1, 3, 5)),
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16)
+    gen = Generator(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 64, 8)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), mel[:, :8])
+
+    infer = lambda v, m: gen.apply(v, m)                 # noqa: E731
+    ref = np.asarray(jax.jit(infer)(variables, mel))
+
+    mesh = make_mesh(dp=1, tp=1, sp=8)
+    mel_sp = jax.device_put(mel, NamedSharding(mesh, P(None, "sp", None)))
+    with mesh:
+        out = np.asarray(jax.jit(infer)(variables, mel_sp))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
