@@ -1300,13 +1300,40 @@ def _build_t2s(args):
         if getattr(args, "arpa_dict", None):
             from .text.cmudict import ARPADict
             arpa_fn = ARPADict(args.arpa_dict).get
-        sr = int(dec.audio.get("sampling_rate", 44100))
-        hop = int(dec.audio.get("hop_length", 512))
+        audio_info = dict(dec.audio)
+        vocoder_fn = dec.make_vocoder_fn() if dec._voc_fns else None
+        denoiser_fn = None
+        if getattr(args, "vocoder", None):
+            # an explicit live vocoder checkpoint overrides (or supplies)
+            # the artifact's — never drop the flag silently
+            vocoder_fn, infer_with_key, v_audio = _load_vocoder(
+                args.vocoder, overrides,
+                getattr(args, "vocoder_model", None))
+            audio_info.update(v_audio)
+            if getattr(args, "denoiser", False):
+                from .models.denoiser import Denoiser
+                denoiser_fn = Denoiser(
+                    infer_with_key,
+                    sampling_rate=int(audio_info.get("sampling_rate",
+                                                     44100)),
+                    n_mel_channels=int(audio_info.get("n_mel_channels",
+                                                      80)))
+        elif getattr(args, "denoiser", False):
+            raise SystemExit(
+                "--denoiser needs a live --vocoder checkpoint (the "
+                "artifact's exported vocoder cannot expose the keyed "
+                "bias-extraction call)")
+        speaker_ids = dec.speaker_ids
+        if getattr(args, "speaker_info", None):
+            from .data.filelist import load_speaker_info
+            speaker_ids = load_speaker_info(args.speaker_info)
+        sr = int(audio_info.get("sampling_rate", 44100))
+        hop = int(audio_info.get("hop_length", 512))
         return T2S(t2s_cfg, None, None,
-                   speaker_ids=dec.speaker_ids,
-                   vocoder_fn=(dec.make_vocoder_fn()
-                               if dec._voc_fns else None),
+                   speaker_ids=speaker_ids,
+                   vocoder_fn=vocoder_fn,
                    torchmoji_fn=torchmoji_fn, arpa_fn=arpa_fn,
+                   denoiser_fn=denoiser_fn,
                    sample_rate=sr, hop_length=hop,
                    decode_fn=dec.decode,
                    torchmoji_dim=dec.torchmoji_dim)

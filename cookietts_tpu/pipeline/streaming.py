@@ -33,17 +33,28 @@ def streaming_vocode(vocoder_fn: Callable, mel,
                      ) -> Iterator[Tuple[int, np.ndarray]]:
     """Yield ``(start_sample, audio_chunk [B, chunk*hop])`` pieces whose
     concatenation equals ``vocoder_fn(mel)`` exactly (see module doc for
-    the halo condition). ``mel``: [B, T, n_mel]."""
+    the halo condition). ``mel``: [B, T, n_mel].
+
+    EVERY chunk is the same width ``chunk + 2*halo`` — edge chunks slide
+    their window inward over REAL frames instead of shrinking (a true
+    sequence edge inside the window behaves exactly like the full run's
+    own zero padding) — so the vocoder compiles ONE program per batch
+    shape regardless of utterance length. Mels shorter than one window
+    vocode whole."""
     mel = jnp.asarray(mel)
     T = mel.shape[1]
     hop = hop_length
+    W = chunk_frames + 2 * halo_frames
+    if T <= W:
+        audio = np.asarray(vocoder_fn(mel))
+        yield 0, audio
+        return
     for s in range(0, T, chunk_frames):
         e = min(s + chunk_frames, T)
-        lo = max(0, s - halo_frames)
-        hi = min(T, e + halo_frames)
-        audio = vocoder_fn(mel[:, lo:hi])
+        lo = min(max(0, s - halo_frames), T - W)
+        audio = vocoder_fn(mel[:, lo: lo + W])
         if hop is None:
-            hop = audio.shape[1] // (hi - lo)
+            hop = audio.shape[1] // W
         piece = np.asarray(audio[:, (s - lo) * hop: (e - lo) * hop])
         yield s * hop, piece
 

@@ -212,10 +212,26 @@ class Checkpointer:
         self._executor = self._pending = None
         if async_save:
             import atexit
+            import weakref
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-save")
-            atexit.register(self.wait)
+
+            # weakref: the atexit hook must not pin the Checkpointer (one
+            # per Trainer) for the life of the process, and a failed
+            # final save should WARN at shutdown, not raise from atexit
+            ref = weakref.ref(self)
+
+            def _drain():
+                obj = ref()
+                if obj is None:
+                    return
+                try:
+                    obj.wait()
+                except Exception as e:    # pragma: no cover - shutdown
+                    print(f"[checkpoint] async save failed at exit: {e}")
+
+            atexit.register(_drain)
 
     def wait(self) -> None:
         """Block until any in-flight async save has landed on disk.
@@ -231,12 +247,13 @@ class Checkpointer:
             if after:
                 after()
             return
+        self.wait()          # one save in flight — drain BEFORE copying
+        # (waiting first keeps peak host memory at ONE extra state copy)
         # consistent snapshot NOW: np.array COPIES host-resident numpy
         # leaves too (np.asarray would alias them, and the caller may
         # mutate its tree while the background thread serializes)
         host_tree = jax.tree_util.tree_map(
             lambda x: np.array(x), _to_serializable(state_tree))
-        self.wait()                        # one save in flight
 
         def job():
             save_checkpoint(path, host_tree, metadata)

@@ -202,21 +202,27 @@ class ArtifactT2SDecoder:
         return mels, mel_lengths, align[:, :, :T]
 
     def vocoder(self, mel, seed=0):
+        """Route ``mel [B, T, M]`` to the smallest exported bucket that
+        fits: rows pad with silence up to the bucket batch (the serving
+        worker hands RAGGED segment chunks, never artifact-aligned
+        batches) and time pads to the bucket frames; output crops back
+        to [B, T*hop]."""
         if not self._voc_fns:
             raise ValueError("artifact has no exported vocoder")
-        B, T = np.asarray(mel).shape[:2]
-        keys = sorted(k for k in self._voc_fns if k[0] == B and k[1] >= T)
+        mel = np.asarray(mel)
+        B, T = mel.shape[:2]
+        keys = sorted(k for k in self._voc_fns if k[0] >= B and k[1] >= T)
         if not keys:
             raise ValueError(
                 f"no vocoder bucket fits mel [{B}, {T}]; exported: "
                 f"{sorted(self._voc_fns)}")
-        b, t = keys[0]
-        padded = np.full((B, t, np.asarray(mel).shape[2]), -11.52,
-                         np.float32)
-        padded[:, :T] = mel
+        b, t = min(keys, key=lambda k: (k[0] * k[1], k))
+        padded = np.full((b, t, mel.shape[2]), -11.52, np.float32)
+        padded[:B, :T] = mel
         hop = int(self.audio.get("hop_length", 0))
         audio = self._voc_fns[(b, t)](jnp.asarray(padded),
                                       jnp.asarray(seed, jnp.uint32))
+        audio = audio[:B]
         return audio[:, : T * hop] if hop else audio
 
     def make_vocoder_fn(self):

@@ -179,13 +179,29 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
     entries = export_tacotron2_serving(
         model, dict(variables), buckets=[(B, T), (B, 64)],
         max_decoder_steps=32, platforms=("cpu",))
+    # plus a vocoder at the SAME bucket batch — T2S hands it RAGGED
+    # segment chunks, which must row-pad into the bucket
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    hcfg = HiFiGANConfig(
+        n_mel_channels=cfg.n_mel_channels, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=8)
+    gen = Generator(hcfg)
+    gvars = gen.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 8, cfg.n_mel_channels), jnp.float32))
+    entries.update(export_vocoder_serving(
+        lambda m, k: gen.apply(gvars, m), cfg.n_mel_channels,
+        [(B, 32)], needs_key=True, platforms=("cpu",)))
     path = str(tmp_path / "serving.npz")
     save_artifact(path, entries, {
         "t2s": {"buckets": [[B, T], [B, 64]],
                 "n_mel_channels": cfg.n_mel_channels,
                 "torchmoji_dim": cfg.torchmoji_dim,
                 "speaker_ids": {"alice": 0, "bob": 1},
-                "audio": {"sampling_rate": 22050, "hop_length": 128}}})
+                "audio": {"sampling_rate": 22050, "hop_length": 8}},
+        "vocoder": {"buckets": [[B, 32]],
+                    "n_mel_channels": cfg.n_mel_channels,
+                    "audio": {"hop_length": 8}}})
 
     dec = ArtifactT2SDecoder(path)
     assert dec.batch == B and dec.text_buckets == [T, 64]
@@ -193,7 +209,8 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
                         step_buckets=(32,), max_decoder_steps=32),
               None, None, speaker_ids=dec.speaker_ids,
               decode_fn=dec.decode, torchmoji_dim=dec.torchmoji_dim,
-              sample_rate=22050, hop_length=128)
+              vocoder_fn=dec.make_vocoder_fn(),
+              sample_rate=22050, hop_length=8)
     res = t2s.infer("Hello there. How are you today?",
                     speaker=["alice", "bob"], speaker_mode="cycle next",
                     seed=3)
@@ -202,6 +219,9 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
     assert np.all(np.isfinite(np.concatenate(
         [m.ravel() for m in res["mels"]])))
     assert np.all(np.isfinite(res["scores"]))
+    # ragged segment chunks row-padded into the vocoder bucket -> audio
+    assert len(res["audio"]) == int(res["mel_lengths"].sum()) * 8
+    assert np.all(np.isfinite(res["audio"]))
 
     # bucket routing: a text wider than 32 tokens uses the 64 bucket
     text = np.zeros((B, 40), np.int32)

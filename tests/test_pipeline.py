@@ -409,10 +409,18 @@ def test_streaming_vocode_bit_exact():
     variables = gen.init(jax.random.PRNGKey(0), mel[:, :8])
     voc = jax.jit(lambda m: gen.apply(variables, m))
 
+    shapes = []
+
+    def voc_spy(m):
+        shapes.append(m.shape)
+        return voc(m)
+
     full = np.asarray(voc(mel))
-    got = vocode_streamed(voc, mel, chunk_frames=48, halo_frames=24)
+    got = vocode_streamed(voc_spy, mel, chunk_frames=48, halo_frames=24)
     assert got.shape == full.shape
     np.testing.assert_array_equal(got, full)
+    # every chunk shares ONE shape (one compiled program per batch)
+    assert len(set(shapes)) == 1, shapes
 
     # pieces arrive in order with correct sample offsets
     offs = [o for o, _ in streaming_vocode(voc, mel, 48, 24)]
