@@ -231,3 +231,45 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
                                  np.zeros((B, cfg.torchmoji_dim),
                                           np.float32), 7)
     assert align.shape[2] == 40                 # cropped to input T
+
+
+def test_artifact_decoder_error_paths(tmp_path):
+    """Loud, specific errors: wrong batch, oversize text, artifact
+    without t2s functions, vocoder-less artifact."""
+    import pytest
+
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.runtime.export_serving import ArtifactT2SDecoder
+    from cookietts_tpu.text import N_SYMBOLS
+
+    cfg = tiny_cfg(n_symbols=N_SYMBOLS, max_decoder_steps=16)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg, B=2, T_txt=8, T_mel=12)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    entries = export_tacotron2_serving(
+        model, dict(variables), buckets=[(2, 16)], max_decoder_steps=16,
+        platforms=("cpu",))
+    path = str(tmp_path / "a.npz")
+    save_artifact(path, entries, {
+        "t2s": {"buckets": [[2, 16]], "n_mel_channels": cfg.n_mel_channels,
+                "torchmoji_dim": cfg.torchmoji_dim,
+                "speaker_ids": {"a": 0}, "audio": {}}})
+    dec = ArtifactT2SDecoder(path)
+
+    tm = np.zeros((2, cfg.torchmoji_dim), np.float32)
+    with pytest.raises(ValueError, match="batch"):
+        dec.decode(np.zeros((3, 8), np.int32), np.ones(3, np.int32),
+                   np.zeros(3, np.int32), None, 0)
+    with pytest.raises(ValueError, match="bucket"):
+        dec.decode(np.zeros((2, 40), np.int32), np.ones(2, np.int32),
+                   np.zeros(2, np.int32), tm, 0)
+    with pytest.raises(ValueError, match="vocoder"):
+        dec.vocoder(np.zeros((2, 4, cfg.n_mel_channels), np.float32))
+
+    bad = str(tmp_path / "b.npz")
+    save_artifact(bad, {}, {"vocoder": {"buckets": []}})
+    with pytest.raises(ValueError, match="t2s"):
+        ArtifactT2SDecoder(bad)
