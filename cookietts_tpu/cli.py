@@ -129,6 +129,15 @@ def cmd_train(args):
     items = [dataset[i % len(dataset)] for i in range(batch_size)]
     batch = collate(items, dcfg)
     dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopath"}
+    # dataset global mel mean feeds drop-frame-rate (reference
+    # calculate_global_mean averages the WHOLE dataset, train.py:463-480;
+    # this estimates it from the init items — unbiased over random
+    # frames, one-time, no extra IO)
+    _m = np.asarray(batch["mels"], np.float32)
+    _valid = (np.arange(_m.shape[1])[None, :]
+              < np.asarray(batch["mel_lengths"])[:, None])
+    global_mean = ((_m * _valid[:, :, None]).sum((0, 1))
+                   / np.maximum(_valid.sum(), 1)).astype(np.float32)
     variables = jax.jit(model.init, static_argnames=("deterministic",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         text=dev["text"], text_lengths=dev["text_lengths"],
@@ -174,7 +183,8 @@ def cmd_train(args):
     state = TrainState.create(model.apply, params, adam(), mutables)
     train_step = make_tacotron2_train_step(model, mesh=mesh,
                                            tp_rules=tp_rules)
-    eval_step = make_tacotron2_eval_step(model, mesh=mesh)
+    eval_step = make_tacotron2_eval_step(model, mesh=mesh,
+                                         tp_rules=tp_rules)
 
     # held-out validation batch, validated on the live config's
     # validation_interval cadence (reference train.py:774-797)
@@ -186,8 +196,8 @@ def cmd_train(args):
         async_save=bool(overrides.get("async_save", False))),
         state, train_step, eval_step,
         val_batches=val_batches,
-        inference_eval_step=make_tacotron2_inference_eval_step(model,
-                                                               mesh=mesh))
+        inference_eval_step=make_tacotron2_inference_eval_step(
+            model, mesh=mesh, tp_rules=tp_rules))
     # self-describing checkpoints: model kind + the config overrides that
     # rebuild it + the speaker map + audio frontend (the reference bundles
     # hparams and speaker_id_lookup into every checkpoint,
@@ -236,10 +246,15 @@ def cmd_train(args):
         # background batch prep overlaps host IO/mel work with the TPU
         # step (reference DataLoader num_workers, train.py:160-166)
         for batch in Prefetcher(_load, sampler, depth=2):
+            batch["global_mean"] = global_mean    # drop-frame-rate target
             if mesh is not None:
-                batch = {k: (shard_batch(jnp.asarray(v), mesh)
-                             if k != "audiopath" else v)
-                         for k, v in batch.items()}
+                from .parallel.mesh import replicate_global
+                batch = {
+                    k: (v if k == "audiopath"
+                        else replicate_global(jnp.asarray(v), mesh)
+                        if k == "global_mean"
+                        else shard_batch(jnp.asarray(v), mesh))
+                    for k, v in batch.items()}
             metrics = trainer.step(batch)
             if it % 10 == 0:
                 print(f"iter {it}: "

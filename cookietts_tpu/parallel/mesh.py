@@ -78,6 +78,16 @@ def sp_batch_shardings(batch, mesh: Mesh,
     return {k: spec(k, v) for k, v in batch.items()}
 
 
+def replicate_global(x, mesh: Mesh):
+    """Place a GLOBAL (non-batch) array replicated on the mesh — e.g. the
+    dataset mel mean feeding drop-frame-rate. Multi-host: every process
+    passes the identical full array as its local replica."""
+    sharding = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch, mesh: Mesh, time_axes: Optional[Dict[str, int]] = None):
     """Put a pytree of [B, ...] arrays on the mesh with B sharded over dp
     (and, for dict batches with ``time_axes`` given on an sp mesh, the

@@ -242,6 +242,12 @@ class Checkpointer:
             pending.result()
 
     def _save(self, path: str, state_tree, metadata, after=None) -> None:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: params are replicated, so rank 0 writes and
+            # everyone else skips — concurrent writers would interleave
+            # into the SAME .tmp path on a shared run_dir (the reference
+            # also saves on rank 0 only, train.py:760-772)
+            return
         if self._executor is None:
             save_checkpoint(path, state_tree, metadata)
             if after:

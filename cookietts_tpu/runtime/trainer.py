@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses import DEFAULT_LOSS_SCALARS, tacotron2_loss
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
-from .checkpoint import Checkpointer, load_checkpoint, warm_start
+from ..parallel.mesh import batch_sharding, replicated
+from .checkpoint import Checkpointer
 from .live_config import LiveConfig, LossExplosion
 from .logging_util import FileLossDB, MetricsLogger
 from .optim import clip_by_global_norm
@@ -136,9 +136,13 @@ def make_tacotron2_train_step(model, mesh=None,
         def wrapped(state, batch, key, ctrl, carry=None):
             if "jitted" not in cache:
                 ss = _state_shardings(mesh, tp_rules, state)
+                # per-key batch shardings: every [B, ...] leaf over dp,
+                # GLOBAL leaves (the drop-frame-rate mel mean) replicated
+                bsd = {k: (rep if k == "global_mean" else bs)
+                       for k in batch}
                 cache["jitted"] = jax.jit(
                     step,
-                    in_shardings=(ss, bs, rep, rep, bs),
+                    in_shardings=(ss, bsd, rep, rep, bs),
                     out_shardings=(ss, rep, bs, bs),
                     donate_argnums=(0,) if donate else (),
                 )
@@ -149,13 +153,19 @@ def make_tacotron2_train_step(model, mesh=None,
 
 
 def make_tacotron2_eval_step(model, mesh=None,
-                             gate_positive_weight: float = 10.0) -> Callable:
+                             gate_positive_weight: float = 10.0,
+                             tp_rules=None) -> Callable:
     """Teacher-forced validation step (no grads). Returns
     (loss_dict, file_losses, outputs) — outputs feed the alignment / mel /
     gate image logging the reference does every validation
-    (logger.py:64-114)."""
+    (logger.py:64-114). Validation runs at FULL teacher forcing
+    regardless of the live training schedule (reference teacher_force=1
+    mode, train.py:392-394) so val_loss stays comparable across the run.
+    ``tp_rules`` must match the train step's so tp-sharded states are
+    not all-gathered every validation."""
 
     def step(state: TrainState, batch, key, ctrl):
+        del ctrl      # validation is schedule-independent
         variables = {"params": state.params, **(state.mutables or {})}
         out, _ = model.apply(
             variables,
@@ -164,8 +174,8 @@ def make_tacotron2_eval_step(model, mesh=None,
             speaker_id=batch["speaker_id"], sylps=batch["sylps"],
             torchmoji_hidden=batch.get("torchmoji"),
             key=key,
-            p_teacher_forcing=ctrl["p_teacher_forcing"],
-            teacher_force_till=ctrl["teacher_force_till"],
+            p_teacher_forcing=1.0,
+            teacher_force_till=0,
             emotion_id=batch.get("emotion_id"),
             emotion_onehot=batch.get("emotion_onehot"),
             deterministic=True)
@@ -188,11 +198,21 @@ def make_tacotron2_eval_step(model, mesh=None,
         return jax.jit(step)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
-                   out_shardings=(rep, bs, bs))
+    cache = {}
+
+    def wrapped(state, batch, key, ctrl):
+        if "jitted" not in cache:
+            ss = _state_shardings(mesh, tp_rules, state)
+            cache["jitted"] = jax.jit(
+                step, in_shardings=(ss, bs, rep, rep),
+                out_shardings=(rep, bs, bs))
+        return cache["jitted"](state, batch, key, ctrl)
+
+    return wrapped
 
 
-def make_tacotron2_inference_eval_step(model, mesh=None) -> Callable:
+def make_tacotron2_inference_eval_step(model, mesh=None,
+                                       tp_rules=None) -> Callable:
     """FREE-RUNNING validation step (no teacher forcing).
 
     The reference validates BOTH teacher-forced and inference modes every
@@ -244,8 +264,17 @@ def make_tacotron2_inference_eval_step(model, mesh=None) -> Callable:
         return jax.jit(step)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(step, in_shardings=(rep, bs, rep, rep),
-                   out_shardings=(rep, bs, bs))
+    cache = {}
+
+    def wrapped(state, batch, key, ctrl):
+        if "jitted" not in cache:
+            ss = _state_shardings(mesh, tp_rules, state)
+            cache["jitted"] = jax.jit(
+                step, in_shardings=(ss, bs, rep, rep),
+                out_shardings=(rep, bs, bs))
+        return cache["jitted"](state, batch, key, ctrl)
+
+    return wrapped
 
 
 def adapt_carry(carry, t_enc: int, batch_size: int):
@@ -358,6 +387,10 @@ class Trainer:
         self.n_restarts = 0
         self.default_metadata: Dict[str, Any] = {}   # stamped on every ckpt
         self.key = jax.random.PRNGKey(cfg.seed)
+        # host-side copy of the INITIAL params: the explosion fallback
+        # when loss goes non-finite before any best_val_model exists
+        self._init_params = jax.tree_util.tree_map(
+            np.asarray, jax.device_get(state.params))
         self.carry = None        # TBPTT decoder state carried across iters
         self._iter_time_ema = None   # smoothed s/iter (tracing subsystem)
         self._profiling = False
@@ -366,7 +399,6 @@ class Trainer:
         """Full resume (params + optimizer + step) from ``path`` or the
         latest periodic checkpoint in the run dir (reference full-resume
         mode, train.py:255-279). Returns the restored step."""
-        from .checkpoint import restore_train_state
         path = path or self.ckpt.latest()
         if path is None:
             print("[trainer] no checkpoint to resume from; starting fresh")
@@ -430,6 +462,7 @@ class Trainer:
             self.live.poll({"iteration": it})
         self.key, sub = jax.random.split(self.key)
         ctrl = self.ctrl(it)
+        batch = dict(batch)           # never mutate the caller's dict
         paths = batch.pop("audiopath", None)
         batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
         if getattr(self.train_step, "carries_state", False):
@@ -522,8 +555,29 @@ class Trainer:
             self.state, _ = restore_any(new_state, best)
         else:
             self.state = new_state
+            finite = all(
+                bool(np.all(np.isfinite(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(
+                    jax.device_get(new_state.params))
+                if np.issubdtype(np.asarray(x).dtype, np.floating))
+            if not finite:
+                # NaN grads poisoned the one update that tripped the
+                # threshold and no checkpoint exists yet to reload — a
+                # bare retry would NaN-loop to n_restarts_max. Restart
+                # from the stashed INITIAL params with fresh moments.
+                self.state = self._reset_to_initial(new_state)
+                print("[trainer] non-finite params with no best "
+                      "checkpoint; reset to initial params")
         print(f"[trainer] LossExplosion (loss={loss}); restart "
               f"#{self.n_restarts}, lr decay 2^{self.n_restarts}/3")
+
+    def _reset_to_initial(self, state):
+        """Fresh start: initial params, zeroed optimizer moments, step
+        kept (a poisoned state has nothing worth preserving)."""
+        params = jax.tree_util.tree_map(jnp.asarray, self._init_params)
+        opt_state = jax.tree_util.tree_map(
+            jnp.zeros_like, state.opt_state)
+        return state.replace(params=params, opt_state=opt_state)
 
     # -- checkpointing ------------------------------------------------------
     def _state_tree(self):
@@ -558,20 +612,26 @@ class Trainer:
         step_fn = step_fn or self.eval_step
         assert step_fn is not None
         it = iteration if iteration is not None else int(self.state.step)
+        ctrl = self.ctrl(it)          # fixed for the whole validation
         agg: Dict[str, list] = {}
         first = None
         for i, batch in enumerate(batches):
             key = jax.random.PRNGKey(self.cfg.seed + i)   # forked, seeded
-            ctrl = self.ctrl(it)
             batch = dict(batch)
-            batch.pop("audiopath", None)
-            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            res = step_fn(self.state, batch_dev, key, ctrl)
+            paths = batch.pop("audiopath", None)
+            # leaves stay host-side: jit places them per its in_shardings
+            # (an eager jnp.asarray would COMMIT process-local arrays
+            # that a multi-host mesh cannot reshard)
+            res = step_fn(self.state, batch, key, ctrl)
             loss_dict, outputs = res[0], (res[2] if len(res) > 2 else None)
+            if paths is not None and len(res) > 1 and res[1]:
+                # validation per-file scores (e.g. inf_att_score) join the
+                # curation db alongside the training losses
+                self.file_db.update(paths, align_file_losses(paths, res[1]))
             for k, v in loss_dict.items():
                 agg.setdefault(k, []).append(float(v))
             if i == 0 and outputs is not None:
-                first = (batch_dev, outputs)
+                first = (batch, outputs)
         means = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
         self.logger.log_scalars(it, means, prefix=prefix)
         if log_images and first is not None:

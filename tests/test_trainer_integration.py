@@ -475,3 +475,27 @@ def test_allgather_object_single_process_roundtrip():
     from cookietts_tpu.parallel.launch import allgather_object
     obj = {"a.wav": {"spec_MSE": 0.5}, "b.wav": {"att": [1, 2]}}
     assert allgather_object(obj) == [obj]
+
+
+def test_drop_frame_rate_is_active_with_global_mean(trainer_setup):
+    """drop_frame_rate actually changes the training loss once the batch
+    carries the dataset global mel mean (regression: nothing ever
+    supplied 'global_mean', so the live-config DFR knob was inert)."""
+    trainer, batch, _ = trainer_setup
+    gm = np.asarray(batch["mels"]).mean((0, 1)).astype(np.float32)
+
+    def loss_at(dfr):
+        ctrl = trainer.ctrl(0)
+        ctrl["drop_frame_rate"] = jnp.asarray(dfr, jnp.float32)
+        b = {k: jnp.asarray(v) for k, v in batch.items()
+             if k != "audiopath"}
+        b["global_mean"] = jnp.asarray(gm)
+        from cookietts_tpu.runtime.trainer import adapt_carry
+        _, loss_dict, _, _ = trainer.train_step(
+            trainer.state, b, jax.random.PRNGKey(11), ctrl, None)
+        return float(loss_dict["loss"])
+
+    base = loss_at(0.0)
+    dropped = loss_at(0.9)
+    assert np.isfinite(base) and np.isfinite(dropped)
+    assert abs(base - dropped) > 1e-4, (base, dropped)
