@@ -195,8 +195,10 @@ class TTSDataset:
     def _cfg_hash(self) -> str:
         return hashlib.md5(
             f"{self.cfg.sampling_rate}_{self.cfg.filter_length}_"
-            f"{self.cfg.hop_length}_{self.cfg.n_mel_channels}_"
+            f"{self.cfg.hop_length}_{self.cfg.win_length}_"
+            f"{self.cfg.n_mel_channels}_"
             f"{self.cfg.mel_fmin}_{self.cfg.mel_fmax}_"
+            f"{self.cfg.clamp_val}_"
             f"{self.cfg.trim_top_db if self.cfg.trim_enable else 'raw'}_"
             f"{self.cfg.target_lufs}".encode()).hexdigest()[:8]
 
@@ -254,8 +256,16 @@ class TTSDataset:
                 except (OSError, ValueError):
                     n = None
             if n is None:
-                audio = self.load_audio(path)
-                n = len(audio) // self.cfg.hop_length + 1
+                try:
+                    audio = self.load_audio(path)
+                    n = len(audio) // self.cfg.hop_length + 1
+                except Exception:
+                    if not self.cfg.force_load:
+                        raise
+                    # unreadable file: plan it as a median-ish length —
+                    # __getitem__ will substitute a random readable file
+                    # at load time anyway (reference force_load)
+                    n = max(int(self.cfg.max_segment_frames), 1)
                 if self.cfg.cache_mels:
                     _atomic_save(len_cache, np.asarray(n, np.int64))
         self._len_cache[index] = n
@@ -324,9 +334,12 @@ class TTSDataset:
         epoch changes (it would otherwise grow by O(dataset) per epoch
         over reference-scale multi-day runs)."""
         epoch = getattr(self, "epoch", 0)
-        if self._text_len_cache and next(
-                iter(self._text_len_cache))[0] != epoch:
-            self._text_len_cache.clear()
+        # plain attribute compare: Prefetcher threads call this
+        # concurrently, and inspecting the dict's first key races its
+        # own clear/insert
+        if getattr(self, "_text_len_epoch", epoch) != epoch:
+            self._text_len_cache = {}
+        self._text_len_epoch = epoch
         key = (epoch, index)
         n = self._text_len_cache.get(key)
         if n is None:
@@ -339,7 +352,14 @@ class TTSDataset:
     def __getitem__(self, index: int) -> Dict[str, Any]:
         for attempt in range(20 if self.cfg.force_load else 1):
             try:
-                return self._get(index)
+                item = self._get(index)
+                if attempt:
+                    # a random stand-in (reference data_utils.py:888-902)
+                    # has DIFFERENT lengths than the entry the batch
+                    # shapes were planned from — collate clamps marked
+                    # rows instead of asserting/corrupting
+                    item["_substituted"] = True
+                return item
             except Exception:
                 if not self.cfg.force_load or attempt == 19:
                     raise
@@ -380,8 +400,11 @@ class TTSDataset:
             out["emotion_id"] = int(e.get("emotion_id", -1))
         if "sylps" in self.features:
             n_syl = audio_io.count_syllables(e["quote"])
-            dur = (out.get("mel_length", 1) * cfg.hop_length
-                   / cfg.sampling_rate)
+            # mel_length when the mel was built; otherwise the cheap
+            # frame-count metadata (a 1-frame default would inflate
+            # sylps ~1000x)
+            n_frames = out.get("mel_length") or self.mel_frame_length(index)
+            dur = n_frames * cfg.hop_length / cfg.sampling_rate
             out["sylps"] = np.float32(n_syl / max(dur, 1e-2))
         if "f0" in self.features:
             assert audio is not None
@@ -480,17 +503,18 @@ class TBPTTSampler:
                 [Segment(i, s, n) for s in range(n)])
 
     def __iter__(self):
-        lanes: List[List[Segment]] = [[] for _ in range(self.batch_size)]
-        pending = list(self.queue)
+        from collections import deque
+        lanes: List[deque] = [deque() for _ in range(self.batch_size)]
+        pending = deque(self.queue)       # O(1) popleft at filelist scale
         while True:
             batch: List[Segment] = []
             for lane in lanes:
                 if not lane:
                     if pending:
-                        lane.extend(pending.pop(0))
+                        lane.extend(pending.popleft())
                     else:
                         return
-                batch.append(lane.pop(0))
+                batch.append(lane.popleft())
             yield batch
 
 
@@ -521,10 +545,22 @@ def collate(items: Sequence[Dict[str, Any]],
             t_max = max(len(it["text"]) for it in items)
             if static_shapes:
                 t_max = bucket_size(t_max, cfg.text_buckets)
+        if pad_to is None:
+            over = max((len(it["text"]) for it in items
+                        if not it.get("_substituted")), default=0)
+            if over > t_max:
+                # never silently truncate real transcripts (mel has the
+                # same guarantee below); extend past the largest bucket
+                # in 32-token steps
+                t_max = -(-over // 32) * 32
         text = np.zeros((B, t_max), np.int32)
         text_lengths = np.zeros((B,), np.int32)
         for i, it in enumerate(items):
             n = min(len(it["text"]), t_max)
+            if n < len(it["text"]) and not it.get("_substituted"):
+                raise ValueError(
+                    f"text row {i} ({len(it['text'])} tokens) exceeds the "
+                    f"planned width {t_max}")
             text[i, :n] = it["text"][:n]
             text_lengths[i] = n
         out["text"] = text
@@ -547,16 +583,23 @@ def collate(items: Sequence[Dict[str, Any]],
                 for it, s in zip(items, segments))
         if pad_to is not None:
             m_max = pad_to[1]
-            assert m_max >= m_req, \
+            real_req = max(
+                (min(it["mel"].shape[0]
+                     - (s.seg_idx * cfg.max_segment_frames if s else 0),
+                     cfg.max_segment_frames if s else it["mel"].shape[0])
+                 for it, s in zip(items, segments or [None] * B)
+                 if not it.get("_substituted")), default=0)
+            assert m_max >= real_req, \
                 "pad_to mel width would truncate a row"
         else:
             m_max = m_req
         if static_shapes and pad_to is None:
             m_max = bucket_size(m_req, cfg.mel_buckets)
-            if segments is None and m_max < m_req:
-                # never silently truncate full utterances (GTA / eval
-                # batches): extend past the largest bucket in 64-frame
-                # steps instead of dropping frames and mis-placing gate=1
+            if m_max < m_req:
+                # never silently truncate (full utterances OR a TBPTT
+                # segment when max_segment_frames exceeds the largest
+                # bucket): extend past the bucket in 64-frame steps
+                # instead of dropping frames and mis-placing gate=1
                 m_max = -(-m_req // 64) * 64
         n_mel = items[0]["mel"].shape[1]
         mels = np.zeros((B, m_max, n_mel), np.float32)
@@ -584,6 +627,12 @@ def collate(items: Sequence[Dict[str, Any]],
         out["cont_next_iter"] = cont_next
 
     if "durations" in items[0] and "text" in out:
+        if segments is not None and any(s.n_segs > 1 for s in segments):
+            raise NotImplementedError(
+                "durations + TBPTT segments: whole-utterance durations "
+                "cannot be refit to a mid-utterance segment (the NAR "
+                "models collate full utterances; Tacotron2 TBPTT never "
+                "requests durations)")
         # refit to the bucketed text width and the (possibly truncated)
         # collated mel length so length_regulate sees a consistent batch
         N = out["text"].shape[1]
@@ -635,8 +684,14 @@ def global_bucket_shapes(dataset: "TTSDataset", segs: Sequence[Segment],
     m_req = max(min(dataset.mel_frame_length(s.file_idx)
                     - s.seg_idx * cfg.max_segment_frames,
                     cfg.max_segment_frames) for s in segs)
-    return (bucket_size(t_req, cfg.text_buckets),
-            bucket_size(m_req, cfg.mel_buckets))
+    # mirror collate's never-truncate extensions exactly (same formulas)
+    t_pad = bucket_size(t_req, cfg.text_buckets)
+    if t_pad < t_req:
+        t_pad = -(-t_req // 32) * 32
+    m_pad = bucket_size(m_req, cfg.mel_buckets)
+    if m_pad < m_req:
+        m_pad = -(-m_req // 64) * 64
+    return (t_pad, m_pad)
 
 
 def collate_local_shard(dataset: "TTSDataset", segs: Sequence[Segment],

@@ -839,3 +839,54 @@ def test_load_speaker_info(tmp_path):
                 "ds1|Bob|3|0.5\n"
                 "Carol|7\n")
     assert load_speaker_info(p) == {"Alice": 0, "Bob": 3, "Carol": 7}
+
+
+def test_collate_extends_past_largest_text_bucket():
+    """Real transcripts longer than the largest text bucket extend the
+    batch width instead of silently truncating (regression: mel had the
+    never-truncate guarantee, text did not)."""
+    from cookietts_tpu.data.dataset import DataConfig, collate
+
+    cfg = DataConfig(text_buckets=[8, 16], mel_buckets=[64],
+                     max_segment_frames=64)
+    items = [{"text": np.arange(1, 41, dtype=np.int32), "audiopath": "a"},
+             {"text": np.arange(1, 5, dtype=np.int32), "audiopath": "b"}]
+    out = collate(items, cfg)
+    assert out["text"].shape[1] == 64            # ceil(40/32)*32... 32-step
+    assert out["text_lengths"][0] == 40
+    np.testing.assert_array_equal(out["text"][0, :40],
+                                  np.arange(1, 41, dtype=np.int32))
+
+
+def test_collate_clamps_substituted_rows():
+    """force_load stand-ins with different lengths clamp into the planned
+    pad_to shape instead of tripping the multi-host assert."""
+    from cookietts_tpu.data.dataset import DataConfig, collate
+
+    cfg = DataConfig(text_buckets=[8], mel_buckets=[16],
+                     max_segment_frames=16)
+    good = {"text": np.arange(1, 7, dtype=np.int32),
+            "mel": np.zeros((12, 4), np.float32), "audiopath": "a"}
+    sub = {"text": np.arange(1, 20, dtype=np.int32),
+           "mel": np.zeros((40, 4), np.float32), "_substituted": True,
+           "audiopath": "b"}
+    out = collate([good, sub], cfg, pad_to=(8, 16))
+    assert out["text"].shape == (2, 8)
+    assert out["mels"].shape == (2, 16, 4)
+    assert out["text_lengths"][1] == 8            # clamped, no raise
+    assert out["mel_lengths"][1] == 16
+
+
+def test_collate_extends_oversized_segment_frames():
+    """A TBPTT segment wider than the largest mel bucket extends the
+    batch instead of silently dropping its tail frames."""
+    from cookietts_tpu.data.dataset import DataConfig, Segment, collate
+
+    cfg = DataConfig(text_buckets=[8], mel_buckets=[128],
+                     max_segment_frames=256)
+    item = {"text": np.arange(1, 6, dtype=np.int32),
+            "mel": np.ones((200, 4), np.float32), "audiopath": "a"}
+    out = collate([item], cfg, segments=[Segment(0, 0, 1)])
+    assert out["mels"].shape[1] == 256            # ceil(200/64)*64
+    assert out["mel_lengths"][0] == 200
+    assert out["gate_target"][0, 199] == 1.0
