@@ -68,6 +68,8 @@ def parse_text_into_segments(text: str, split_at_quotes: bool = True,
     # sentence-split each span, then greedily pack to target length
     segments: List[str] = []
     for span in spans:
+        quoted = span.lstrip().startswith(('"', "\u201c"))
+        pieces: List[str] = []
         sentences = [s.strip() for s in _SENT_SPLIT.split(span) if s.strip()]
         cur = ""
         for s in sentences:
@@ -75,17 +77,24 @@ def parse_text_into_segments(text: str, split_at_quotes: bool = True,
                 cut = s.rfind(" ", 0, max_segment_length)
                 cut = cut if cut > 0 else max_segment_length
                 if cur:
-                    segments.append(cur)
+                    pieces.append(cur)
                     cur = ""
-                segments.append(s[:cut].strip())
+                pieces.append(s[:cut].strip())
                 s = s[cut:].strip()
             if cur and len(cur) + 1 + len(s) > target_segment_length:
-                segments.append(cur)
+                pieces.append(cur)
                 cur = s
             else:
                 cur = f"{cur} {s}".strip()
         if cur:
-            segments.append(cur)
+            pieces.append(cur)
+        if quoted:
+            # a long quote re-packed into several segments must keep its
+            # quote marker on EVERY piece, or the "quotes" speaker mode
+            # hands the quote's continuation to the narrator voice
+            pieces = [p if p.startswith(('"', "\u201c")) else f'"{p}'
+                      for p in pieces]
+        segments.extend(pieces)
     return segments
 
 
@@ -198,6 +207,10 @@ class T2S:
         self.cfg = cfg
         self.model = tts_model
         self.decode_fn = decode_fn
+        if torchmoji_dim is None and tts_model is None:
+            raise ValueError(
+                "decode_fn-only construction needs torchmoji_dim "
+                "(ArtifactT2SDecoder.torchmoji_dim)")
         self.torchmoji_dim = (torchmoji_dim if torchmoji_dim is not None
                               else tts_model.cfg.torchmoji_dim)
         self.variables = tts_variables
@@ -289,6 +302,21 @@ class T2S:
         bsz = batch_size or cfg.batch_size
         thr = cfg.gate_threshold if gate_threshold is None else gate_threshold
         delay = cfg.gate_delay if gate_delay is None else gate_delay
+        if self.model is not None:
+            # the early-exit decode stops one chunk after the COMPILED
+            # gate threshold fires and only generates cfg.gate_delay
+            # extra frames — a request past those would count
+            # never-generated zero frames into mel_lengths (loud noise
+            # tails). Clamp and say so.
+            chunk_limit = max(64, self.model.cfg.gate_delay)
+            if delay > chunk_limit:
+                print(f"[t2s] gate_delay {delay} clamped to {chunk_limit} "
+                      "(early-exit chunk size)")
+                delay = chunk_limit
+            if thr > self.model.cfg.gate_threshold:
+                print(f"[t2s] gate_threshold {thr} clamped to the "
+                      f"compiled {self.model.cfg.gate_threshold}")
+                thr = self.model.cfg.gate_threshold
         steps_cap = max_decoder_steps or cfg.max_decoder_steps
         if max_duration_s:     # reference input_max_duration_s (app.py:42)
             steps_cap = min(steps_cap, int(
@@ -312,15 +340,31 @@ class T2S:
         if not segments:
             return {"segments": [], "mels": [], "scores": [],
                     "audio": np.zeros(0, np.float32)}
+        # encode all segments (host); {ARPA} substitution first when asked
+        def _encode(t_):
+            t2 = (self.arpa_fn(t_) if use_arpabet and self.arpa_fn
+                  else t_)
+            return np.asarray(text_to_sequence(t2, cfg.text_cleaners),
+                              np.int32)
+
+        seqs = [_encode(t_) for t_ in segments]
+        # token-level never-truncate: number/abbreviation expansion and
+        # {ARPA} substitution can blow a char-packed segment past
+        # max_text_len, and the decode buckets cap there — split the
+        # TEXT at a space instead of silently dropping trailing words
+        i = 0
+        while i < len(segments):
+            t_ = segments[i]
+            if len(seqs[i]) <= cfg.max_text_len or " " not in t_.strip():
+                i += 1
+                continue
+            cut = t_.rfind(" ", 1, len(t_) // 2 + 1)
+            cut = cut if cut > 0 else t_.find(" ", 1)
+            halves = [t_[:cut].strip(), t_[cut:].strip()]
+            segments[i: i + 1] = halves
+            seqs[i: i + 1] = [_encode(h) for h in halves]
         seg_speakers = interleave_speakers(segments, speaker, speaker_mode,
                                            np.random.default_rng(seed))
-
-        # encode all segments (host); {ARPA} substitution first when asked
-        seg_texts = segments
-        if use_arpabet and self.arpa_fn is not None:
-            seg_texts = [self.arpa_fn(s) for s in segments]
-        seqs = [np.asarray(text_to_sequence(s, cfg.text_cleaners), np.int32)
-                for s in seg_texts]
         tm = None
         if self.torchmoji_fn is not None and style_mode != "none":
             # torchMoji emotion embedding per segment conditions the model
@@ -364,16 +408,23 @@ class T2S:
             mel_lengths = np.asarray(mel_lengths)
             scores = np.asarray(scores)
 
+            # a diverged decode can score NaN, which would never beat
+            # the -inf sentinel and leave best_mels[i] = None forever
+            scores = np.where(np.isfinite(scores), scores, -1e9)
             for row, i in enumerate(batch_idx):
                 attempts[i] += 1
                 if scores[row] > best_scores[i]:
                     best_scores[i] = scores[row]
                     best_lengths[i] = mel_lengths[row]
-                    best_mels[i] = mels[row, : mel_lengths[row]]
+                    # copy: a view would pin the whole round's batch
+                    best_mels[i] = mels[row, : mel_lengths[row]].copy()
             pending = [i for i in pending
                        if best_scores[i] < target and attempts[i] < max_att]
 
         gen_time = time.time() - t_start
+        # (failure_rate below uses the reference's FIXED <0.6 score
+        # threshold, text2speech.py:766-769 — intentionally not the
+        # per-request target_score)
 
         # vocode in batches (reference :658-666)
         audio = np.zeros(0, np.float32)

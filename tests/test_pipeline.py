@@ -467,3 +467,40 @@ def test_t2s_streaming_vocode_matches_batch(tiny_t2s):
     finally:
         tiny_t2s.cfg, tiny_t2s.vocoder_fn, tiny_t2s.hop_length = (
             old_cfg, old_voc, old_hop)
+
+
+def test_quote_continuation_keeps_quote_marker():
+    """A long quote re-packed into several segments keeps its quote
+    marker on every piece, so the 'quotes' speaker mode never hands a
+    quote's continuation to the narrator voice."""
+    from cookietts_tpu.pipeline.text2speech import (
+        interleave_speakers, parse_text_into_segments)
+
+    text = ('Narration before. "First quoted sentence that is long. '
+            'Second quoted sentence, also fairly long indeed. Third one '
+            'keeps going for a while too." Narration after.')
+    segs = parse_text_into_segments(text, target_segment_length=40)
+    quoted = [s for s in segs if s.startswith('"')]
+    assert len(quoted) >= 2                       # quote was re-split
+    voices = interleave_speakers(segs, ["narrator", "alice"],
+                                 mode="quotes")
+    for s, v in zip(segs, voices):
+        assert (v == "alice") == s.startswith('"'), (s, v)
+
+
+def test_t2s_splits_token_overflow_segments(tiny_t2s):
+    """Segments whose TOKEN count exceeds max_text_len are split at a
+    space instead of silently truncating trailing words."""
+    import dataclasses
+
+    old = tiny_t2s.cfg
+    try:
+        tiny_t2s.cfg = dataclasses.replace(tiny_t2s.cfg, max_text_len=16)
+        res = tiny_t2s.infer(
+            "A fairly long sentence that certainly tokenizes past "
+            "sixteen symbols in total.", speaker=["alice"], seed=2)
+        assert len(res["segments"]) >= 2
+        joined = " ".join(res["segments"])
+        assert "total" in joined            # the tail words survived
+    finally:
+        tiny_t2s.cfg = old
