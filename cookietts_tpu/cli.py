@@ -1483,7 +1483,13 @@ def cmd_export(args):
                        "n_mel_channels": mcfg.n_mel_channels,
                        "torchmoji_dim": mcfg.torchmoji_dim,
                        "speaker_ids": ck_meta.get("speaker_ids"),
-                       "audio": ck_meta.get("audio", {})}
+                       "audio": ck_meta.get("audio", {}),
+                       # gate threshold/delay are runtime inputs of the
+                       # exported fns (per-request form fields work in
+                       # artifact mode); these are just the defaults
+                       "gate_inputs": True,
+                       "gate_threshold": mcfg.gate_threshold,
+                       "gate_delay": mcfg.gate_delay}
 
     if args.vocoder:
         # export the differentiable stock-XLA path: Pallas custom calls
@@ -1500,7 +1506,8 @@ def cmd_export(args):
             infer_with_key, n_mel, vb, needs_key=True,
             platforms=platforms))
         meta["vocoder"] = {"buckets": [list(b) for b in vb],
-                           "n_mel_channels": n_mel, "audio": v_audio}
+                           "n_mel_channels": n_mel, "audio": v_audio,
+                           "needs_key": True}
 
     if not entries:
         raise SystemExit("export: pass --checkpoint and/or --vocoder")

@@ -200,10 +200,12 @@ class T2S:
                  torchmoji_dim: Optional[int] = None):
         """``decode_fn`` replaces the live model for AOT-artifact serving
         (runtime/export_serving.ArtifactT2SDecoder.decode): it takes
-        (text, text_lengths, speaker_id, torchmoji, seed u32) and returns
-        (mels, mel_lengths, alignments); scoring runs on the returned
-        alignments. Exported decodes bake their gate threshold/delay and
-        step count, so those per-request fields are fixed in this mode."""
+        (text, text_lengths, speaker_id, torchmoji, seed u32[,
+        gate_threshold, gate_delay]) and returns (mels, mel_lengths,
+        alignments); scoring runs on the returned alignments. Artifacts
+        exported with gate inputs honor the per-request gate form fields
+        like live mode; legacy artifacts baked them in (the step count
+        is always fixed at export)."""
         self.cfg = cfg
         self.model = tts_model
         self.decode_fn = decode_fn
@@ -231,14 +233,27 @@ class T2S:
         if max_steps in self._infer_cache:
             return self._infer_cache[max_steps]
         if self.decode_fn is not None:
+            import inspect
+            try:
+                takes_gates = "gate_threshold" in inspect.signature(
+                    self.decode_fn).parameters
+            except (TypeError, ValueError):
+                takes_gates = False
+
             def run_artifact(variables, text, text_lengths, speaker_id,
                              torchmoji, key, gate_threshold, gate_delay):
-                del variables, gate_threshold, gate_delay  # baked in AOT
+                del variables
                 seed = jnp.asarray(
                     np.asarray(jax.random.key_data(key)).ravel()[-1],
                     jnp.uint32)
-                mels, mel_lengths, align = self.decode_fn(
-                    text, text_lengths, speaker_id, torchmoji, seed)
+                if takes_gates:   # gate-input artifacts honor the request
+                    mels, mel_lengths, align = self.decode_fn(
+                        text, text_lengths, speaker_id, torchmoji, seed,
+                        gate_threshold=gate_threshold,
+                        gate_delay=gate_delay)
+                else:             # legacy artifacts baked them in at export
+                    mels, mel_lengths, align = self.decode_fn(
+                        text, text_lengths, speaker_id, torchmoji, seed)
                 atd = alignment_metric(align, text_lengths, mel_lengths)
                 scores = weighted_score(atd, text_lengths, mel_lengths)
                 return mels, mel_lengths, scores
@@ -361,6 +376,13 @@ class T2S:
             cut = t_.rfind(" ", 1, len(t_) // 2 + 1)
             cut = cut if cut > 0 else t_.find(" ", 1)
             halves = [t_[:cut].strip(), t_[cut:].strip()]
+            if t_.lstrip().startswith(('"', "“")):
+                # keep the quote marker on BOTH pieces of a split quoted
+                # segment, or speaker_mode="quotes" hands the quote's
+                # continuation to the narrator voice (same invariant as
+                # parse_text_into_segments' re-pack)
+                halves = [h if h.startswith(('"', "“")) else f'"{h}'
+                          for h in halves]
             segments[i: i + 1] = halves
             seqs[i: i + 1] = [_encode(h) for h in halves]
         seg_speakers = interleave_speakers(segments, speaker, speaker_mode,

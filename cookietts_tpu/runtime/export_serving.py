@@ -47,9 +47,15 @@ def export_tacotron2_serving(
 
     Exported signature (all weights baked in):
     ``(text i32[B,T], text_lengths i32[B], speaker_id i32[B],
-    [torchmoji f32[B,D] when the config uses it,] seed u32[]) ->
+    [torchmoji f32[B,D] when the config uses it,] seed u32[],
+    gate_threshold f32[], gate_delay i32[]) ->
     (mel f32[B,T_dec,M], mel_lengths i32[B], gate f32[B,T_dec],
     alignments f32[B,T_dec,T])``.
+
+    ``gate_threshold`` / ``gate_delay`` are TRACED runtime inputs (they
+    only feed the mel_lengths computation, model inference :483-486), so
+    artifact serving honors the same per-request form fields as live
+    mode (reference app.py:32-51).
     """
     cfg = model.cfg
     use_tm = int(getattr(cfg, "torchmoji_dim", 0) or 0) > 0
@@ -57,31 +63,37 @@ def export_tacotron2_serving(
     entries: Dict[str, bytes] = {}
     for B, T in buckets:
         if use_tm:
-            def fn(text, text_lengths, speaker_id, torchmoji, seed):
+            def fn(text, text_lengths, speaker_id, torchmoji, seed,
+                   gate_threshold, gate_delay):
                 out = model.apply(
                     variables, text=text, text_lengths=text_lengths,
                     speaker_id=speaker_id, torchmoji_hidden=torchmoji,
                     key=jax.random.fold_in(jax.random.PRNGKey(0), seed),
                     max_decoder_steps=max_decoder_steps,
+                    gate_threshold=gate_threshold, gate_delay=gate_delay,
                     method=type(model).inference)
                 return (out["mel_outputs_postnet"], out["mel_lengths"],
                         out["gate_outputs"], out["alignments"])
             specs = [_spec((B, T), jnp.int32), _spec((B,), jnp.int32),
                      _spec((B,), jnp.int32),
                      _spec((B, cfg.torchmoji_dim), jnp.float32),
-                     _spec((), jnp.uint32)]
+                     _spec((), jnp.uint32),
+                     _spec((), jnp.float32), _spec((), jnp.int32)]
         else:
-            def fn(text, text_lengths, speaker_id, seed):
+            def fn(text, text_lengths, speaker_id, seed,
+                   gate_threshold, gate_delay):
                 out = model.apply(
                     variables, text=text, text_lengths=text_lengths,
                     speaker_id=speaker_id,
                     key=jax.random.fold_in(jax.random.PRNGKey(0), seed),
                     max_decoder_steps=max_decoder_steps,
+                    gate_threshold=gate_threshold, gate_delay=gate_delay,
                     method=type(model).inference)
                 return (out["mel_outputs_postnet"], out["mel_lengths"],
                         out["gate_outputs"], out["alignments"])
             specs = [_spec((B, T), jnp.int32), _spec((B,), jnp.int32),
-                     _spec((B,), jnp.int32), _spec((), jnp.uint32)]
+                     _spec((B,), jnp.int32), _spec((), jnp.uint32),
+                     _spec((), jnp.float32), _spec((), jnp.int32)]
         entries[f"t2s_b{B}_t{T}"] = export_bytes(fn, specs, platforms)
     return entries
 
@@ -143,12 +155,14 @@ class ArtifactT2SDecoder:
     """Serving decoder backed by a saved export artifact — no model
     classes, checkpoints, or converters on the host.
 
-    ``decode(text [B,T], lens, speaker_id, torchmoji, seed u32)`` pads
-    the text to the smallest exported (batch, text) bucket that fits and
-    returns (mels, mel_lengths, alignments cropped to T). Exported
-    decodes bake gate threshold/delay and the step count at export time.
-    ``vocoder(mel [B,T_mel,M], seed)`` routes to the exported vocoder
-    bucket when the artifact carries one.
+    ``decode(text [B,T], lens, speaker_id, torchmoji, seed u32,
+    [gate_threshold, gate_delay])`` pads the text to the smallest
+    exported (batch, text) bucket that fits and returns (mels,
+    mel_lengths, alignments cropped to T). Artifacts exported with gate
+    inputs (meta ``t2s.gate_inputs``) honor per-request gate
+    threshold/delay like live mode; older artifacts baked them in and
+    ignore the overrides. ``vocoder(mel [B,T_mel,M], seed)`` routes to
+    the exported vocoder bucket when the artifact carries one.
     """
 
     def __init__(self, path: str):
@@ -166,16 +180,23 @@ class ArtifactT2SDecoder:
         self.n_mel_channels = int(t2s.get("n_mel_channels", 80))
         self.speaker_ids = t2s.get("speaker_ids") or {"default": 0}
         self.audio = dict(t2s.get("audio") or {})
+        self.gate_inputs = bool(t2s.get("gate_inputs", False))
+        self.gate_threshold = float(t2s.get("gate_threshold", 0.5))
+        self.gate_delay = int(t2s.get("gate_delay", 10))
         self._fns = {t: fns[f"t2s_b{self.batch}_t{t}"]
                      for t in self.text_buckets}
         self._voc_fns = {}
         voc = meta.get("vocoder")
         if voc:
             self.audio.update(voc.get("audio") or {})
+            # old artifacts predate the needs_key flag; every in-repo
+            # exporter used needs_key=True, so that is the legacy default
+            self._voc_needs_key = bool(voc.get("needs_key", True))
             for b, t in (tuple(x) for x in voc["buckets"]):
                 self._voc_fns[(b, t)] = fns[f"vocoder_b{b}_t{t}"]
 
-    def decode(self, text, text_lengths, speaker_id, torchmoji, seed):
+    def decode(self, text, text_lengths, speaker_id, torchmoji, seed,
+               gate_threshold=None, gate_delay=None):
         text = np.asarray(text)
         B, T = text.shape
         if B != self.batch:
@@ -195,10 +216,22 @@ class ArtifactT2SDecoder:
         if self.torchmoji_dim:
             tm = np.zeros((B, self.torchmoji_dim), np.float32)
             if torchmoji is not None:
-                tm[:, : np.asarray(torchmoji).shape[-1]] = torchmoji
+                src = np.asarray(torchmoji)
+                w = min(self.torchmoji_dim, src.shape[-1])
+                if src.shape[-1] != self.torchmoji_dim:
+                    print(f"[artifact] torchmoji dim {src.shape[-1]} != "
+                          f"exported {self.torchmoji_dim}; copying the "
+                          f"first {w} dims")
+                tm[:, :w] = src[..., :w]
             args.append(jnp.asarray(tm))
-        mels, mel_lengths, _gate, align = self._fns[tb](
-            *args, jnp.asarray(seed, jnp.uint32))
+        args.append(jnp.asarray(seed, jnp.uint32))
+        if self.gate_inputs:
+            thr = (self.gate_threshold if gate_threshold is None
+                   else gate_threshold)
+            delay = self.gate_delay if gate_delay is None else gate_delay
+            args += [jnp.asarray(thr, jnp.float32),
+                     jnp.asarray(delay, jnp.int32)]
+        mels, mel_lengths, _gate, align = self._fns[tb](*args)
         return mels, mel_lengths, align[:, :, :T]
 
     def vocoder(self, mel, seed=0):
@@ -220,8 +253,10 @@ class ArtifactT2SDecoder:
         padded = np.full((b, t, mel.shape[2]), -11.52, np.float32)
         padded[:B, :T] = mel
         hop = int(self.audio.get("hop_length", 0))
-        audio = self._voc_fns[(b, t)](jnp.asarray(padded),
-                                      jnp.asarray(seed, jnp.uint32))
+        voc_args = [jnp.asarray(padded)]
+        if getattr(self, "_voc_needs_key", True):
+            voc_args.append(jnp.asarray(seed, jnp.uint32))
+        audio = self._voc_fns[(b, t)](*voc_args)
         audio = audio[:B]
         return audio[:, : T * hop] if hop else audio
 

@@ -330,12 +330,35 @@ def align_file_losses(paths, file_losses):
     Mirrors the reference's per-rank ``file_losses`` accounting
     (tacotron2_tm/train.py:282-321)."""
     first = next(iter(file_losses.values()))
-    if len(paths) != int(first.shape[0]):
-        per = len(paths)
+    if len(paths) == int(first.shape[0]):
+        return {k: np.asarray(jax.device_get(v))
+                for k, v in file_losses.items()}
+    per = len(paths)
+
+    def host_rows(v):
+        # Pull ONLY host-addressable shards: slicing the global array with
+        # per-process-different Python bounds would launch a different
+        # SPMD program on every process (deadlock), and `device_get` of a
+        # global array raises when it spans non-addressable devices.
+        shards = getattr(v, "addressable_shards", None)
+        if shards:
+            by_index = {}
+            for s in shards:      # dedupe replicated copies by index
+                key_ = tuple((sl.start or 0, sl.stop) for sl in s.index)
+                if key_ not in by_index:
+                    by_index[key_] = np.asarray(s.data)
+            rows = np.concatenate(
+                [by_index[k] for k in sorted(by_index)], axis=0)
+        else:
+            rows = np.asarray(v)
+        if rows.shape[0] == per:
+            return rows
+        # fully host-addressable (single process / replicated / numpy):
+        # slice this host's dp rows host-side
         lo = jax.process_index() * per
-        file_losses = {k: v[lo:lo + per] for k, v in file_losses.items()}
-    return {k: np.asarray(jax.device_get(v))
-            for k, v in file_losses.items()}
+        return rows[lo:lo + per]
+
+    return {k: host_rows(v) for k, v in file_losses.items()}
 
 
 @dataclasses.dataclass

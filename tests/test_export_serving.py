@@ -38,7 +38,9 @@ def test_tacotron2_export_roundtrip(tmp_path):
     if cfg.torchmoji_dim:
         args = args + (batch["torchmoji_hidden"],)
     seed = jnp.asarray(7, jnp.uint32)
-    mel, mel_lengths, gate, align = fn(*args, seed)
+    gates = (jnp.asarray(cfg.gate_threshold, jnp.float32),
+             jnp.asarray(cfg.gate_delay, jnp.int32))
+    mel, mel_lengths, gate, align = fn(*args, seed, *gates)
     assert mel.shape == (B, 20, cfg.n_mel_channels)
     assert align.shape == (B, 20, T)
 
@@ -150,9 +152,12 @@ def test_cli_export_from_checkpoint(tmp_path):
     fns, meta = load_artifact(out)
     assert meta["t2s"]["buckets"] == [[2, 10]]
     assert meta["t2s"]["speaker_ids"] == {"a": 0}
+    assert meta["t2s"]["gate_inputs"] is True
     mel, mel_lengths, gate, align = fns["t2s_b2_t10"](
         batch["text"], batch["text_lengths"], batch["speaker_id"],
-        batch["torchmoji_hidden"], jnp.asarray(1, jnp.uint32))
+        batch["torchmoji_hidden"], jnp.asarray(1, jnp.uint32),
+        jnp.asarray(meta["t2s"]["gate_threshold"], jnp.float32),
+        jnp.asarray(meta["t2s"]["gate_delay"], jnp.int32))
     assert mel.shape == (2, 16, cfg.n_mel_channels)
     assert np.isfinite(np.asarray(mel)).all()
 
@@ -198,7 +203,10 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
                 "n_mel_channels": cfg.n_mel_channels,
                 "torchmoji_dim": cfg.torchmoji_dim,
                 "speaker_ids": {"alice": 0, "bob": 1},
-                "audio": {"sampling_rate": 22050, "hop_length": 8}},
+                "audio": {"sampling_rate": 22050, "hop_length": 8},
+                "gate_inputs": True,
+                "gate_threshold": cfg.gate_threshold,
+                "gate_delay": cfg.gate_delay},
         "vocoder": {"buckets": [[B, 32]],
                     "n_mel_channels": cfg.n_mel_channels,
                     "audio": {"hop_length": 8}}})
@@ -231,6 +239,64 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
                                  np.zeros((B, cfg.torchmoji_dim),
                                           np.float32), 7)
     assert align.shape[2] == 40                 # cropped to input T
+
+
+def test_artifact_gate_controls_match_live(tmp_path):
+    """Per-request gate threshold/delay are RUNTIME inputs of the
+    exported decode: the artifact's mel_lengths change with them and
+    match the live model given the same overrides (VERDICT r3 item 4;
+    reference app.py:32-51 per-request form fields)."""
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.runtime.export_serving import ArtifactT2SDecoder
+
+    cfg = tiny_cfg(max_decoder_steps=24)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    batch = make_batch(rng, cfg, B=B, T_txt=T, T_mel=16)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+
+    entries = export_tacotron2_serving(
+        model, dict(variables), buckets=[(B, T)], max_decoder_steps=24,
+        platforms=("cpu",))
+    path = str(tmp_path / "serving.npz")
+    save_artifact(path, entries, {
+        "t2s": {"buckets": [[B, T]], "n_mel_channels": cfg.n_mel_channels,
+                "torchmoji_dim": cfg.torchmoji_dim,
+                "speaker_ids": {"a": 0}, "audio": {},
+                "gate_inputs": True,
+                "gate_threshold": cfg.gate_threshold,
+                "gate_delay": cfg.gate_delay}})
+    dec = ArtifactT2SDecoder(path)
+    assert dec.gate_inputs
+
+    seed = 7
+    tm = (batch["torchmoji_hidden"] if cfg.torchmoji_dim else None)
+    lengths = {}
+    for thr, delay in [(0.999, 0), (1e-6, 0), (1e-6, 5)]:
+        _, ml, _ = dec.decode(batch["text"], batch["text_lengths"],
+                              batch["speaker_id"], tm, seed,
+                              gate_threshold=thr, gate_delay=delay)
+        lengths[(thr, delay)] = np.asarray(ml)
+        # live model, same folded key and overrides
+        ref = model.apply(
+            variables, text=batch["text"],
+            text_lengths=batch["text_lengths"],
+            speaker_id=batch["speaker_id"], torchmoji_hidden=tm,
+            key=jax.random.fold_in(jax.random.PRNGKey(0),
+                                   jnp.asarray(seed, jnp.uint32)),
+            max_decoder_steps=24, gate_threshold=thr, gate_delay=delay,
+            method=Tacotron2.inference)
+        np.testing.assert_array_equal(np.asarray(ml),
+                                      np.asarray(ref["mel_lengths"]))
+    # a near-zero threshold fires earlier (or equal) than a ~1 one,
+    # and delay extends the kept length past the crossing
+    assert (lengths[(1e-6, 0)] <= lengths[(0.999, 0)]).all()
+    assert (lengths[(1e-6, 5)] >= lengths[(1e-6, 0)]).all()
+    assert (lengths[(1e-6, 5)] != lengths[(1e-6, 0)]).any() or (
+        lengths[(1e-6, 0)] == 24).all()
 
 
 def test_artifact_decoder_error_paths(tmp_path):

@@ -504,3 +504,25 @@ def test_t2s_splits_token_overflow_segments(tiny_t2s):
         assert "total" in joined            # the tail words survived
     finally:
         tiny_t2s.cfg = old
+
+
+def test_t2s_token_resplit_keeps_quote_marker(tiny_t2s):
+    """The token-level never-truncate re-split stamps the quote marker
+    on BOTH halves of a split quoted segment, so speaker_mode='quotes'
+    keeps the quote's continuation on the quote voice (ADVICE r3)."""
+    import dataclasses
+
+    old = tiny_t2s.cfg
+    try:
+        tiny_t2s.cfg = dataclasses.replace(
+            tiny_t2s.cfg, max_text_len=16, split_at_quotes=True)
+        res = tiny_t2s.infer(
+            'She said "this quoted sentence certainly tokenizes well '
+            'past sixteen symbols in total somehow."',
+            speaker=["Bob", "Alice"], speaker_mode="quotes", seed=2)
+        quoted = [s for s in res["segments"] if s.startswith(('"', "“"))]
+        assert len(quoted) >= 2             # the quote was re-split
+        for s, v in zip(res["segments"], res["speakers"]):
+            assert (v == "Alice") == s.startswith(('"', "“")), (s, v)
+    finally:
+        tiny_t2s.cfg = old
