@@ -54,6 +54,95 @@ def _speaker_map(args, entries):
             for e in entries}
 
 
+def _heldout_split(args, entries, load_val, what="entries"):
+    """Resolve the held-out validation data for a trainer.
+
+    The reference trains on ``training_files`` and validates on a
+    SEPARATE ``validation_files`` filelist
+    (tacotron2_tm/hparams.py:76-77, train.py:115-117). Priority:
+
+    1. ``--val_filelist`` (any trainer's native filelist format);
+    2. a sibling ``filelist_validation.txt`` next to ``--filelist``
+       (preprocess writes one, pipeline/preprocess.py);
+    3. hold out the TAIL of the training filelist (the vocoder-style
+       fallback) so validation NEVER rides training data;
+    4. tiny smoke filelists (<4 entries): validate on training data,
+       loudly.
+
+    Returns ``(train_entries, val_entries, desc)``.
+    """
+    vf = getattr(args, "val_filelist", None)
+    if vf:
+        val = load_val(vf)
+        if not val:
+            raise SystemExit(f"--val_filelist {vf} is empty")
+        return entries, val, f"--val_filelist {vf} ({len(val)} {what})"
+    base = getattr(args, "filelist", None)
+    if base:
+        sib = os.path.join(os.path.dirname(os.path.abspath(base)),
+                           "filelist_validation.txt")
+        if (os.path.exists(sib)
+                and os.path.abspath(sib) != os.path.abspath(base)):
+            try:
+                val = load_val(sib)
+            except Exception as e:           # wrong format for this trainer
+                print(f"[val] ignoring sibling {sib}: {e}")
+                val = None
+            if val:
+                return entries, val, f"sibling {sib} ({len(val)} {what})"
+    n = len(entries)
+    if n >= 2:
+        n_val = max(1, n // 10)
+        return (entries[:-n_val], entries[-n_val:],
+                f"held-out tail ({n_val} of {n} {what})")
+    print("[val] WARNING: no --val_filelist, no sibling "
+          "filelist_validation.txt, and the filelist is too small to "
+          "hold out a tail — validating ON TRAINING DATA")
+    return entries, list(entries), "training data (smoke run)"
+
+
+def _cycle_chunks(n: int, batch_size: int, cap: int = 0):
+    """Index chunks covering [0, n) in fixed-size batches; the last chunk
+    cycle-fills from the head so every batch compiles to ONE shape."""
+    chunks = []
+    for j in range(0, n, batch_size):
+        chunks.append([(j + k) % n for k in range(batch_size)])
+        if cap and len(chunks) >= cap:
+            print(f"[val] capped at {cap} batches; "
+                  f"{n - cap * batch_size} validation entries unused")
+            break
+    return chunks
+
+
+def _tts_val_batches(val_entries, dcfg, features, batch_size,
+                     overrides, desc):
+    """FULL validation-set iteration in fixed-shape batches.
+
+    The reference iterates the whole validation filelist and averages
+    (train.py:395-455). TPU-native version: every batch pads to the val
+    set's global (text, mel) bucket — one compiled eval shape — and the
+    last batch cycle-fills from the head. Batches are materialized once
+    at setup (features cached on disk), so every validation pass sees
+    identical data."""
+    from .data.dataset import TTSDataset, bucket_size, collate
+    vds = TTSDataset(val_entries, dcfg, features=features)
+    m_req = max(vds.mel_frame_lengths())
+    t_req = max(vds.text_length(i) for i in range(len(vds)))
+    t_pad = bucket_size(t_req, dcfg.text_buckets)
+    if t_pad < t_req:
+        t_pad = -(-t_req // 32) * 32
+    m_pad = bucket_size(m_req, dcfg.mel_buckets)
+    if m_pad < m_req:
+        m_pad = -(-m_req // 64) * 64
+    cap = int(overrides.get("max_val_batches", 0) or 0)
+    batches = [collate([vds[i] for i in chunk], dcfg,
+                       pad_to=(t_pad, m_pad))
+               for chunk in _cycle_chunks(len(vds), batch_size, cap)]
+    print(f"[val] {desc}: {len(vds)} entries in {len(batches)} "
+          f"batch(es) of {batch_size} at text={t_pad} mel={m_pad}")
+    return batches
+
+
 def _build_tacotron2(overrides):
     import jax
     from .models.tacotron2 import Tacotron2, Tacotron2Config
@@ -122,6 +211,8 @@ def cmd_train(args):
         # ssvae semi-supervised emotion: filelist emotion ids flow through
         # collate's one-hot into sup_em_nll (reference data_utils.py:845-854)
         features.append("emotion_id")
+    entries, val_entries, val_desc = _heldout_split(
+        args, entries, load_filelist)
     dataset = TTSDataset(entries, dcfg, features=features)
     model, mcfg = _build_tacotron2(overrides)
 
@@ -186,10 +277,12 @@ def cmd_train(args):
     eval_step = make_tacotron2_eval_step(model, mesh=mesh,
                                          tp_rules=tp_rules)
 
-    # held-out validation batch, validated on the live config's
-    # validation_interval cadence (reference train.py:774-797)
-    n_val = min(batch_size, len(dataset))
-    val_batches = [collate([dataset[i] for i in range(n_val)], dcfg)]
+    # HELD-OUT validation, full val-set iteration on the live config's
+    # validation_interval cadence (reference validates a separate
+    # filelist end-to-end, train.py:115-117,395-455); best_val_model,
+    # best_inf_attsc and the curation db are fed from this data only
+    val_batches = _tts_val_batches(val_entries, dcfg, features,
+                                   batch_size, overrides, val_desc)
     trainer = Trainer(TrainerConfig(
         run_dir=args.run_dir,
         live_config_path=args.live_config,
@@ -198,6 +291,15 @@ def cmd_train(args):
         val_batches=val_batches,
         inference_eval_step=make_tacotron2_inference_eval_step(
             model, mesh=mesh, tp_rules=tp_rules))
+    # --hparams cadence/threshold overrides reach the live config the
+    # same way the other trainers' do (_make_trainer); a --live_config
+    # file still overlays on top at poll time
+    for k, cast in (("validation_interval", int),
+                    ("checkpoint_interval", int),
+                    ("LossExplosionThreshold", float),
+                    ("grad_clip_thresh", float)):
+        if k in overrides:
+            trainer.live.values[k] = cast(overrides[k])
     # self-describing checkpoints: model kind + the config overrides that
     # rebuild it + the speaker map + audio frontend (the reference bundles
     # hparams and speaker_id_lookup into every checkpoint,
@@ -330,9 +432,10 @@ def _train_untts(args, overrides):
     entries = load_filelist(args.filelist)
     d_valid = set(DataConfig.__dataclass_fields__)
     dcfg = DataConfig(**{k: v for k, v in overrides.items() if k in d_valid})
-    dataset = TTSDataset(
-        entries, dcfg,
-        features=("text", "mel", "speaker_id", "f0", "energy", "durations"))
+    features = ("text", "mel", "speaker_id", "f0", "energy", "durations")
+    entries, val_entries, val_desc = _heldout_split(
+        args, entries, load_filelist)
+    dataset = TTSDataset(entries, dcfg, features=features)
 
     m_valid = set(UnTTSConfig.__dataclass_fields__)
     ucfg = UnTTSConfig(
@@ -362,7 +465,12 @@ def _train_untts(args, overrides):
             params=jax.tree_util.tree_map(jnp.asarray, params))
         print(f"warm start: {n_l} loaded, {n_s} skipped")
 
-    val_batches = [batch_of(range(min(batch_size, len(dataset))))]
+    keys = ("text", "text_lengths", "mels", "mel_lengths",
+            "speaker_id", "durations", "f0", "energy")
+    val_batches = [{k: b[k] for k in keys if k in b}
+                   for b in _tts_val_batches(val_entries, dcfg, features,
+                                             batch_size, overrides,
+                                             val_desc)]
     trainer = _make_trainer(
         args, overrides, state, make_untts_train_step(model, donate=False),
         eval_step=make_untts_eval_step(model), val_batches=val_batches,
@@ -420,9 +528,10 @@ def _train_gantts(args, overrides):
     entries = load_filelist(args.filelist)
     d_valid = set(DataConfig.__dataclass_fields__)
     dcfg = DataConfig(**{k: v for k, v in overrides.items() if k in d_valid})
-    dataset = TTSDataset(
-        entries, dcfg,
-        features=("text", "mel", "speaker_id", "durations"))
+    features = ("text", "mel", "speaker_id", "durations")
+    entries, val_entries, val_desc = _heldout_split(
+        args, entries, load_filelist)
+    dataset = TTSDataset(entries, dcfg, features=features)
 
     m_valid = set(GANTTSConfig.__dataclass_fields__)
     gcfg = GANTTSConfig(
@@ -455,8 +564,8 @@ def _train_gantts(args, overrides):
         gen, disc, mel_weight=float(overrides.get("mel_weight", 1.0)),
         mesh=_auto_dp_mesh(batch_size))
 
-    # held-out style validation: masked mel L1 of generated vs gt mels on
-    # a FIXED batch (reference GANTTS/train.py validation loop)
+    # held-out validation: masked mel L1 of generated vs gt mels over the
+    # FULL val set (reference GANTTS/train.py validation loop)
     def eval_adapter(state, batch, key, ctrl):
         fake, frame_mask = gen.apply(
             {"params": state.g.params}, text=batch["text"],
@@ -468,7 +577,12 @@ def _train_gantts(args, overrides):
             / jnp.maximum(jnp.sum(m) * fake.shape[-1], 1.0)
         return ({"loss": l1, "mel_l1": l1}, {})
 
-    val_batches = [make_batch(range(min(batch_size, len(dataset))))]
+    g_keys = ("text", "text_lengths", "mels", "mel_lengths",
+              "speaker_id", "durations")
+    val_batches = [{k: b[k] for k in g_keys if k in b}
+                   for b in _tts_val_batches(val_entries, dcfg, features,
+                                             batch_size, overrides,
+                                             val_desc)]
     _run_gan_training(
         args, overrides, d_step, g_step,
         lambda: make_batch(rng.integers(0, len(dataset), batch_size)),
@@ -565,10 +679,15 @@ def _train_gan_postnet(args, overrides):
         print(f"[gan_postnet] speaker embeddings from {t2_ckpt}: "
               f"{embed_table.shape[0]} speakers x {embed_table.shape[1]}")
 
-    entries = [(w, m, s) for w, m, s, _ in load_map_file(args.filelist)
-               if m is not None]
+    def _load_map(path):
+        return [(w, m, s) for w, m, s, _ in load_map_file(path)
+                if m is not None]
+
+    entries = _load_map(args.filelist)
     if not entries:
         raise SystemExit("map file has no mel sidecars; run gta first")
+    entries, val_entries, val_desc = _heldout_split(
+        args, entries, _load_map, what="map rows")
 
     m_valid = set(GANPostnetConfig.__dataclass_fields__)
     pcfg = GANPostnetConfig(
@@ -591,27 +710,33 @@ def _train_gan_postnet(args, overrides):
 
     rng = np.random.default_rng(0)
 
-    def make_batch():
-        dec, gt, spk = [], [], []
-        for i in rng.integers(0, len(entries), batch_size):
-            wav_path, mel_path, sid = entries[int(i)]
-            dmel = np.load(mel_path).astype(np.float32)       # [T, M]
-            audio, _ = load_wav(wav_path, target_sr=sr)
-            gmel = stft.mel_spectrogram_np(audio).astype(np.float32)
-            n = min(dmel.shape[0], gmel.shape[0])
-            if n >= seg:
-                s = int(rng.integers(0, n - seg + 1))
-                d, g = dmel[s:s + seg], gmel[s:s + seg]
-            else:
-                pad = ((0, seg - n), (0, 0))
-                d = np.pad(dmel[:n], pad)
-                g = np.pad(gmel[:n], pad)
-            dec.append(d)
-            gt.append(g)
-            spk.append(speaker_code(sid))
+    def _item(entry, s_rng=None):
+        """(decoder_mel_seg, gt_mel_seg, speaker_code); the validation
+        path (``s_rng=None``) crops deterministically at frame 0."""
+        wav_path, mel_path, sid = entry
+        dmel = np.load(mel_path).astype(np.float32)       # [T, M]
+        audio, _ = load_wav(wav_path, target_sr=sr)
+        gmel = stft.mel_spectrogram_np(audio).astype(np.float32)
+        n = min(dmel.shape[0], gmel.shape[0])
+        if n >= seg:
+            s = (int(s_rng.integers(0, n - seg + 1))
+                 if s_rng is not None else 0)
+            d, g = dmel[s:s + seg], gmel[s:s + seg]
+        else:
+            pad = ((0, seg - n), (0, 0))
+            d = np.pad(dmel[:n], pad)
+            g = np.pad(gmel[:n], pad)
+        return d, g, speaker_code(sid)
+
+    def _stack(items):
+        dec, gt, spk = zip(*items)
         return {"decoder_mel": jnp.asarray(np.stack(dec)),
                 "gt_mel": jnp.asarray(np.stack(gt)),
                 "speaker_embed": jnp.asarray(np.stack(spk))}
+
+    def make_batch():
+        return _stack([_item(entries[int(i)], rng)
+                       for i in rng.integers(0, len(entries), batch_size)])
 
     dev = make_batch()
     g_vars = post.init(
@@ -644,11 +769,18 @@ def _train_gan_postnet(args, overrides):
                        batch["gt_mel"])
         return ({"loss": mse, "mel_MSE": mse}, {})
 
+    # full held-out val-set iteration, deterministic frame-0 crops
+    cap = int(overrides.get("max_val_batches", 0) or 0)
+    val_batches = [_stack([_item(val_entries[i]) for i in chunk])
+                   for chunk in _cycle_chunks(len(val_entries),
+                                              batch_size, cap)]
+    print(f"[val] {val_desc}: {len(val_entries)} rows in "
+          f"{len(val_batches)} batch(es)")
     _run_gan_training(args, overrides, d_step, g_step, make_batch,
                       g_state, d_state, n_iters,
                       base_lr=float(overrides.get("lr", 2e-4)),
                       grad_clip=10.0, model_name="gan_postnet",
-                      eval_step=eval_adapter, val_batches=[dev])
+                      eval_step=eval_adapter, val_batches=val_batches)
 
 
 def _train_hifigan_denoiser(args, overrides):
@@ -677,9 +809,14 @@ def _train_hifigan_denoiser(args, overrides):
     n_iters = int(overrides.get("n_iters", args.iters))
     stage = int(overrides.get("stage", 0))
 
-    with open(args.filelist) as f:
-        clean_files = [ln.split("|")[0].strip() for ln in f
-                       if ln.strip() and not ln.startswith("#")]
+    def _load_clean(path):
+        with open(path) as f:
+            return [ln.split("|")[0].strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")]
+
+    clean_files = _load_clean(args.filelist)
+    clean_files, val_files, val_desc = _heldout_split(
+        args, clean_files, _load_clean, what="clean wavs")
     noise_files = []
     if overrides.get("noise_dir"):
         noise_files = sorted(globlib.glob(
@@ -734,13 +871,24 @@ def _train_hifigan_denoiser(args, overrides):
         v = _val_spectral(state.g.params, batch["noisy"], batch["clean"])
         return ({"loss": v, "spectral": v}, {})
 
+    # full held-out val-set iteration over CLEAN wavs the generator never
+    # trains on; noisy mixes are materialized ONCE so every validation
+    # pass scores identical pairs
+    val_dataset = DenoiserDataset(val_files, dcfg, noise_files=noise_files)
+    cap = int(overrides.get("max_val_batches", 0) or 0)
+    val_batches = []
+    for chunk in _cycle_chunks(len(val_dataset), batch_size, cap):
+        b = collate_denoiser([val_dataset[int(i)] for i in chunk])
+        val_batches.append({k: jnp.asarray(v) for k, v in b.items()})
+    print(f"[val] {val_desc}: {len(val_dataset)} wavs in "
+          f"{len(val_batches)} batch(es)")
     _run_gan_training(args, overrides, d_step, g_step, make_batch,
                       g_state, d_state, n_iters,
                       base_lr=float(overrides.get("lr", 2e-4)),
                       grad_clip=100.0, pass_key=False,
                       model_name="hifigan_denoiser",
                       extra_meta={"stage": stage}, loss_key="loss",
-                      eval_step=eval_adapter, val_batches=[dev])
+                      eval_step=eval_adapter, val_batches=val_batches)
 
 
 def _make_trainer(args, overrides, state, train_step, eval_step=None,
@@ -828,7 +976,14 @@ def _train_waveglow(args, overrides):
     dcfg = Mel2SampConfig(**{k: v for k, v in overrides.items()
                              if k in d_valid})
     entries = load_map_file(args.filelist)
-    dataset = Mel2Samp(entries, dcfg)
+    # held-out validation: --val_filelist / sibling filelist / tail of
+    # the map file (the reference uses a separate val loader; validating
+    # on just-trained batches lets training data drive the plateau
+    # scheduler and best_val_model)
+    train_entries, val_map, val_desc = _heldout_split(
+        args, entries, load_map_file, what="map rows")
+    dataset = Mel2Samp(train_entries, dcfg)
+    val_dataset = Mel2Samp(val_map, dcfg)
 
     m_valid = set(WaveGlowConfig.__dataclass_fields__)
     wcfg = WaveGlowConfig(
@@ -836,14 +991,7 @@ def _train_waveglow(args, overrides):
         **{k: v for k, v in overrides.items()
            if k in m_valid and k not in ("n_mel_channels", "hop_length")})
     model = WaveGlow(wcfg)
-
-    # held-out validation: reserve the TAIL of the map file (the reference
-    # uses a separate val loader; validating on just-trained batches lets
-    # training data drive the plateau scheduler and best_val_model)
-    n_val = max(1, len(dataset) // 10) if len(dataset) > 1 else 0
-    train_idx = list(range(len(dataset) - n_val))
-    if not train_idx:                       # single-file smoke runs
-        train_idx = list(range(len(dataset)))
+    train_idx = list(range(len(dataset)))
 
     def _to_dev(batch):
         dev = {"audio": jnp.asarray(batch["audio"]),
@@ -881,14 +1029,18 @@ def _train_waveglow(args, overrides):
         return ({"loss": m["val_MSE"], "MSE": m["val_MSE"],
                  "MAE": m["val_MAE"]}, {})
 
-    # one fixed held-out val batch (deterministic across validations)
-    val_entries = ([dataset[len(dataset) - n_val + i] for i in range(n_val)]
-                   if n_val else [dataset[i] for i in train_idx])
-    # repeat entries up to the TRAINING batch shape: a smaller val batch
-    # would compile a second program (multi-minute tunnel compiles)
-    val_items = [val_entries[i % len(val_entries)]
-                 for i in range(batch_size if val_entries else 0)]
-    val_batches = [_to_dev(collate_mel2samp(val_items))]
+    # FULL val-set iteration (reference averages the whole val set,
+    # _4_mtw/waveglow/train.py:184-341): items materialized ONCE so
+    # every validation scores identical segments, every batch at the
+    # TRAINING batch shape (one compiled program; the last batch
+    # cycle-fills from the head)
+    val_items_all = [val_dataset[i] for i in range(len(val_dataset))]
+    cap = int(overrides.get("max_val_batches", 0) or 0)
+    val_batches = [
+        _to_dev(collate_mel2samp([val_items_all[i] for i in chunk]))
+        for chunk in _cycle_chunks(len(val_items_all), batch_size, cap)]
+    print(f"[val] {val_desc}: {len(val_items_all)} segments in "
+          f"{len(val_batches)} batch(es)")
 
     trainer = _make_trainer(args, overrides, state, train_step,
                             eval_step=eval_adapter, val_batches=val_batches,
@@ -940,7 +1092,11 @@ def _train_hifigan(args, overrides):
     d_valid = set(Mel2SampConfig.__dataclass_fields__)
     dcfg = Mel2SampConfig(**{k: v for k, v in overrides.items()
                              if k in d_valid})
-    dataset = Mel2Samp(load_map_file(args.filelist), dcfg)
+    entries = load_map_file(args.filelist)
+    train_entries, val_map, val_desc = _heldout_split(
+        args, entries, load_map_file, what="map rows")
+    dataset = Mel2Samp(train_entries, dcfg)
+    val_dataset = Mel2Samp(val_map, dcfg)
 
     h_valid = set(HiFiGANConfig.__dataclass_fields__)
     hcfg = HiFiGANConfig(
@@ -960,8 +1116,7 @@ def _train_hifigan(args, overrides):
                         dcfg.sampling_rate, dcfg.mel_fmin, dcfg.mel_fmax)
     mel_fn = stft.mel_spectrogram
 
-    n_val = max(1, len(dataset) // 10) if len(dataset) > 1 else 0
-    train_idx = list(range(len(dataset) - n_val)) or list(range(len(dataset)))
+    train_idx = list(range(len(dataset)))
 
     batch = collate_mel2samp([dataset[train_idx[i % len(train_idx)]]
                               for i in range(batch_size)])
@@ -1006,15 +1161,18 @@ def _train_hifigan(args, overrides):
         l1 = _val_mel_l1(state.g.params, batch["mels"], batch["audio"])
         return ({"loss": l1, "mel_l1": l1}, {})
 
-    val_entries = ([dataset[len(dataset) - n_val + i] for i in range(n_val)]
-                   if n_val else [dataset[i] for i in train_idx])
-    # repeat entries up to the TRAINING batch shape: a smaller val batch
-    # would compile a second program (multi-minute tunnel compiles)
-    val_items = [val_entries[i % len(val_entries)]
-                 for i in range(batch_size if val_entries else 0)]
-    vb = collate_mel2samp(val_items)
-    val_batches = [{"mels": jnp.asarray(vb["mels"]),
-                    "audio": jnp.asarray(vb["audio"])}]
+    # FULL val-set iteration at the TRAINING batch shape (one compiled
+    # program; the last batch cycle-fills from the head), items
+    # materialized once so every validation scores identical segments
+    val_items_all = [val_dataset[i] for i in range(len(val_dataset))]
+    cap = int(overrides.get("max_val_batches", 0) or 0)
+    val_batches = []
+    for chunk in _cycle_chunks(len(val_items_all), batch_size, cap):
+        vb = collate_mel2samp([val_items_all[i] for i in chunk])
+        val_batches.append({"mels": jnp.asarray(vb["mels"]),
+                            "audio": jnp.asarray(vb["audio"])})
+    print(f"[val] {val_desc}: {len(val_items_all)} segments in "
+          f"{len(val_batches)} batch(es)")
 
     state = GANTrainState(g=g_state, d=d_state)
     trainer = _make_trainer(args, overrides, state, train_step,
@@ -1542,6 +1700,13 @@ def main(argv=None):
                    choices=["tacotron2", "waveglow", "hifigan", "untts",
                             "gantts", "hifigan_denoiser", "gan_postnet"])
     t.add_argument("--filelist", required=True)
+    t.add_argument("--val_filelist", default=None,
+                   help="held-out validation filelist (same format as "
+                        "--filelist). Default: a sibling "
+                        "filelist_validation.txt if present, else a "
+                        "held-out tail of --filelist. Drives "
+                        "best_val_model / plateau / best_inf_attsc "
+                        "(reference validation_files, hparams.py:76-77)")
     t.add_argument("--warm_start", default=None)
     t.add_argument("--resume", nargs="?", const="auto", default=None,
                    help="full resume (params+opt+step) from a checkpoint "

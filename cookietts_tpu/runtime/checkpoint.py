@@ -291,6 +291,11 @@ class Checkpointer:
                             metadata=None) -> bool:
         if val_loss < self.best_val_loss:
             self.best_val_loss = val_loss
+            # stamp the UPDATED tracker: the caller built metadata before
+            # this call, and a resume restores best_val_loss from it — a
+            # stale (inf on the first save) value would re-trigger best
+            # saves on every post-resume validation
+            metadata = {**(metadata or {}), "best_val_loss": val_loss}
             self._save(os.path.join(self.run_dir, "best_val_model"),
                        state_tree, metadata)
             return True
@@ -300,6 +305,7 @@ class Checkpointer:
                               metadata=None) -> bool:
         if att_score > self.best_inf_attsc:
             self.best_inf_attsc = att_score
+            metadata = {**(metadata or {}), "best_inf_attsc": att_score}
             self._save(os.path.join(self.run_dir, "best_inf_attsc"),
                        state_tree, metadata)
             return True

@@ -434,6 +434,18 @@ def test_cli_train_plans_full_filelist(monkeypatch, tmp_path):
     filelist = str(root / "filelist.txt")
     with open(filelist, "w") as f:
         f.write("\n".join(lines))
+    # a SEPARATE validation filelist (reference validation_files): with
+    # one given, the TRAINING sampler still plans every training entry
+    vroot = tmp_path / "val"
+    vroot.mkdir()
+    vlines = []
+    for i in range(2):
+        p = str(vroot / f"v{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        vlines.append(f"{p}|Val {i} here.|0")
+    val_filelist = str(vroot / "filelist_val.txt")
+    with open(val_filelist, "w") as f:
+        f.write("\n".join(vlines))
 
     seen = {}
     orig_init = dataset_mod.TBPTTSampler.__init__
@@ -445,11 +457,58 @@ def test_cli_train_plans_full_filelist(monkeypatch, tmp_path):
     monkeypatch.setattr(dataset_mod.TBPTTSampler, "__init__", spy)
     run_dir = str(tmp_path / "run_full")
     cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--val_filelist", val_filelist,
               "--iters", "2", "--run_dir", run_dir,
               "--hparams", TINY_TTS_HPARAMS + ",trim_enable=False"])
     assert seen["n"] == 516
     n_mels = len([f for f in os.listdir(root) if f.endswith(".mel.npy")])
-    assert n_mels <= 10, n_mels     # init + val + 2 trained batches only
+    assert n_mels <= 10, n_mels     # init + 2 trained batches only
+
+
+def test_cli_val_filelist_heldout_validation(tts_dataset, tmp_path):
+    """--val_filelist drives validation end-to-end: validation scalars
+    and best_val_model appear, the val-set per-file scores (held-out
+    paths) join the file-loss DB, and the TRAINING loop never plans the
+    val entries (reference separate validation_files,
+    tacotron2_tm/hparams.py:76-77, train.py:115-117,395-455)."""
+    import json
+    root, filelist, sr = tts_dataset
+    rng = np.random.default_rng(9)
+    vroot = tmp_path / "valset"
+    vroot.mkdir()
+    vlines = []
+    for i in range(3):
+        t = np.arange(int(sr * 0.8)) / sr
+        audio = (0.3 * np.sin(2 * np.pi * (300 + 70 * i) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(vroot / f"val{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        vlines.append(f"{p}|Validation sentence {i}.|0")
+    val_filelist = str(vroot / "filelist_val.txt")
+    with open(val_filelist, "w") as f:
+        f.write("\n".join(vlines))
+
+    run_dir = str(tmp_path / "run_val")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--val_filelist", val_filelist,
+              "--iters", "4", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS + ",validation_interval=2"])
+    files = os.listdir(run_dir)
+    assert "best_val_model" in files, files
+    with open(os.path.join(run_dir, "events.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    # 3 val entries at batch_size=2 -> 2 fixed-shape batches per pass
+    assert any(r.get("prefix") == "validation" and "val_loss" in r
+               for r in recs)
+    assert any(r.get("prefix") == "validation_inf" for r in recs)
+    # held-out per-file scores joined the loss DB (curation input)
+    with open(os.path.join(run_dir, "file_losses.csv")) as f:
+        csv = f.read()
+    assert "val0.wav" in csv and "val2.wav" in csv
+    # best_val metadata records the updated tracker, not inf
+    with open(os.path.join(run_dir, "best_val_model.json")) as f:
+        meta = json.load(f)
+    assert np.isfinite(meta["best_val_loss"])
 
 
 def test_collate_emotion_onehot_and_unknown():

@@ -280,6 +280,59 @@ def test_validation_cadence_from_live_config(tmp_path):
         assert any('"prefix": "validation"' in line for line in f)
 
 
+def test_heldout_validation_diverges_and_best_val_follows(tmp_path):
+    """Held-out validation protocol (VERDICT r3 item 1): with a training
+    objective pulling AWAY from the held-out targets, the train-set loss
+    falls while the held-out val_loss rises, validate() averages over
+    EVERY val batch, and best_val_model tracks the held-out minimum (the
+    first validation), never the improving train loss."""
+    import json
+
+    state = TrainState.create(None, {"w": jnp.zeros((), jnp.float32)},
+                              adam())
+
+    def _step(state, batch, key, ctrl):
+        loss, grads = jax.value_and_grad(
+            lambda p: (p["w"] - batch["target"]) ** 2)(state.params)
+        return (state.apply_gradients(grads, ctrl["lr"]),
+                {"loss": loss}, {})
+
+    def _eval(state, batch, key, ctrl):
+        return {"loss": (state.params["w"] - batch["target"]) ** 2}, {}
+
+    # two held-out batches with different targets: the logged val_loss
+    # must be their MEAN (full val-set iteration, train.py:395-455)
+    val_batches = [{"target": np.float32(0.0)},
+                   {"target": np.float32(-0.6)}]
+    tr = Trainer(TrainerConfig(run_dir=str(tmp_path)), state,
+                 jax.jit(_step), jax.jit(_eval), val_batches=val_batches)
+    tr.live.values.update({"A_": 0.05, "warmup_end": 0,
+                           "decay_start": 10 ** 12,
+                           "validation_interval": 3})
+    batch = {"target": np.float32(1.0)}     # train target != val targets
+    train_losses = [tr.step(dict(batch))["loss"] for _ in range(12)]
+    assert train_losses[-1] < 0.5 * train_losses[0]      # train-set falls
+
+    with open(os.path.join(str(tmp_path), "events.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    vals = [r["val_loss"] for r in recs
+            if r.get("prefix") == "validation"]
+    assert len(vals) >= 3
+    assert vals[-1] > vals[0]                  # held-out score DIVERGES
+    # best_val_model froze at the held-out minimum (the first validation)
+    with open(os.path.join(str(tmp_path), "best_val_model.json")) as f:
+        meta = json.load(f)
+    assert meta["best_val_loss"] == pytest.approx(min(vals), rel=1e-6)
+    assert meta["best_val_loss"] < vals[-1]
+    # ...and the recorded mean really is the mean over BOTH val batches
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+    tree, _ = load_checkpoint(os.path.join(str(tmp_path),
+                                           "best_val_model"))
+    w = float(np.asarray(tree["params"]["w"]))
+    expect = ((w - 0.0) ** 2 + (w + 0.6) ** 2) / 2
+    assert meta["best_val_loss"] == pytest.approx(expect, rel=1e-5)
+
+
 def test_bf16_training_step():
     """Mixed precision (SURVEY §2.6): bf16 compute dtype trains with
     finite f32 losses and f32 optimizer state — TPU's no-loss-scaler
