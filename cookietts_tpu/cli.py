@@ -220,15 +220,31 @@ def cmd_train(args):
     items = [dataset[i % len(dataset)] for i in range(batch_size)]
     batch = collate(items, dcfg)
     dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "audiopath"}
-    # dataset global mel mean feeds drop-frame-rate (reference
-    # calculate_global_mean averages the WHOLE dataset, train.py:463-480;
-    # this estimates it from the init items — unbiased over random
-    # frames, one-time, no extra IO)
+    # drop-frame-rate global mean: the DATASET-WIDE per-channel mel mean
+    # (reference calculate_global_mean averages the whole dataset and
+    # persists it, train.py:463-480), computed LAZILY the first time DFR
+    # actually turns on (live-configurable) so DFR-off runs pay nothing;
+    # persisted to a filelist sidecar so later runs load it instantly.
+    # Until then a cheap init-batch estimate stands in (unused at dfr=0).
     _m = np.asarray(batch["mels"], np.float32)
     _valid = (np.arange(_m.shape[1])[None, :]
               < np.asarray(batch["mel_lengths"])[:, None])
-    global_mean = ((_m * _valid[:, :, None]).sum((0, 1))
-                   / np.maximum(_valid.sum(), 1)).astype(np.float32)
+    _gm = {"mean": ((_m * _valid[:, :, None]).sum((0, 1))
+                    / np.maximum(_valid.sum(), 1)).astype(np.float32),
+           "full": False}
+    _mean_sidecar = (os.path.abspath(args.filelist)
+                     + f".{dataset._cfg_hash()}.mean.npy")
+
+    def global_mean_now(live):
+        if not _gm["full"] and float(live.get("drop_frame_rate", 0.0)) > 0:
+            import time as _time
+            t0 = _time.time()
+            _gm["mean"] = dataset.global_mel_mean(_mean_sidecar)
+            _gm["full"] = True
+            print(f"[dfr] dataset-wide global mel mean over "
+                  f"{len(dataset)} entries in {_time.time() - t0:.1f}s "
+                  f"(sidecar {_mean_sidecar})")
+        return _gm["mean"]
     variables = jax.jit(model.init, static_argnames=("deterministic",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         text=dev["text"], text_lengths=dev["text_lengths"],
@@ -297,7 +313,10 @@ def cmd_train(args):
     for k, cast in (("validation_interval", int),
                     ("checkpoint_interval", int),
                     ("LossExplosionThreshold", float),
-                    ("grad_clip_thresh", float)):
+                    ("grad_clip_thresh", float),
+                    ("drop_frame_rate", float),
+                    ("p_teacher_forcing", float),
+                    ("teacher_force_till", int)):
         if k in overrides:
             trainer.live.values[k] = cast(overrides[k])
     # self-describing checkpoints: model kind + the config overrides that
@@ -348,7 +367,7 @@ def cmd_train(args):
         # background batch prep overlaps host IO/mel work with the TPU
         # step (reference DataLoader num_workers, train.py:160-166)
         for batch in Prefetcher(_load, sampler, depth=2):
-            batch["global_mean"] = global_mean    # drop-frame-rate target
+            batch["global_mean"] = global_mean_now(trainer.live)
             if mesh is not None:
                 from .parallel.mesh import replicate_global
                 batch = {

@@ -296,6 +296,50 @@ class TTSDataset:
             _atomic_save(cache, mel)
         return mel                         # [T_frames, n_mel]
 
+    def global_mel_mean(self, sidecar_path: Optional[str] = None,
+                        workers: int = 8) -> np.ndarray:
+        """Dataset-wide per-channel mel mean for drop-frame-rate.
+
+        The reference averages the WHOLE dataset once and persists the
+        result (``calculate_global_mean`` + ``global_mean_npy``,
+        tacotron2_tm/train.py:463-480); estimating from one init batch
+        biases the DFR replacement frames toward whatever utterances it
+        sampled. One streaming sum/count pass over every entry (thread
+        pool; rides the mel cache when warm), persisted to
+        ``sidecar_path`` so later runs load it instantly. Unreadable
+        entries are skipped under ``force_load`` (they are substituted
+        at train time anyway)."""
+        if sidecar_path and os.path.exists(sidecar_path):
+            try:
+                m = np.load(sidecar_path)
+                if m.shape == (self.cfg.n_mel_channels,):
+                    return m.astype(np.float32)
+            except (OSError, ValueError):
+                pass
+        from concurrent.futures import ThreadPoolExecutor
+
+        def acc(i):
+            try:
+                mel = self.get_mel(self.entries[i]["path"])
+            except Exception:
+                if not self.cfg.force_load:
+                    raise
+                return np.zeros(self.cfg.n_mel_channels, np.float64), 0
+            return mel.sum(0, dtype=np.float64), mel.shape[0]
+
+        idx = range(len(self.entries))
+        if workers > 1 and len(self.entries) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                parts = list(ex.map(acc, idx))
+        else:
+            parts = [acc(i) for i in idx]
+        total = sum(p[0] for p in parts)
+        n = sum(p[1] for p in parts)
+        mean = (total / max(n, 1)).astype(np.float32)
+        if sidecar_path:
+            _atomic_save(sidecar_path, mean)
+        return mean
+
     # -- text ------------------------------------------------------------------
     def arpa_decision(self, index: int) -> bool:
         """Deterministic per-(seed, epoch, index) ARPA coin flip.

@@ -511,6 +511,55 @@ def test_cli_val_filelist_heldout_validation(tts_dataset, tmp_path):
     assert np.isfinite(meta["best_val_loss"])
 
 
+def test_global_mel_mean_dataset_wide_and_sidecar(tmp_path):
+    """Drop-frame-rate global mean averages the WHOLE dataset (reference
+    calculate_global_mean, train.py:463-480): matches the manual mean
+    over every entry's frames, persists a sidecar, and a fresh dataset
+    reloads it with zero audio loads."""
+    from cookietts_tpu.data.dataset import DataConfig, TTSDataset
+    sr = 22050
+    rng = np.random.default_rng(3)
+    entries = []
+    for i in range(5):
+        a = (0.2 * np.sin(2 * np.pi * (100 + 80 * i)
+                          * np.arange(int(sr * (0.2 + 0.1 * i))) / sr)
+             ).astype(np.float32)
+        p = str(tmp_path / f"m{i}.wav")
+        audio_io.save_wav(p, a, sr)
+        entries.append({"path": p, "quote": f"x {i}", "speaker_id": 0})
+    dcfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                      win_length=512, n_mel_channels=16, mel_fmax=8000.0,
+                      trim_enable=False, target_lufs=None)
+    ds = TTSDataset(entries, dcfg)
+    side = str(tmp_path / "filelist.mean.npy")
+    mean = ds.global_mel_mean(side)
+    # manual dataset-wide frame mean
+    mels = [ds.get_mel(e["path"]) for e in entries]
+    allf = np.concatenate(mels, 0)
+    np.testing.assert_allclose(mean, allf.mean(0), rtol=1e-5, atol=1e-5)
+    assert os.path.exists(side)
+    # a fresh dataset loads the sidecar without touching audio
+    ds2 = TTSDataset(entries, dcfg)
+    calls = []
+    ds2.load_audio = lambda p: calls.append(p)
+    ds2.get_mel = lambda *a, **k: calls.append(a)
+    np.testing.assert_array_equal(ds2.global_mel_mean(side), mean)
+    assert not calls
+
+
+def test_cli_dfr_enables_dataset_wide_mean(tts_dataset, tmp_path):
+    """With drop_frame_rate on via --hparams, cmd_train computes the
+    dataset-wide DFR mean lazily and persists the filelist sidecar;
+    DFR-off runs (every other CLI test) never pay the pass."""
+    import glob
+    root, filelist, sr = tts_dataset
+    run_dir = str(tmp_path / "run_dfr")
+    cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
+              "--iters", "2", "--run_dir", run_dir,
+              "--hparams", TINY_TTS_HPARAMS + ",drop_frame_rate=0.2"])
+    assert glob.glob(filelist + ".*.mean.npy")
+
+
 def test_collate_emotion_onehot_and_unknown():
     """Collate builds the semi-supervised emotion one-hot: labeled items
     get a one-hot row, unknown ids (-1 / out-of-range) map to the
