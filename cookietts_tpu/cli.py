@@ -316,7 +316,10 @@ def cmd_train(args):
                     ("grad_clip_thresh", float),
                     ("drop_frame_rate", float),
                     ("p_teacher_forcing", float),
-                    ("teacher_force_till", int)):
+                    ("teacher_force_till", int),
+                    ("curation_enable", bool),
+                    ("curation_min_att_score", float),
+                    ("curation_min_avg_max_attention", float)):
         if k in overrides:
             trainer.live.values[k] = cast(overrides[k])
     # self-describing checkpoints: model kind + the config overrides that
