@@ -19,6 +19,15 @@
    clip + Adam) at the same segment length on ONE v5e chip, batch
    chosen to fill the chip — an aggregate-throughput comparison of one
    chip vs the author's 3-GPU node.
+5. serving_rtf_tacotron2_hifigan_b32 / _b1 — the BASELINE.json batch
+   protocol ("RTF ... at batch 1/32") alongside the B=128 headline:
+   batch 32 is the reference trainer's batch, batch 1 the interactive
+   latency point.
+6. tacotron2_train_mel_frames_per_s — text-to-mel TRAINING throughput
+   (BASELINE.json "mel frames/sec (TTM)"); vs_baseline anchors to the
+   reference's batch_size=32 consuming frames at exactly real time
+   (no reference training throughput is committed anywhere — see the
+   leg docstring).
 
 Leg order and printing are built for the tunnel's cache-less compile
 service (latency swings 1-20+ min per big graph): cheapest-compiling
@@ -218,8 +227,15 @@ def bench_waveflow_training(on_tpu, dtype):
           "samples_per_s", BASELINE_WAVEFLOW_TRAIN_SAMPLES_S)
 
 
-def bench_serving(on_tpu, dtype):
-    """Batched Tacotron2 -> HiFi-GAN combined serving RTF (north star)."""
+def bench_serving(on_tpu, dtype, B=None):
+    """Batched Tacotron2 -> HiFi-GAN combined serving RTF (north star).
+
+    ``B`` on TPU selects the end-to-end batch: 128 is the headline
+    operating point (B=256 crashes the tunnel's compile service), and
+    BASELINE.json's protocol also asks for batch 1 and batch 32 —
+    the interactive and reference-train-batch points (the reference
+    server prints xRT per request at whatever batch the request used,
+    text2speech.py:766-769)."""
     from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
     from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
     from cookietts_tpu.text import N_SYMBOLS
@@ -231,14 +247,17 @@ def bench_serving(on_tpu, dtype):
         # B=128 -> taco 67.9 ms / voc 437.7 ms = 1505x; B=256 crashes the
         # tunnel's compile service. VB=16 (the reference server's batch,
         # text2speech.py:658-666) leaves ~3x on the table.
-        B, T_txt, T_dec, n_iters = 128, 128, 512, 3
+        B = B or 128
+        # smaller batches need more reps for a stable number (per-dispatch
+        # cost is ~ms at B=1; tunnel jitter would dominate 3 reps)
+        T_txt, T_dec, n_iters = 128, 512, {1: 10, 32: 5}.get(B, 3)
         tcfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype,
                                max_decoder_steps=T_dec)
         hcfg = HiFiGANConfig(n_mel_channels=80,
                              upsample_rates=(8, 8, 4, 2),
                              upsample_kernel_sizes=(16, 16, 8, 4),
                              dtype=dtype)
-        VB = 128
+        VB = B
     else:
         B, T_txt, T_dec, n_iters = 2, 12, 32, 1
         tcfg = Tacotron2Config(
@@ -307,6 +326,99 @@ def bench_serving(on_tpu, dtype):
           NORTH_STAR_SERVING_RTF)
 
 
+def bench_serving_b32(on_tpu, dtype):
+    bench_serving(on_tpu, dtype, B=32)
+
+
+def bench_serving_b1(on_tpu, dtype):
+    bench_serving(on_tpu, dtype, B=1)
+
+
+def bench_tacotron2_training(on_tpu, dtype):
+    """Tacotron2 TRAINING throughput in mel frames consumed per second
+    per chip — the BASELINE.json "mel frames/sec (TTM)" leg.
+
+    The step is the real `train --model tacotron2` path: teacher-forced
+    scan forward, the full nine-component Tacotron2Loss, grads through
+    the scan, global-norm clip, Adam. Full tacotron2_tm dims.
+
+    The reference publishes NO tacotron2 training throughput (its
+    train.py prints s/iter live, train.py:751-757, but no number is
+    committed anywhere), so vs_baseline anchors to a transparent
+    real-time mark: the reference's own batch_size=32 (hparams.py:51)
+    consuming mel frames exactly at real time — 32 lanes x 44100/512
+    frames/s = 2756 frames/s. vs_baseline = how many times faster than
+    real-time-at-reference-batch one chip trains."""
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.runtime.optim import adam
+    from cookietts_tpu.runtime.train_state import TrainState
+    from cookietts_tpu.runtime.trainer import (make_tacotron2_train_step,
+                                               scalars_to_arrays)
+    from cookietts_tpu.text import N_SYMBOLS
+
+    sr, hop = 44100, 512
+    if on_tpu:
+        # B sweep protocol mirrors the other training leg: the tunnel's
+        # compile helper is the binding constraint on batch, not HBM.
+        B, T_txt, T_mel, n = 16, 128, 512, 3
+        tcfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype)
+    else:
+        B, T_txt, T_mel, n = 2, 12, 32, 1
+        tcfg = Tacotron2Config(
+            n_symbols=N_SYMBOLS, symbols_embedding_dim=16, n_speakers=4,
+            speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+            encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+            encoder_n_convolutions=1, torchmoji_dim=8,
+            torchmoji_crushed_dim=4, memory_bottleneck_dim=16,
+            prenet_dim=8, attention_rnn_dim=16, decoder_rnn_dim=16,
+            second_decoder_rnn_dim=0, attention_dim=8,
+            windowed_attention_range=4, postnet_embedding_dim=16,
+            postnet_n_convolutions=2, postnet_residual_connections=0)
+    model = Tacotron2(tcfg)
+    rng = np.random.default_rng(0)
+
+    def mk(i):
+        mels = rng.standard_normal((B, T_mel, tcfg.n_mel_channels))
+        gate = np.zeros((B, T_mel), np.float32)
+        gate[:, -1] = 1.0
+        return {
+            "text": jnp.asarray(rng.integers(1, tcfg.n_symbols,
+                                             (B, T_txt)), jnp.int32),
+            "text_lengths": jnp.full((B,), T_txt, jnp.int32),
+            "mels": jnp.asarray(mels, jnp.float32),
+            "mel_lengths": jnp.full((B,), T_mel, jnp.int32),
+            "speaker_id": jnp.asarray(
+                rng.integers(0, tcfg.n_speakers, (B,)), jnp.int32),
+            "sylps": jnp.full((B,), 4.0, jnp.float32),
+            "gate_target": jnp.asarray(gate),
+        }
+
+    batches = [mk(i) for i in range(2 * n + 1)]
+    b0 = batches[0]
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=b0["text"], text_lengths=b0["text_lengths"], mels=b0["mels"],
+        mel_lengths=b0["mel_lengths"], speaker_id=b0["speaker_id"],
+        sylps=b0["sylps"], key=jax.random.PRNGKey(2), deterministic=False)
+    mutables = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState.create(model.apply, variables["params"], adam(),
+                              mutables)
+    train_step = make_tacotron2_train_step(model, donate=False)
+    ctrl = scalars_to_arrays({
+        "lr": 1e-4, "grad_clip": 1.0, "p_teacher_forcing": 1.0,
+        "teacher_force_till": 0.0, "drop_frame_rate": 0.0})
+    key = jax.random.PRNGKey(0)
+
+    def run(batch):
+        _, metrics, _, _ = train_step(state, batch, key, ctrl)
+        return metrics["loss"]
+
+    elapsed = _timed(run, lambda i: (batches[i],), n, _check_program(n))
+    baseline_frames_s = 32 * sr / hop      # reference batch at real time
+    _emit("tacotron2_train_mel_frames_per_s", B * T_mel / elapsed,
+          "mel_frames_per_s", baseline_frames_s)
+
+
 def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -327,8 +439,16 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     t0 = time.monotonic()
     printed = 0
-    for fn in (bench_serving, bench_waveglow, bench_waveflow,
-               bench_waveflow_training):
+    # round-3 legs first (they always record), then the BASELINE.json
+    # protocol legs added in round 4: serving at batch 32 / batch 1 and
+    # Tacotron2 training throughput. The B-variant serving legs only
+    # exist on TPU (the CPU smoke path fixes its own tiny batch and
+    # would just emit the same metric three times).
+    legs = [bench_serving, bench_waveglow, bench_waveflow,
+            bench_waveflow_training, bench_tacotron2_training]
+    if on_tpu:
+        legs[4:4] = [bench_serving_b32, bench_serving_b1]
+    for fn in legs:
         if time.monotonic() - t0 > budget:
             print(f"[bench] skipping {fn.__name__}: over "
                   f"{budget:.0f}s budget", flush=True)

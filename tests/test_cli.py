@@ -212,8 +212,9 @@ def test_cli_train_hifigan_denoiser(tmp_path):
               f"sampling_rate={sr},noise_dir='{noise_dir}',"
               "min_augmented_sample_rate=8000,"
               f"max_augmented_sample_rate={sr},"
-              "n_layers=2,n_channels=8,window_lengths=[64,128],"
-              "hop_lengths=[16,32],dw_channels=[4,8],ds_channels=[4]"])
+              "wn_layers=2,wn_channels=8,postnet_layers=2,"
+              "postnet_channels=8,postnet_kernel_size=4,"
+              "window_lengths=[64,128],hop_lengths=[16,32]"])
     files = os.listdir(run_dir)
     assert any(f.startswith("checkpoint_") for f in files)
     assert "events.jsonl" in files
@@ -459,7 +460,10 @@ def test_cli_train_plans_full_filelist(monkeypatch, tmp_path):
     cli.main(["train", "--model", "tacotron2", "--filelist", filelist,
               "--val_filelist", val_filelist,
               "--iters", "2", "--run_dir", run_dir,
-              "--hparams", TINY_TTS_HPARAMS + ",trim_enable=False"])
+              "--hparams", TINY_TTS_HPARAMS
+              + ",trim_enable=False,drop_frame_rate=0.0"])
+    # drop_frame_rate=0 keeps the (separately-tested) dataset-wide DFR
+    # mean pass off, so the only mels computed are the trained batches'
     assert seen["n"] == 516
     n_mels = len([f for f in os.listdir(root) if f.endswith(".mel.npy")])
     assert n_mels <= 10, n_mels     # init + 2 trained batches only
