@@ -822,7 +822,7 @@ def _train_hifigan_denoiser(args, overrides):
                                      collate_denoiser)
     from .models.hifigan_denoiser import (DenoiserWN, HiFiGANDenoiserConfig,
                                           MultiResSpect, SpectDiscriminator,
-                                          WaveDiscriminator)
+                                          WaveDiscriminator, log_compress)
     from .runtime.optim import adam
     from .runtime.train_state import TrainState
     from .runtime.trainer import make_hifigan_denoiser_train_steps
@@ -856,8 +856,6 @@ def _train_hifigan_denoiser(args, overrides):
         **{k: v for k, v in overrides.items()
            if k in m_valid and k != "stage"})
     gen = DenoiserWN(mcfg)
-    dw = WaveDiscriminator(mcfg)
-    ds = SpectDiscriminator(mcfg)
     mrs = MultiResSpect(mcfg.window_lengths, mcfg.hop_lengths)
 
     rng = np.random.default_rng(0)
@@ -869,12 +867,20 @@ def _train_hifigan_denoiser(args, overrides):
 
     dev = make_batch()
     g_vars = jax.jit(gen.init)(jax.random.PRNGKey(0), dev["noisy"])
-    dw_vars = jax.jit(dw.init)(jax.random.PRNGKey(1), dev["clean"])
-    ds_vars = jax.jit(ds.init)(jax.random.PRNGKey(2),
-                               mrs(dev["clean"])[0])
     g_state = TrainState.create(gen.apply, g_vars["params"], adam())
-    d_state = TrainState.create(
-        None, (dw_vars["params"], ds_vars["params"]), adam())
+    # the critics exist only once the adversarial stage turns on
+    # (model.py:46-57 builds DS/DW at stage >= 2); a stage promotion
+    # resumes the generator and initializes fresh critics
+    dw = ds = None
+    d_params = ()
+    if stage >= 2:
+        dw = WaveDiscriminator(mcfg)
+        ds = SpectDiscriminator(mcfg)
+        dw_vars = jax.jit(dw.init)(jax.random.PRNGKey(1), dev["clean"])
+        ds_vars = jax.jit(ds.init)(jax.random.PRNGKey(2),
+                                   log_compress(mrs(dev["clean"])))
+        d_params = (dw_vars["params"], ds_vars["params"])
+    d_state = TrainState.create(None, d_params, adam())
 
     d_step, g_step = make_hifigan_denoiser_train_steps(
         gen, dw, ds, mrs, stage=stage, mesh=_auto_dp_mesh(batch_size))
@@ -1218,7 +1224,9 @@ def _train_hifigan(args, overrides):
                 else args.resume)
         if path is None:
             raise SystemExit(f"--resume: no checkpoint in {args.run_dir}")
-        print(f"[hifigan] resumed G+D from {path}")
+        # the actual restore happens inside _trainer_loop; don't claim
+        # success before it
+        print(f"[hifigan] resuming G+D from {path}")
 
     def make_batch(it):
         rng = np.random.default_rng(it)

@@ -97,6 +97,65 @@ def restore_train_state(state, path: str):
     return _restore_train_state_from_tree(state, tree), meta
 
 
+def fold_weightnorm_layout(target: Any, tree: Any, zero_fold: bool = False
+                           ) -> tuple:
+    """Migrate flax WeightNorm checkpoint subtrees to folded-kernel
+    layout wherever ``target`` now expects a plain {kernel, bias} conv.
+
+    Old in-repo HiFi-GAN runs (before the MSD spectral-norm parity fix)
+    saved the scale-0 discriminator convs in WeightNorm layout: the conv
+    params under a sibling ``Conv_j`` key and the wrapper holding a flat
+    ``Conv_j/kernel/scale``. The module now uses :class:`SNConv`
+    (plain kernel/bias), so ``--resume`` of such a run used to fail at
+    restore (MIGRATION.md "In-framework checkpoint compatibility").
+    This folds w = v * g / ||v|| (norm over all axes but the output one
+    — the same fold the torch converter uses) into the kernel.
+
+    ``zero_fold=True`` is for Adam moment trees, which mirror the params
+    structure: the fold is a re-parametrization, so folded KERNEL
+    moments are reset to zero (fresh curvature for the migrated layer)
+    while bias moments — whose parametrization is unchanged — survive.
+
+    Returns (migrated_tree, n_folded); a no-op (n_folded=0) when the
+    tree already matches the target layout."""
+    n = 0
+
+    def walk(tgt, tr):
+        nonlocal n
+        if isinstance(tgt, (list, tuple)) and isinstance(tr, (list, tuple)):
+            return type(tr)(walk(t, v) for t, v in zip(tgt, tr))
+        if not isinstance(tgt, dict) or not isinstance(tr, dict):
+            return tr
+        out = {}
+        for k, tgt_v in tgt.items():
+            tv = tr.get(k)
+            if (isinstance(tgt_v, dict) and set(tgt_v) == {"kernel", "bias"}
+                    and isinstance(tv, dict) and "kernel" not in tv):
+                scales = [s for s in tv if s.endswith("/kernel/scale")]
+                conv = tr.get(scales[0].split("/")[0]) if len(scales) == 1 \
+                    else None
+                if isinstance(conv, dict) and "kernel" in conv:
+                    v = np.asarray(conv["kernel"], np.float32)
+                    if zero_fold:
+                        out[k] = {"kernel": np.zeros_like(v),
+                                  "bias": conv["bias"]}
+                    else:
+                        g = np.asarray(tv[scales[0]], np.float32)
+                        norm = np.sqrt(np.sum(
+                            np.square(v),
+                            axis=tuple(range(v.ndim - 1)), keepdims=True))
+                        out[k] = {
+                            "kernel": (v * g / norm).astype(
+                                np.asarray(conv["kernel"]).dtype),
+                            "bias": conv["bias"]}
+                    n += 1
+                    continue
+            out[k] = walk(tgt_v, tv) if tv is not None else tv
+        return out
+
+    return walk(target, tree), n
+
+
 def restore_any(state, path: str):
     """Full resume for either a plain :class:`TrainState` or a paired
     :class:`GANTrainState` (G under ``params``/``opt_state``, D under
@@ -111,11 +170,35 @@ def restore_any(state, path: str):
             f"{path} has no discriminator state; use --warm_start for a "
             "generator-only load")
     g, _ = restore_train_state(state.g, path)
-    d_tree = {"params": tree["d_params"], "step": tree.get("step", 0)}
+    if (isinstance(tree["d_params"], (list, tuple))
+            and len(tree["d_params"]) == 0
+            and jax.tree_util.tree_leaves(state.d.params)):
+        # stage promotion: a pre-adversarial denoiser checkpoint has no
+        # critics yet — resume the generator, keep the fresh critics
+        print("[resume] checkpoint has no critic params (pre-adversarial "
+              "stage); discriminators start fresh")
+        return GANTrainState(g=g, d=state.d.replace(
+            step=int(tree.get("step", 0)))), meta
+    d_target = jax.tree_util.tree_map(np.asarray, state.d.params)
+    d_params, n_folded = fold_weightnorm_layout(d_target, tree["d_params"])
+    d_tree = {"params": d_params, "step": tree.get("step", 0)}
     if "d_opt_state" in tree:
         d_tree["opt_state"] = tree["d_opt_state"]
+        if n_folded:
+            # Adam moments mirror the params tree: migrate structure,
+            # zero the re-parametrized kernel moments
+            opt = dict(tree["d_opt_state"])
+            for mom in ("mu", "nu"):
+                if mom in opt:
+                    opt[mom], _ = fold_weightnorm_layout(
+                        d_target, opt[mom], zero_fold=True)
+            d_tree["opt_state"] = opt
     if tree.get("d_mutables"):
         d_tree["mutables"] = tree["d_mutables"]
+    if n_folded:
+        print(f"[resume] migrated {n_folded} discriminator conv(s) from "
+              "weight-norm to folded spectral-norm layout "
+              "(pre-SNConv checkpoint; kernel moments reset)")
     d = _restore_train_state_from_tree(state.d, d_tree)
     return GANTrainState(g=g, d=d), meta
 

@@ -380,3 +380,70 @@ def test_checkpointer_async_failed_save_does_not_poison(tmp_path,
     ck.wait()
     got, _ = load_checkpoint(str(tmp_path / "checkpoint_2"))
     np.testing.assert_array_equal(got["params"]["w"], tree["params"]["w"])
+
+
+def test_gan_resume_migrates_weightnorm_msd(tmp_path):
+    """--resume of a pre-spectral-norm HiFi-GAN run: the checkpoint's
+    scale-0 MSD convs are in flax WeightNorm layout (sibling Conv_j +
+    wrapper 'Conv_j/kernel/scale'); restore folds w = v*g/||v|| into the
+    SNConv kernel, zeroes the re-parametrized kernel Adam moments, and
+    keeps bias moments (MIGRATION.md in-framework compatibility gap)."""
+    from cookietts_tpu.models.hifigan import (HiFiGANConfig,
+                                              MultiScaleDiscriminator)
+    from cookietts_tpu.runtime.checkpoint import (restore_any,
+                                                  save_checkpoint)
+    from cookietts_tpu.runtime.train_state import GANTrainState, TrainState
+
+    hcfg = HiFiGANConfig(n_mel_channels=8, msd_scales=2)
+    msd = MultiScaleDiscriminator(hcfg)
+    audio = jnp.zeros((1, 256), jnp.float32)
+    msd_params = jax.jit(msd.init)(
+        jax.random.PRNGKey(0), audio, audio)["params"]
+
+    # build the OLD-layout checkpoint subtree for scale0 (new layout is
+    # plain SNConv kernel/bias); arbitrary non-norm scales so the fold
+    # actually changes values
+    rng = np.random.default_rng(0)
+    new0 = jax.tree_util.tree_map(np.asarray, msd_params["scale0"])
+    old0, want0, mu_old0 = {}, {}, {}
+    for j, (name, leafs) in enumerate(sorted(new0.items())):
+        v = rng.standard_normal(leafs["kernel"].shape).astype(np.float32)
+        g_scale = np.full(leafs["kernel"].shape[-1:], 0.7, np.float32)
+        old0[f"Conv_{j}"] = {"kernel": v, "bias": leafs["bias"]}
+        old0[name] = {f"Conv_{j}/kernel/scale": g_scale}
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        want0[name] = v * g_scale / norm
+        mu_old0[f"Conv_{j}"] = {"kernel": np.ones_like(v),
+                                "bias": np.full_like(leafs["bias"], 3.0)}
+        mu_old0[name] = {f"Conv_{j}/kernel/scale": np.ones_like(g_scale)}
+    old_msd = dict(jax.tree_util.tree_map(np.asarray, msd_params))
+    old_msd["scale0"] = old0
+    mu_msd = jax.tree_util.tree_map(np.zeros_like, old_msd)
+    mu_msd["scale0"] = mu_old0
+
+    g_state = TrainState.create(None, {"w": jnp.ones((2,))}, adam())
+    d_state = TrainState.create(None, (msd_params,), adam())
+    path = str(tmp_path / "checkpoint_5")
+    save_checkpoint(path, {
+        "step": 5, "params": {"w": np.full((2,), 2.0, np.float32)},
+        "opt_state": {"step": 5, "mu": {"w": np.zeros(2, np.float32)},
+                      "nu": {"w": np.zeros(2, np.float32)}},
+        "d_params": [old_msd],
+        "d_opt_state": {"step": 5, "mu": [mu_msd],
+                        "nu": [jax.tree_util.tree_map(np.ones_like,
+                                                      mu_msd)]},
+    })
+
+    state, _ = restore_any(GANTrainState(g=g_state, d=d_state), path)
+    got = jax.tree_util.tree_map(np.asarray, state.d.params[0]["scale0"])
+    for name, want in want0.items():
+        np.testing.assert_allclose(got[name]["kernel"], want, rtol=1e-6)
+    mu = jax.tree_util.tree_map(np.asarray,
+                                state.d.opt_state.mu[0]["scale0"])
+    for name in want0:
+        assert float(np.abs(mu[name]["kernel"]).max()) == 0.0
+        assert float(mu[name]["bias"].min()) == 3.0   # bias moments kept
+    # non-migrated scales restore verbatim
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.d.params[0]["scale1"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(old_msd["scale1"])[0]))
