@@ -253,6 +253,12 @@ def make_tacotron2_inference_eval_step(model, mesh=None,
             # fraction of lanes whose gate fired before the step budget
             "inf_gate_fired": jnp.mean(
                 (out["mel_lengths"] < T_dec).astype(jnp.float32)),
+            # gate PLACEMENT: |predicted - ground-truth| length in frames.
+            # gate_fired alone is satisfied by an untrained gate stopping
+            # instantly; this shows the gate learning WHERE to stop
+            "inf_len_abs_err": jnp.mean(jnp.abs(
+                out["mel_lengths"].astype(jnp.float32)
+                - batch["mel_lengths"].astype(jnp.float32))),
         }
         file_losses = {"inf_att_score": scores}
         images = {"alignments": out["alignments"],
@@ -903,19 +909,24 @@ def make_gan_postnet_train_steps(postnet, disc, mel_weight: float = 1.0,
 
 def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0,
                                       mesh=None) -> Tuple[Callable, Callable]:
-    """Staged denoiser training (reference HiFiGAN_Denoiser/model.py:38-60):
-    stage 0/1 = multi-res spectral L1+MSE only; stage >= 2 adds LSGAN
-    adversarial terms from the wave (DW) and spectrogram (DS) critics
-    (real label 0, fake label 1).
+    """Staged denoiser training (reference HiFiGAN_Denoiser/model.py:59-175):
+    stage 0/1 = log multi-res spectral L1 + audio L1 only; stage >= 2 is
+    adversarial — fakeness logits of the wave (DW) and spectrogram (DS)
+    critics are SUMMED and pushed through ONE BCE (real label 0, fake
+    label 1; model.py:80-84,113-126), D loss averaged over the real and
+    fake halves (model.py:126).
 
     batch = {noisy [B,T], clean [B,T]}.
     Returns (d_step, g_step); d_step is a no-op (returns state unchanged)
     below stage 2.
     """
-    from ..models.hifigan_denoiser import denoiser_loss
+    from ..models.hifigan_denoiser import (denoiser_loss, fakeness_bce,
+                                           log_compress)
 
     def _spect(audio):
-        return mrs(audio)[0]    # finest-resolution bank feeds DS
+        # DS sees the log-compressed concatenated multi-res spectrogram
+        # (model.py:65-68)
+        return log_compress(mrs(audio))
 
     def g_loss_fn(g_params, d_params, batch):
         pred = gen.apply({"params": g_params}, batch["noisy"])
@@ -933,16 +944,14 @@ def make_hifigan_denoiser_train_steps(gen, dw, ds, mrs, stage: int = 0,
         pred = jax.lax.stop_gradient(
             gen.apply({"params": g_params}, batch["noisy"]))
         dw_params, ds_params = d_params
-        loss = jnp.zeros((), jnp.float32)
-        for critic, real_in, fake_in in (
-                (dw, batch["clean"], pred),
-                (ds, _spect(batch["clean"]), _spect(pred))):
-            params = dw_params if critic is dw else ds_params
-            d_real = critic.apply({"params": params}, real_in)
-            d_fake = critic.apply({"params": params}, fake_in)
-            # LSGAN, real label 0 / fake label 1 (model.py:70-72)
-            loss = loss + jnp.mean(d_real.astype(jnp.float32) ** 2) \
-                + jnp.mean((d_fake.astype(jnp.float32) - 1.0) ** 2)
+
+        def fakeness(audio):
+            return (dw.apply({"params": dw_params}, audio)
+                    + ds.apply({"params": ds_params}, _spect(audio)))
+
+        real_loss = fakeness_bce(fakeness(batch["clean"]), fake_label=0.0)
+        fake_loss = fakeness_bce(fakeness(pred), fake_label=1.0)
+        loss = (real_loss + fake_loss) / 2.0
         return loss, {"d_loss": loss}
 
     def g_step(g_state, d_state, batch, ctrl):

@@ -267,19 +267,24 @@ def test_gan_postnet_train_steps_adversarial_dynamics(tmp_path):
 
 
 def test_hifigan_denoiser_staged_training():
-    """Stage 0 trains spectral-only (D untouched); stage 2 adds LSGAN
-    terms from both critics (reference HiFiGAN_Denoiser/model.py:38-60)."""
+    """Stage 0 trains spectral-only (D untouched); stage 2 is pure
+    adversarial BCE over the SUMMED critic logits
+    (reference HiFiGAN_Denoiser/model.py:59-175)."""
     from cookietts_tpu.models.hifigan_denoiser import (
         DenoiserWN, HiFiGANDenoiserConfig, MultiResSpect,
-        SpectDiscriminator, WaveDiscriminator)
+        SpectDiscriminator, WaveDiscriminator, log_compress)
     from cookietts_tpu.runtime.optim import adam
     from cookietts_tpu.runtime.train_state import TrainState
     from cookietts_tpu.runtime.trainer import (
         make_hifigan_denoiser_train_steps, scalars_to_arrays)
 
     cfg = HiFiGANDenoiserConfig(
-        n_layers=2, n_channels=8, window_lengths=(64, 128),
-        hop_lengths=(16, 32), dw_channels=(4, 8), ds_channels=(4,))
+        wn_layers=2, wn_channels=8, wn_dilations=None,
+        postnet_layers=2, postnet_channels=8, postnet_kernel_size=4,
+        window_lengths=(64, 128), hop_lengths=(16, 32),
+        dw_n_discriminators=2, dw_kernel_sizes=(5, 3),
+        dw_strides=(2, 1), dw_channels=(4, 1), dw_group_sizes=(1, 1),
+        ds_block_confs=((2, 3, 1, 2, 4),))
     gen, dw, ds = DenoiserWN(cfg), WaveDiscriminator(cfg), \
         SpectDiscriminator(cfg)
     mrs = MultiResSpect(cfg.window_lengths, cfg.hop_lengths)
@@ -292,7 +297,8 @@ def test_hifigan_denoiser_staged_training():
 
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), noisy)
     dwv = jax.jit(dw.init)(jax.random.PRNGKey(1), clean)
-    dsv = jax.jit(ds.init)(jax.random.PRNGKey(2), mrs(clean)[0])
+    dsv = jax.jit(ds.init)(jax.random.PRNGKey(2),
+                           log_compress(mrs(clean)))
     g_state = TrainState.create(gen.apply, gvars["params"], adam())
     d_state = TrainState.create(None, (dwv["params"], dsv["params"]),
                                 adam())

@@ -1,5 +1,6 @@
 """Tests for preprocess/filelist/extract/mfa-parse/plotting +
 HiFiGAN train steps + HiFiGAN-denoiser pieces."""
+import dataclasses
 import os
 import tarfile
 import zipfile
@@ -249,10 +250,15 @@ def test_hifigan_train_steps():
 def test_hifigan_denoiser():
     from cookietts_tpu.models.hifigan_denoiser import (
         DenoiserWN, HiFiGANDenoiserConfig, MultiResSpect,
-        SpectDiscriminator, WaveDiscriminator, denoiser_loss)
+        SpectDiscriminator, WaveDiscriminator, denoiser_loss,
+        log_compress)
     cfg = HiFiGANDenoiserConfig(
-        n_layers=2, n_channels=8, window_lengths=(64, 128),
-        hop_lengths=(16, 32), dw_channels=(4, 8), ds_channels=(4,))
+        wn_layers=2, wn_channels=8, wn_dilations=None,
+        postnet_layers=2, postnet_channels=8, postnet_kernel_size=4,
+        window_lengths=(64, 128), hop_lengths=(16, 32),
+        dw_n_discriminators=2, dw_kernel_sizes=(5, 3),
+        dw_strides=(2, 1), dw_channels=(4, 1), dw_group_sizes=(1, 1),
+        ds_block_confs=((2, 3, 1, 2, 4),))
     rng = np.random.default_rng(0)
     clean = jnp.asarray(0.3 * np.sin(
         2 * np.pi * 100 * np.arange(512) / 4000)[None], jnp.float32)
@@ -263,22 +269,31 @@ def test_hifigan_denoiser():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), noisy)
     out = jax.jit(model.apply)(variables, noisy)
     assert out.shape == noisy.shape
-    # zero-init end layer => identity at init
-    np.testing.assert_allclose(np.asarray(out), np.asarray(noisy),
-                               atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # stage >= 1 routes through the PostNet head
+    cfg1 = dataclasses.replace(cfg, stage=1)
+    out1 = jax.jit(DenoiserWN(cfg1).apply)(
+        jax.jit(DenoiserWN(cfg1).init)(jax.random.PRNGKey(0), noisy),
+        noisy)
+    assert out1.shape == noisy.shape
 
     mrs = MultiResSpect(cfg.window_lengths, cfg.hop_lengths)
     dw = WaveDiscriminator(cfg)
     ds = SpectDiscriminator(cfg)
     dw_vars = jax.jit(dw.init)(jax.random.PRNGKey(1), out)
-    spect = mrs(out)[0]
+    spect = log_compress(mrs(out))
     ds_vars = jax.jit(ds.init)(jax.random.PRNGKey(2), spect)
     dw_logit = dw.apply(dw_vars, out)
     ds_logit = ds.apply(ds_vars, spect)
+    assert dw_logit.shape == (1,) and ds_logit.shape == (1,)
     total, ld = denoiser_loss(mrs, out, clean, stage=2,
                               dw_fake=dw_logit, ds_fake=ds_logit)
     assert np.isfinite(float(total))
-    assert "adv" in ld and "spec_L1" in ld
+    assert "adv" in ld
+    # pre-adversarial loss carries the reference's spectral + audio L1
+    total0, ld0 = denoiser_loss(mrs, out, clean, stage=0)
+    assert "spec_L1" in ld0 and "audio_L1" in ld0
 
 
 def test_preprocess_output_inventory_and_fixes(tmp_path):

@@ -1492,3 +1492,243 @@ def test_dynamic_loss_scaler_matches_reference():
         ours.step(bool(ov))
         assert ours.scale == ref.loss_scale, (i, ov, ours.scale,
                                               ref.loss_scale)
+
+
+# -- HiFiGAN_Denoiser parity (modules.py WN/PostNet/DW/DS, model.py MRS) ----
+
+def _wn_fill(params, wrapper, tconv):
+    """Fill a flax nn.WeightNorm conv (wrapper + sibling Conv_j) from a
+    torch conv whose weight norm was removed: v := w, scale := ||w||
+    (so scale * v/||v|| == w exactly)."""
+    scales = [k for k in params[wrapper] if k.endswith("/kernel/scale")]
+    conv_name = scales[0].split("/")[0]
+    w = tconv.weight.detach().numpy()            # [out, in/g, k]
+    k = np.transpose(w, (2, 1, 0))               # -> [k, in/g, out]
+    params[conv_name]["kernel"] = k.astype(np.float32)
+    params[conv_name]["bias"] = tconv.bias.detach().numpy()
+    norm = np.sqrt((k ** 2).sum(axis=tuple(range(k.ndim - 1))))
+    params[wrapper][scales[0]] = norm.reshape(
+        params[wrapper][scales[0]].shape).astype(np.float32)
+
+
+def test_denoiser_wn_generator_matches_reference():
+    """DenoiserWN (stage 0 and stage 1) == the reference HiFiGAN
+    generator: WN (modules.py:247-326, incl. the last-layer skip-only
+    res_skip and the end conv) -> 1x1 WN_end, and at stage 1 -> PostNet
+    (modules.py:327-353, even kernel with ALTERNATING asymmetric pads,
+    learned 0.01 residual weights) -> 1x1 postnet_end
+    (model.py:178-211)."""
+    import dataclasses
+
+    from CookieTTS._4_mtw.HiFiGAN_Denoiser.modules import PostNet as RefPN
+    from CookieTTS._4_mtw.HiFiGAN_Denoiser.modules import WN as RefWN
+
+    from cookietts_tpu.models.hifigan_denoiser import (
+        DenoiserWN, HiFiGANDenoiserConfig)
+
+    L, C, OUT = 3, 8, 8
+    torch.manual_seed(0)
+    ref_wn = RefWN(1, OUT, n_layers=L, n_channels=C, kernel_size=3,
+                   end_kernel_size=5, dilations=[1, 2, 4])
+    ref_pn = RefPN(OUT, OUT, n_layers=2, n_channels=OUT, kernel_size=6)
+    wn_end = torch.nn.Conv1d(OUT, 1, 1)
+    pn_end = torch.nn.Conv1d(OUT, 1, 1)
+    ref_wn.eval()
+    for m in [ref_wn.start, ref_wn.end, *ref_wn.in_layers,
+              *ref_wn.res_skip_layers]:
+        torch.nn.utils.remove_weight_norm(m)
+
+    cfg = HiFiGANDenoiserConfig(
+        wn_layers=L, wn_channels=C, kernel_size=3, end_kernel_size=5,
+        wn_dilations=(1, 2, 4), postnet_layers=2, postnet_channels=OUT,
+        postnet_kernel_size=6, stage=0)
+    gen = DenoiserWN(cfg)
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 96)).astype(np.float32) * 0.3
+    params = jax.device_get(
+        jax.jit(gen.init)(jax.random.PRNGKey(0),
+                          jnp.asarray(audio)))["params"]
+
+    wn_p = params["wn"]
+    _wn_fill(wn_p, "start", ref_wn.start)
+    _wn_fill(wn_p, "end", ref_wn.end)
+    for i in range(L):
+        _wn_fill(wn_p, f"in_layer{i}", ref_wn.in_layers[i])
+        _wn_fill(wn_p, f"res_skip{i}", ref_wn.res_skip_layers[i])
+    params["wn_end"] = {
+        "kernel": wn_end.weight.detach().numpy().transpose(2, 1, 0),
+        "bias": wn_end.bias.detach().numpy()}
+
+    with torch.no_grad():
+        t = torch.from_numpy(audio).unsqueeze(1)
+        ref_h = ref_wn(t)                               # [B, OUT, T]
+        ref0 = wn_end(ref_h).squeeze(1).numpy()
+    got0 = np.asarray(gen.apply({"params": params}, jnp.asarray(audio)))
+    np.testing.assert_allclose(got0, ref0, atol=3e-5)
+
+    # stage 1: + PostNet + postnet_end
+    cfg1 = dataclasses.replace(cfg, stage=1)
+    gen1 = DenoiserWN(cfg1)
+    params1 = jax.device_get(
+        jax.jit(gen1.init)(jax.random.PRNGKey(0),
+                           jnp.asarray(audio)))["params"]
+    params1["wn"] = params["wn"]
+    pn = params1["postnet"]
+    pn["res_weights"] = ref_pn.res_weights.detach().numpy()
+    for i in range(2):
+        pn[f"conv{i}"] = {
+            "kernel": ref_pn.convs[i].weight.detach().numpy()
+            .transpose(2, 1, 0),
+            "bias": ref_pn.convs[i].bias.detach().numpy()}
+    params1["postnet_end"] = {
+        "kernel": pn_end.weight.detach().numpy().transpose(2, 1, 0),
+        "bias": pn_end.bias.detach().numpy()}
+    with torch.no_grad():
+        ref1 = pn_end(ref_pn(ref_h)).squeeze(1).numpy()
+    got1 = np.asarray(gen1.apply({"params": params1}, jnp.asarray(audio)))
+    np.testing.assert_allclose(got1, ref1, atol=3e-5)
+
+
+def test_denoiser_dw_matches_reference():
+    """WaveDiscriminator == the reference DW (modules.py:421-483):
+    multi-scale MelGAN-style critic with VALID grouped strided
+    weight-norm convs, learned res/layr mixing with a CENTER-CROP skip
+    at the original rate, avg-pool(4,2) between scales, summed logits."""
+    from CookieTTS._4_mtw.HiFiGAN_Denoiser.modules import DW as RefDW
+
+    from cookietts_tpu.models.hifigan_denoiser import (
+        HiFiGANDenoiserConfig, WaveDiscriminator)
+
+    spec = dict(kernel_sizes=[7, 5, 3], strides=[2, 2, 1],
+                n_channels=[4, 8, 1], group_sizes=[1, 2, 1])
+    torch.manual_seed(0)
+    ref = RefDW(n_discriminators=2, **spec)
+    for mod in ref.dw_modules:
+        for c in mod.convs:
+            torch.nn.utils.remove_weight_norm(c)
+
+    cfg = HiFiGANDenoiserConfig(
+        dw_n_discriminators=2,
+        dw_kernel_sizes=tuple(spec["kernel_sizes"]),
+        dw_strides=tuple(spec["strides"]),
+        dw_channels=tuple(spec["n_channels"]),
+        dw_group_sizes=tuple(spec["group_sizes"]))
+    dw = WaveDiscriminator(cfg)
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((2, 300)).astype(np.float32) * 0.3
+    params = jax.device_get(
+        jax.jit(dw.init)(jax.random.PRNGKey(0),
+                         jnp.asarray(audio)))["params"]
+    for i, mod in enumerate(ref.dw_modules):
+        sub = params[f"dw{i}"]
+        sub["res_weights"] = mod.res_weights.detach().numpy()
+        sub["layr_weights"] = mod.layr_weights.detach().numpy()
+        for j, conv in enumerate(mod.convs):
+            _wn_fill(sub, f"conv{j}", conv)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(audio)).numpy()
+    got = np.asarray(dw.apply({"params": params}, jnp.asarray(audio)))
+    np.testing.assert_allclose(got, ref_out, atol=3e-5)
+
+
+def test_denoiser_ds_matches_reference_and_fixes_height_bug():
+    """SpectDiscriminator == the reference DS (modules.py:356-420) with
+    mapped weights in training mode (BatchNorm batch stats), on a config
+    where the reference's end-conv height arithmetic happens to hold
+    (kernel_h=1). With ANY kernel_h > 1 the reference computes
+    ``remaining_h //= stride_h`` (modules.py:406) ignoring the VALID
+    kernel shrink and CRASHES on its own default config — we track the
+    true height (documented deviation, docs/MIGRATION.md)."""
+    from CookieTTS._4_mtw.HiFiGAN_Denoiser.modules import DS as RefDS
+
+    from cookietts_tpu.models.hifigan_denoiser import (
+        HiFiGANDenoiserConfig, SpectDiscriminator)
+
+    # kernel_h=1 keeps the reference's height bookkeeping correct
+    confs = [dict(kernel_h=1, kernel_w=3, stride_h=2, stride_w=2,
+                  n_channels=4),
+             dict(kernel_h=1, kernel_w=3, stride_h=1, stride_w=2,
+                  n_channels=4)]
+    torch.manual_seed(0)
+    ref = RefDS(window_lengths=[64, 32], filter_lengths=[64, 32],
+                hop_lengths=[16, 8], block_confs=confs)
+    ref.train()
+
+    cfg = HiFiGANDenoiserConfig(
+        window_lengths=(64, 32), hop_lengths=(16, 8),
+        ds_block_confs=tuple((c["kernel_h"], c["kernel_w"],
+                              c["stride_h"], c["stride_w"],
+                              c["n_channels"]) for c in confs))
+    ds = SpectDiscriminator(cfg)
+    rng = np.random.default_rng(3)
+    H = 2 * 32                                   # n_banks * max_fil//2
+    spect = rng.standard_normal((2, H, 24)).astype(np.float32)
+    params = jax.device_get(
+        jax.jit(ds.init)(jax.random.PRNGKey(0),
+                         jnp.asarray(spect)))["params"]
+    for i, block in enumerate(ref.blocks):
+        sub = params[f"block{i}"]
+        sub["conv"] = {
+            "kernel": block.conv.weight.detach().numpy()
+            .transpose(2, 3, 1, 0),
+            "bias": block.conv.bias.detach().numpy()}
+        sub["bn_scale"] = block.bn.weight.detach().numpy()
+        sub["bn_bias"] = block.bn.bias.detach().numpy()
+        sub["glu"] = {
+            "kernel": block.GLU.conv.weight.detach().numpy()
+            .transpose(2, 3, 1, 0),
+            "bias": block.GLU.conv.bias.detach().numpy()}
+    params["end_conv"] = {
+        "kernel": ref.end_conv.weight.detach().numpy()
+        .transpose(2, 3, 1, 0),
+        "bias": ref.end_conv.bias.detach().numpy()}
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(spect)).numpy()
+    got = np.asarray(ds.apply({"params": params}, jnp.asarray(spect)))
+    np.testing.assert_allclose(got, ref_out, atol=3e-5, rtol=1e-4)
+
+    # the reference's own DEFAULT config (kernel_h=3) crashes: end_conv
+    # is built taller than its input. Ours runs (deviation is a fix).
+    bad_confs = [dict(kernel_h=3, kernel_w=3, stride_h=1, stride_w=2,
+                      n_channels=4)]
+    ref_bad = RefDS(window_lengths=[64], filter_lengths=[64],
+                    hop_lengths=[16], block_confs=bad_confs)
+    with pytest.raises(RuntimeError):
+        with torch.no_grad():
+            ref_bad(torch.from_numpy(spect[:, :32]))
+    cfg_bad = HiFiGANDenoiserConfig(
+        window_lengths=(64,), hop_lengths=(16,),
+        ds_block_confs=((3, 3, 1, 2, 4),))
+    ds_bad = SpectDiscriminator(cfg_bad)
+    v = jax.jit(ds_bad.init)(jax.random.PRNGKey(0),
+                             jnp.asarray(spect[:, :32]))
+    out = ds_bad.apply(v, jnp.asarray(spect[:, :32]))
+    assert out.shape == (2,) and np.isfinite(np.asarray(out)).all()
+
+
+def test_denoiser_mrs_arrangement_matches_reference():
+    """MultiResSpect's cut/reshape/concat == a direct transcription of
+    the reference arrangement (model.py:22-36: drop Nyquist bin, cut
+    every bank to a common multiple of the tallest bank's channel
+    count, reshape to [B, max_channels, -1], concat) applied to the same
+    per-bank magnitudes. (The STFT banks themselves carry their own
+    reference parity tests in this file.)"""
+    from cookietts_tpu.models.hifigan_denoiser import MultiResSpect
+
+    mrs = MultiResSpect((64, 128), (16, 32))
+    rng = np.random.default_rng(4)
+    audio = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    specs = [np.asarray(s) for s in mrs.per_bank(audio)]
+
+    max_ch = 64
+    min_ct = int(9e9)
+    for s in specs:
+        B, C, T = s.shape
+        min_ct = min(min_ct, (C * T) // max_ch * max_ch)
+    want = np.concatenate(
+        [s[:, :, : min_ct // s.shape[1]].reshape(s.shape[0], max_ch, -1)
+         for s in specs], axis=1)
+
+    got = np.asarray(mrs(audio))
+    np.testing.assert_allclose(got, want, atol=0)
+    assert got.shape[1] == 2 * max_ch
