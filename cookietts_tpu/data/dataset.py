@@ -107,6 +107,10 @@ class DataConfig:
     # static-shape bucketing
     text_buckets: Sequence[int] = (32, 64, 96, 128, 192, 256)
     mel_buckets: Sequence[int] = (128, 256, 384, 512, 640, 800)
+    # f0 extraction: "dio" = the in-repo port of pyworld's DIO (the
+    # reference's extractor, data_utils.py:815-838); "autocorr" = the
+    # cheaper frame-autocorrelation stand-in
+    f0_method: str = "dio"
     # misc
     cache_mels: bool = True
     force_load: bool = True
@@ -452,9 +456,16 @@ class TTSDataset:
             out["sylps"] = np.float32(n_syl / max(dur, 1e-2))
         if "f0" in self.features:
             assert audio is not None
-            f0, voiced = audio_io.estimate_f0_autocorr(
-                audio, cfg.sampling_rate, hop_length=cfg.hop_length,
-                frame_length=cfg.filter_length)
+            if cfg.f0_method == "dio":
+                # the reference's extractor: pyworld DIO at 71-800 Hz,
+                # unvoiced filled with the voiced mean
+                # (data_utils.py:815-838); ours is an in-repo port
+                f0, voiced = audio_io.estimate_f0_dio(
+                    audio, cfg.sampling_rate, hop_length=cfg.hop_length)
+            else:
+                f0, voiced = audio_io.estimate_f0_autocorr(
+                    audio, cfg.sampling_rate, hop_length=cfg.hop_length,
+                    frame_length=cfg.filter_length)
             out["f0"], out["voiced"] = f0, voiced
         if "energy" in self.features:
             assert "mel" in out
