@@ -326,6 +326,71 @@ def bench_serving(on_tpu, dtype, B=None):
           NORTH_STAR_SERVING_RTF)
 
 
+def bench_nfps_decode(on_tpu, dtype):
+    """Decode speedup from n_frames_per_step=4 at batch 1.
+
+    The reference DECLARES this hparam but never finished it
+    ("currently only 1 is supported", hparams.py:209); our decoder
+    implements it (grouped teacher inputs, per-sub-frame gates), and
+    each frame group amortizes the per-step weight reads that dominate
+    small-batch decode. Emits rtf(r=4)/rtf(r=1) at B=1, full 512-frame
+    fixed-length decode, full tacotron2_tm dims. Baseline 1.0 = the
+    reference's only supported setting. Full sweep (r in {1,2,4}, B in
+    {1,32}) in docs/PERF.md; reproduce with tools/nfps_bench.py."""
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.text import N_SYMBOLS
+
+    sr, hop = 44100, 512
+    if on_tpu:
+        B, T_txt, T_dec, n_iters = 1, 128, 512, 8
+        dims = {}
+    else:
+        B, T_txt, T_dec, n_iters = 2, 12, 32, 1
+        dims = dict(
+            symbols_embedding_dim=16, n_speakers=4,
+            speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+            encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+            encoder_n_convolutions=1, torchmoji_dim=8,
+            torchmoji_crushed_dim=4, memory_bottleneck_dim=16,
+            prenet_dim=8, attention_rnn_dim=16, decoder_rnn_dim=16,
+            second_decoder_rnn_dim=0, attention_dim=8,
+            windowed_attention_range=4, postnet_embedding_dim=16,
+            postnet_n_convolutions=2, postnet_residual_connections=0)
+    rng = np.random.default_rng(0)
+    rtf = {}
+    for r in (1, 4):
+        cfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype,
+                              n_frames_per_step=r,
+                              max_decoder_steps=T_dec, **dims)
+        model = Tacotron2(cfg)
+        text = jnp.asarray(rng.integers(1, cfg.n_symbols, (B, T_txt)),
+                           jnp.int32)
+        text_lengths = jnp.full((B,), T_txt, jnp.int32)
+        speaker_id = jnp.asarray(rng.integers(0, cfg.n_speakers, (B,)),
+                                 jnp.int32)
+        mels_init = jnp.asarray(
+            rng.standard_normal((B, 4 * r, cfg.n_mel_channels)),
+            jnp.float32)
+        variables = jax.jit(model.init, static_argnames=("deterministic",))(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            text=text, text_lengths=text_lengths, mels=mels_init,
+            mel_lengths=jnp.full((B,), 4 * r, jnp.int32),
+            speaker_id=speaker_id, sylps=jnp.full((B,), 4.0),
+            key=jax.random.PRNGKey(2), deterministic=False)
+        infer = jax.jit(lambda v, k, m=model: m.apply(
+            v, text, text_lengths, speaker_id, key=k,
+            max_decoder_steps=T_dec,
+            method=Tacotron2.inference)["mel_outputs_postnet"])
+        key = jax.random.PRNGKey(3 + r)
+        elapsed = _timed(lambda k: infer(variables, k),
+                         lambda i: (jax.random.fold_in(key, i),),
+                         n_iters, _check_program(n_iters))
+        rtf[r] = (B * T_dec * hop / sr) / elapsed
+    _emit("tacotron2_decode_nfps4_speedup_b1", rtf[4] / rtf[1],
+          "x_vs_nfps1", 1.0)
+
+
 def bench_serving_b32(on_tpu, dtype):
     bench_serving(on_tpu, dtype, B=32)
 
@@ -358,9 +423,11 @@ def bench_tacotron2_training(on_tpu, dtype):
 
     sr, hop = 44100, 512
     if on_tpu:
-        # B sweep protocol mirrors the other training leg: the tunnel's
-        # compile helper is the binding constraint on batch, not HBM.
-        B, T_txt, T_mel, n = 16, 128, 512, 3
+        # B sweep (same protocol, one v5e, bf16, distinct batches):
+        # B=16 -> 43.9k frames/s, B=32 -> 74.1k (the reference's own
+        # batch size; compiles fine through the tunnel — the WaveFlow
+        # remat backward is what crashed it, not this graph).
+        B, T_txt, T_mel, n = 32, 128, 512, 3
         tcfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype)
     else:
         B, T_txt, T_mel, n = 2, 12, 32, 1
@@ -436,7 +503,11 @@ def main():
     # Pallas WaveFlow inverse adds ~300s) — a 900s budget would skip the
     # last legs on a cold cache. Every line still prints the moment its
     # leg finishes, so a kill at any point keeps what completed.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    # 3300s: round 4 added four legs (serving b32/b1, TTM training,
+    # nfps decode) to the four round-3 ones; warm-cache total measured
+    # ~510s + ~8 extra compiles, but cold-cache compiles through the
+    # tunnel can take minutes each. Leg order = record priority.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3300"))
     t0 = time.monotonic()
     printed = 0
     # round-3 legs first (they always record), then the BASELINE.json
@@ -445,7 +516,8 @@ def main():
     # exist on TPU (the CPU smoke path fixes its own tiny batch and
     # would just emit the same metric three times).
     legs = [bench_serving, bench_waveglow, bench_waveflow,
-            bench_waveflow_training, bench_tacotron2_training]
+            bench_waveflow_training, bench_tacotron2_training,
+            bench_nfps_decode]
     if on_tpu:
         legs[4:4] = [bench_serving_b32, bench_serving_b1]
     for fn in legs:

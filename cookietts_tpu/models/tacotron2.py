@@ -353,10 +353,13 @@ class DecoderCell(nn.Module):
 
         proj_in = jnp.concatenate([final_h, context.astype(cfg.dtype)], axis=-1)
         mel_frame = self.linear_projection(proj_in)
-        gate = self.gate_layer(proj_in)[:, 0].astype(jnp.float32)
+        # one gate logit per SUB-FRAME of the group ([B, r]; r=1 -> [B, 1])
+        # — the reference sizes gate_layer by n_frames_per_step too
+        # (model.py:761-765 via hparams n_frames_per_step)
+        gate = self.gate_layer(proj_in).astype(jnp.float32)
 
         new_finished = carry.finished | (
-            jax.nn.sigmoid(gate) >= cfg.gate_threshold)
+            jax.nn.sigmoid(gate).max(axis=-1) >= cfg.gate_threshold)
         new_carry = DecoderCarry(
             attn_cell=attn_cell, dec_cell=dec_cell, dec2_cell=dec2_cell,
             attention=attn_state, context=context,
@@ -436,28 +439,45 @@ class Decoder(nn.Module):
         else:
             carry = init_carry
 
-        # teacher frames: frame t-1 feeds step t; step 0 gets the GO frame
-        # (zeros on a fresh utterance, the prior segment's last gt frame on
-        # a TBPTT continuation)
+        # frames-per-step grouping (reference hparams n_frames_per_step):
+        # one decode step emits r frames, amortizing the per-step weight
+        # reads that dominate small-batch decode
+        r = cfg.n_frames_per_step
+        M = mels.shape[-1]
+        if T_dec % r:
+            raise ValueError(
+                f"T_dec={T_dec} must be a multiple of "
+                f"n_frames_per_step={r} (pick mel buckets divisible by r)")
+        steps = T_dec // r
+        groups = mels.reshape(B, steps, r * M)                     # [B, S, rM]
+
+        # teacher groups: group t-1 feeds step t; step 0 gets the GO group
+        # (zeros on a fresh utterance, the prior segment's last gt frames
+        # on a TBPTT continuation)
         go = carry.prev_teacher[:, None, :].astype(mels.dtype)
-        teacher = jnp.concatenate([go, mels[:, :-1, :]], axis=1)  # [B, T, M]
+        teacher = jnp.concatenate([go, groups[:, :-1, :]], axis=1)
 
         k_tf, k_steps = jax.random.split(key)
-        tf_draw = jax.random.uniform(k_tf, (T_dec,)) < p_teacher_forcing
-        step_ids = jnp.arange(T_dec)
-        tf = tf_draw | (step_ids < teacher_force_till)            # [T]
-        tf = jnp.broadcast_to(tf[:, None], (T_dec, B))
+        tf_draw = jax.random.uniform(k_tf, (steps,)) < p_teacher_forcing
+        step_ids = jnp.arange(steps)
+        tf = tf_draw | (step_ids < teacher_force_till)             # [S]
+        tf = jnp.broadcast_to(tf[:, None], (steps, B))
         xs = {
-            "teacher_frame": jnp.swapaxes(teacher, 0, 1),          # [T, B, M]
+            "teacher_frame": jnp.swapaxes(teacher, 0, 1),          # [S, B, rM]
             "tf": tf,
-            "key": jax.random.split(k_steps, T_dec),
+            "key": jax.random.split(k_steps, steps),
         }
         carry, ys = self._scan(carry, xs, memory, const, deterministic)
-        carry = carry._replace(prev_teacher=mels[:, -1, :])
+        carry = carry._replace(prev_teacher=groups[:, -1, :])
+        mel_out = jnp.swapaxes(ys["mel_frame"], 0, 1)              # [B, S, rM]
+        gate_out = jnp.swapaxes(ys["gate"], 0, 1)                  # [B, S, r]
+        weights = jnp.swapaxes(ys["weights"], 0, 1)                # [B, S, Te]
         out = {
-            "mel_outputs": jnp.swapaxes(ys["mel_frame"], 0, 1),    # [B, T, M]
-            "gate_outputs": jnp.swapaxes(ys["gate"], 0, 1),        # [B, T]
-            "alignments": jnp.swapaxes(ys["weights"], 0, 1),       # [B, T, T_enc]
+            "mel_outputs": mel_out.reshape(B, T_dec, M),
+            "gate_outputs": gate_out.reshape(B, T_dec),
+            # each step's attention covers its r frames
+            "alignments": (weights if r == 1
+                           else jnp.repeat(weights, r, axis=1)),
         }
         return out, carry
 
@@ -493,30 +513,32 @@ class Decoder(nn.Module):
         const = self.cell.attention.precompute(memory, memory_lengths)
         carry = self.init_carry(B, memory.shape[1], memory.shape[-1],
                                 memory.dtype)
-        mel_dim = cfg.n_mel_channels * cfg.n_frames_per_step
+        r = cfg.n_frames_per_step
+        mel_dim = cfg.n_mel_channels * r
+        S_req = -(-T_req // r)                   # decode steps (groups)
 
         if not early_exit:
-            T_max = T_req
+            S_max = S_req
             xs = {
-                "teacher_frame": jnp.zeros((T_max, B, mel_dim), memory.dtype),
-                "tf": jnp.zeros((T_max, B), bool),
-                "key": jax.random.split(key, T_max),
+                "teacher_frame": jnp.zeros((S_max, B, mel_dim), memory.dtype),
+                "tf": jnp.zeros((S_max, B), bool),
+                "key": jax.random.split(key, S_max),
             }
             _, ys = self._scan(carry, xs, memory, const, True)
             mel_buf, gate_buf, w_buf = (ys["mel_frame"], ys["gate"],
                                         ys["weights"])
         else:
-            assert chunk_size >= cfg.gate_delay, \
+            assert chunk_size * r >= cfg.gate_delay, \
                 "chunk_size must cover gate_delay (one extra chunk runs " \
                 "after all gates fire)"
-            n_chunks = -(-T_req // chunk_size)
-            T_max = n_chunks * chunk_size
-            keys = jax.random.split(key, T_max)
+            n_chunks = -(-S_req // chunk_size)
+            S_max = n_chunks * chunk_size
+            keys = jax.random.split(key, S_max)
             t_enc = memory.shape[1]
             bufs0 = (
-                jnp.zeros((T_max, B, mel_dim), memory.dtype),  # mel frames
-                jnp.full((T_max, B), -1e4, jnp.float32),       # gate logits
-                jnp.zeros((T_max, B, t_enc), jnp.float32),     # alignments
+                jnp.zeros((S_max, B, mel_dim), memory.dtype),  # mel groups
+                jnp.full((S_max, B, r), -1e4, jnp.float32),    # gate logits
+                jnp.zeros((S_max, B, t_enc), jnp.float32),     # alignments
             )
 
             def cond_fn(_mdl, state):
@@ -540,7 +562,7 @@ class Decoder(nn.Module):
                 mel_b = jax.lax.dynamic_update_slice(
                     mel_b, ys["mel_frame"].astype(mel_b.dtype), (t0, 0, 0))
                 gate_b = jax.lax.dynamic_update_slice(
-                    gate_b, ys["gate"].astype(jnp.float32), (t0, 0))
+                    gate_b, ys["gate"].astype(jnp.float32), (t0, 0, 0))
                 w_b = jax.lax.dynamic_update_slice(
                     w_b, ys["weights"].astype(jnp.float32), (t0, 0, 0))
                 n_done = jnp.where(c.finished.all(), n_done + 1,
@@ -557,13 +579,17 @@ class Decoder(nn.Module):
                     cond_fn, body_fn, self, init,
                     broadcast_variables=("params", "batch_stats"))
 
-        gates = jnp.swapaxes(jax.nn.sigmoid(gate_buf), 0, 1)       # [B, T]
-        stop = get_first_over_thresh(gates, thr)
+        T_max = S_max * r
+        gate_frames = jnp.swapaxes(gate_buf, 0, 1).reshape(B, T_max)
+        stop = get_first_over_thresh(jax.nn.sigmoid(gate_frames), thr)
         mel_lengths = jnp.minimum(stop + delay, T_max)
+        weights = jnp.swapaxes(w_buf, 0, 1)                        # [B, S, Te]
         return {
-            "mel_outputs": jnp.swapaxes(mel_buf, 0, 1),
-            "gate_outputs": jnp.swapaxes(gate_buf, 0, 1),
-            "alignments": jnp.swapaxes(w_buf, 0, 1),
+            "mel_outputs": jnp.swapaxes(mel_buf, 0, 1).reshape(
+                B, T_max, cfg.n_mel_channels),
+            "gate_outputs": gate_frames,
+            "alignments": (weights if r == 1
+                           else jnp.repeat(weights, r, axis=1)),
             "mel_lengths": mel_lengths,
         }
 

@@ -245,3 +245,28 @@ def test_inverse_stft_matches_reference():
     n = min(rec.shape[-1], rec_ref.shape[-1])
     np.testing.assert_allclose(rec[:, :n], rec_ref[:, :n],
                                atol=2e-4, rtol=1e-3)
+
+
+def test_iso226_contour_matches_standard_fixed_points():
+    """The equal-loudness contour equals ISO 226:2003 at its anchor
+    points — the same numbers the reference gets from the pip `iso226`
+    package it installs at import time (utils/audio/iso226.py:3-31,
+    iso226_spl_itpl(L_N=60)). By the DEFINITION of the phon, the contour
+    at 1 kHz equals the loudness level itself (the standard's formula
+    carries a ~0.01 dB residual); 109.51 dB SPL at 20 Hz / 60 phon and
+    64.4 dB at 100 Hz / 40 phon are the published table values."""
+    import numpy as np
+    from cookietts_tpu.audio.iso226 import iso226_spl
+
+    for ln in (20.0, 40.0, 60.0, 80.0):
+        freqs, spl = iso226_spl(ln)
+        i1k = int(np.where(freqs == 1000)[0][0])
+        assert abs(spl[i1k] - ln) < 0.05, (ln, spl[i1k])
+        # lower frequencies always need more SPL for equal loudness
+        assert spl[0] > spl[i1k] + 25
+    _, spl60 = iso226_spl(60.0)
+    assert abs(spl60[0] - 109.51) < 0.05          # 20 Hz, 60 phon
+    _, spl40 = iso226_spl(40.0)
+    freqs, _ = iso226_spl(40.0)
+    i100 = int(np.where(freqs == 100)[0][0])
+    assert abs(spl40[i100] - 64.4) < 0.1          # 100 Hz, 40 phon

@@ -254,3 +254,76 @@ def test_inference_dynamic_gate_controls(setup):
     l_big = np.asarray(fn(variables, k, jnp.float32(0.999), jnp.int32(5)))
     assert np.all(l_big >= l_small)
     assert np.any(l_big != l_small)
+
+
+def test_n_frames_per_step_grouped_decode():
+    """r=2 frames per decode step (reference hparams n_frames_per_step):
+    training consumes T/r scan steps but returns per-FRAME contracts
+    (mel [B,T,M], gate [B,T], alignments [B,T,Te] with each step's row
+    repeated over its r frames); inference stops on per-sub-frame gates
+    and full-scan == early-exit within mel_lengths."""
+    cfg = tiny_cfg(n_frames_per_step=2, max_decoder_steps=24,
+                   gate_delay=2)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, cfg, T_mel=18)      # multiple of r
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+
+    (out, carry), _ = model.apply(
+        variables, **batch, key=jax.random.PRNGKey(3),
+        p_teacher_forcing=1.0, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(4)}, mutable=["batch_stats"])
+    B, T, M = batch["mels"].shape
+    assert out["mel_outputs"].shape == (B, T, M)
+    assert out["gate_outputs"].shape == (B, T)
+    assert out["alignments"].shape[1] == T
+    # each decode step's attention row covers its 2 frames
+    a = np.asarray(out["alignments"])
+    np.testing.assert_allclose(a[:, 0::2], a[:, 1::2], atol=0)
+    # the TBPTT carry holds the last GROUP of gt frames
+    np.testing.assert_allclose(
+        np.asarray(carry.prev_teacher),
+        np.asarray(batch["mels"][:, -2:, :]).reshape(B, 2 * M))
+    # loss plumbing accepts the per-frame contracts
+    gt = dict(mels=batch["mels"], mel_lengths=batch["mel_lengths"],
+              text_lengths=batch["text_lengths"], sylps=batch["sylps"],
+              gate_target=jnp.zeros((B, T)),
+              pres_prev_state=jnp.zeros((B,)))
+    total, _, _ = tacotron2_loss(out, gt)
+    assert np.isfinite(float(total))
+
+    # odd T_dec is rejected loudly
+    bad = dict(batch)
+    bad["mels"] = batch["mels"][:, :-1]
+    bad["mel_lengths"] = jnp.minimum(batch["mel_lengths"], T - 1)
+    with pytest.raises(ValueError, match="multiple of"):
+        model.apply(variables, **bad, key=jax.random.PRNGKey(3),
+                    rngs={"dropout": jax.random.PRNGKey(4)},
+                    mutable=["batch_stats"])
+
+    # inference: full scan == early-exit inside mel_lengths, shapes in
+    # FRAMES, mel_lengths from per-sub-frame gates
+    inf = jax.jit(lambda v, k: model.apply(
+        v, text=batch["text"], text_lengths=batch["text_lengths"],
+        speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+        torchmoji_hidden=batch["torchmoji_hidden"], key=k,
+        max_decoder_steps=24, method=Tacotron2.inference))
+    out_full = inf(variables, jax.random.PRNGKey(5))
+    assert out_full["mel_outputs"].shape == (B, 24, M)
+    assert out_full["gate_outputs"].shape == (B, 24)
+    inf_ee = jax.jit(lambda v, k: model.apply(
+        v, text=batch["text"], text_lengths=batch["text_lengths"],
+        speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+        torchmoji_hidden=batch["torchmoji_hidden"], key=k,
+        max_decoder_steps=24, early_exit=True, chunk_size=4,
+        method=Tacotron2.inference))
+    out_ee = inf_ee(variables, jax.random.PRNGKey(5))
+    lens = np.asarray(out_full["mel_lengths"])
+    np.testing.assert_array_equal(lens, np.asarray(out_ee["mel_lengths"]))
+    full = np.asarray(out_full["mel_outputs"], np.float32)
+    ee = np.asarray(out_ee["mel_outputs"], np.float32)
+    for b in range(B):
+        np.testing.assert_allclose(full[b, : lens[b]], ee[b, : lens[b]],
+                                   atol=2e-5)
