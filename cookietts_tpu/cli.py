@@ -1672,18 +1672,24 @@ def cmd_export(args):
                        "torchmoji_dim": mcfg.torchmoji_dim,
                        "speaker_ids": ck_meta.get("speaker_ids"),
                        "audio": ck_meta.get("audio", {}),
-                       # gate threshold/delay are runtime inputs of the
-                       # exported fns (per-request form fields work in
-                       # artifact mode); these are just the defaults
+                       # gate threshold/delay and the decoder-step cap
+                       # are runtime inputs of the exported fns
+                       # (per-request form fields work in artifact
+                       # mode); these are just the defaults
                        "gate_inputs": True,
                        "gate_threshold": mcfg.gate_threshold,
-                       "gate_delay": mcfg.gate_delay}
+                       "gate_delay": mcfg.gate_delay,
+                       "step_inputs": True,
+                       "max_decoder_steps": int(
+                           args.max_decoder_steps
+                           or mcfg.max_decoder_steps)}
 
     if args.vocoder:
         # export the differentiable stock-XLA path: Pallas custom calls
         # are backend/version-pinned, wrong for a portable artifact
         _, infer_with_key, v_audio = _load_vocoder(
-            args.vocoder, {**overrides, "pallas_row_step": False},
+            args.vocoder, {**overrides, "pallas_row_step": False,
+                           "pallas_resblocks": False},
             getattr(args, "vocoder_model", None))
         n_mel = int(overrides.get(
             "n_mel_channels", v_audio.get("n_mel_channels",

@@ -235,10 +235,11 @@ class T2S:
         if self.decode_fn is not None:
             import inspect
             try:
-                takes_gates = "gate_threshold" in inspect.signature(
-                    self.decode_fn).parameters
+                sig_params = inspect.signature(self.decode_fn).parameters
             except (TypeError, ValueError):
-                takes_gates = False
+                sig_params = {}
+            takes_gates = "gate_threshold" in sig_params
+            takes_steps = "max_steps" in sig_params
 
             def run_artifact(variables, text, text_lengths, speaker_id,
                              torchmoji, key, gate_threshold, gate_delay):
@@ -247,10 +248,17 @@ class T2S:
                     np.asarray(jax.random.key_data(key)).ravel()[-1],
                     jnp.uint32)
                 if takes_gates:   # gate-input artifacts honor the request
+                    kw = dict(gate_threshold=gate_threshold,
+                              gate_delay=gate_delay)
+                    if takes_steps:
+                        # the exported scan length is baked, but the
+                        # per-request step cap clamps mel_lengths (the
+                        # worker crops mels to mel_lengths before
+                        # vocoding — reference text2speech.py:409-412)
+                        kw["max_steps"] = max_steps
                     mels, mel_lengths, align = self.decode_fn(
                         text, text_lengths, speaker_id, torchmoji, seed,
-                        gate_threshold=gate_threshold,
-                        gate_delay=gate_delay)
+                        **kw)
                 else:             # legacy artifacts baked them in at export
                     mels, mel_lengths, align = self.decode_fn(
                         text, text_lengths, speaker_id, torchmoji, seed)

@@ -48,52 +48,57 @@ def export_tacotron2_serving(
     Exported signature (all weights baked in):
     ``(text i32[B,T], text_lengths i32[B], speaker_id i32[B],
     [torchmoji f32[B,D] when the config uses it,] seed u32[],
-    gate_threshold f32[], gate_delay i32[]) ->
+    gate_threshold f32[], gate_delay i32[], max_steps i32[]) ->
     (mel f32[B,T_dec,M], mel_lengths i32[B], gate f32[B,T_dec],
     alignments f32[B,T_dec,T])``.
 
     ``gate_threshold`` / ``gate_delay`` are TRACED runtime inputs (they
     only feed the mel_lengths computation, model inference :483-486), so
     artifact serving honors the same per-request form fields as live
-    mode (reference app.py:32-51).
+    mode (reference app.py:32-51). ``max_steps`` is the per-request
+    decoder-step cap (the reference sets decoder.max_decoder_steps per
+    request, text2speech.py:409-412): the exported scan length is fixed
+    at ``max_decoder_steps`` — jax.export bakes shapes — but
+    ``mel_lengths`` clamps to ``min(gate stop, max_steps)``, and the
+    serving worker crops every mel to its ``mel_length`` before
+    vocoding, so the user-visible behavior matches a shorter decode.
     """
     cfg = model.cfg
     use_tm = int(getattr(cfg, "torchmoji_dim", 0) or 0) > 0
 
     entries: Dict[str, bytes] = {}
     for B, T in buckets:
+        def run(text, text_lengths, speaker_id, torchmoji, seed,
+                gate_threshold, gate_delay, max_steps):
+            out = model.apply(
+                variables, text=text, text_lengths=text_lengths,
+                speaker_id=speaker_id, torchmoji_hidden=torchmoji,
+                key=jax.random.fold_in(jax.random.PRNGKey(0), seed),
+                max_decoder_steps=max_decoder_steps,
+                gate_threshold=gate_threshold, gate_delay=gate_delay,
+                method=type(model).inference)
+            lens = jnp.minimum(out["mel_lengths"],
+                               jnp.maximum(max_steps, 1))
+            return (out["mel_outputs_postnet"], lens,
+                    out["gate_outputs"], out["alignments"])
+
         if use_tm:
-            def fn(text, text_lengths, speaker_id, torchmoji, seed,
-                   gate_threshold, gate_delay):
-                out = model.apply(
-                    variables, text=text, text_lengths=text_lengths,
-                    speaker_id=speaker_id, torchmoji_hidden=torchmoji,
-                    key=jax.random.fold_in(jax.random.PRNGKey(0), seed),
-                    max_decoder_steps=max_decoder_steps,
-                    gate_threshold=gate_threshold, gate_delay=gate_delay,
-                    method=type(model).inference)
-                return (out["mel_outputs_postnet"], out["mel_lengths"],
-                        out["gate_outputs"], out["alignments"])
+            fn = run
             specs = [_spec((B, T), jnp.int32), _spec((B,), jnp.int32),
                      _spec((B,), jnp.int32),
                      _spec((B, cfg.torchmoji_dim), jnp.float32),
                      _spec((), jnp.uint32),
-                     _spec((), jnp.float32), _spec((), jnp.int32)]
+                     _spec((), jnp.float32), _spec((), jnp.int32),
+                     _spec((), jnp.int32)]
         else:
             def fn(text, text_lengths, speaker_id, seed,
-                   gate_threshold, gate_delay):
-                out = model.apply(
-                    variables, text=text, text_lengths=text_lengths,
-                    speaker_id=speaker_id,
-                    key=jax.random.fold_in(jax.random.PRNGKey(0), seed),
-                    max_decoder_steps=max_decoder_steps,
-                    gate_threshold=gate_threshold, gate_delay=gate_delay,
-                    method=type(model).inference)
-                return (out["mel_outputs_postnet"], out["mel_lengths"],
-                        out["gate_outputs"], out["alignments"])
+                   gate_threshold, gate_delay, max_steps):
+                return run(text, text_lengths, speaker_id, None, seed,
+                           gate_threshold, gate_delay, max_steps)
             specs = [_spec((B, T), jnp.int32), _spec((B,), jnp.int32),
                      _spec((B,), jnp.int32), _spec((), jnp.uint32),
-                     _spec((), jnp.float32), _spec((), jnp.int32)]
+                     _spec((), jnp.float32), _spec((), jnp.int32),
+                     _spec((), jnp.int32)]
         entries[f"t2s_b{B}_t{T}"] = export_bytes(fn, specs, platforms)
     return entries
 
@@ -156,12 +161,14 @@ class ArtifactT2SDecoder:
     classes, checkpoints, or converters on the host.
 
     ``decode(text [B,T], lens, speaker_id, torchmoji, seed u32,
-    [gate_threshold, gate_delay])`` pads the text to the smallest
-    exported (batch, text) bucket that fits and returns (mels,
+    [gate_threshold, gate_delay, max_steps])`` pads the text to the
+    smallest exported (batch, text) bucket that fits and returns (mels,
     mel_lengths, alignments cropped to T). Artifacts exported with gate
     inputs (meta ``t2s.gate_inputs``) honor per-request gate
-    threshold/delay like live mode; older artifacts baked them in and
-    ignore the overrides. ``vocoder(mel [B,T_mel,M], seed)`` routes to
+    threshold/delay like live mode, and ones with step inputs (meta
+    ``t2s.step_inputs``) honor a per-request decoder-step cap
+    (mel_lengths clamp; the scan length itself is baked); older
+    artifacts baked these in and ignore the overrides. ``vocoder(mel [B,T_mel,M], seed)`` routes to
     the exported vocoder bucket when the artifact carries one.
     """
 
@@ -183,6 +190,8 @@ class ArtifactT2SDecoder:
         self.gate_inputs = bool(t2s.get("gate_inputs", False))
         self.gate_threshold = float(t2s.get("gate_threshold", 0.5))
         self.gate_delay = int(t2s.get("gate_delay", 10))
+        self.step_inputs = bool(t2s.get("step_inputs", False))
+        self.max_decoder_steps = int(t2s.get("max_decoder_steps", 0))
         self._fns = {t: fns[f"t2s_b{self.batch}_t{t}"]
                      for t in self.text_buckets}
         self._voc_fns = {}
@@ -196,7 +205,7 @@ class ArtifactT2SDecoder:
                 self._voc_fns[(b, t)] = fns[f"vocoder_b{b}_t{t}"]
 
     def decode(self, text, text_lengths, speaker_id, torchmoji, seed,
-               gate_threshold=None, gate_delay=None):
+               gate_threshold=None, gate_delay=None, max_steps=None):
         text = np.asarray(text)
         B, T = text.shape
         if B != self.batch:
@@ -231,6 +240,10 @@ class ArtifactT2SDecoder:
             delay = self.gate_delay if gate_delay is None else gate_delay
             args += [jnp.asarray(thr, jnp.float32),
                      jnp.asarray(delay, jnp.int32)]
+        if self.step_inputs:
+            cap = (self.max_decoder_steps if max_steps is None
+                   else max_steps)
+            args.append(jnp.asarray(max(int(cap), 1), jnp.int32))
         mels, mel_lengths, _gate, align = self._fns[tb](*args)
         return mels, mel_lengths, align[:, :, :T]
 

@@ -39,7 +39,8 @@ def test_tacotron2_export_roundtrip(tmp_path):
         args = args + (batch["torchmoji_hidden"],)
     seed = jnp.asarray(7, jnp.uint32)
     gates = (jnp.asarray(cfg.gate_threshold, jnp.float32),
-             jnp.asarray(cfg.gate_delay, jnp.int32))
+             jnp.asarray(cfg.gate_delay, jnp.int32),
+             jnp.asarray(20, jnp.int32))
     mel, mel_lengths, gate, align = fn(*args, seed, *gates)
     assert mel.shape == (B, 20, cfg.n_mel_channels)
     assert align.shape == (B, 20, T)
@@ -153,11 +154,14 @@ def test_cli_export_from_checkpoint(tmp_path):
     assert meta["t2s"]["buckets"] == [[2, 10]]
     assert meta["t2s"]["speaker_ids"] == {"a": 0}
     assert meta["t2s"]["gate_inputs"] is True
+    assert meta["t2s"]["step_inputs"] is True
+    assert meta["t2s"]["max_decoder_steps"] == 16
     mel, mel_lengths, gate, align = fns["t2s_b2_t10"](
         batch["text"], batch["text_lengths"], batch["speaker_id"],
         batch["torchmoji_hidden"], jnp.asarray(1, jnp.uint32),
         jnp.asarray(meta["t2s"]["gate_threshold"], jnp.float32),
-        jnp.asarray(meta["t2s"]["gate_delay"], jnp.int32))
+        jnp.asarray(meta["t2s"]["gate_delay"], jnp.int32),
+        jnp.asarray(16, jnp.int32))
     assert mel.shape == (2, 16, cfg.n_mel_channels)
     assert np.isfinite(np.asarray(mel)).all()
 
@@ -206,7 +210,8 @@ def test_artifact_t2s_serving_end_to_end(tmp_path):
                 "audio": {"sampling_rate": 22050, "hop_length": 8},
                 "gate_inputs": True,
                 "gate_threshold": cfg.gate_threshold,
-                "gate_delay": cfg.gate_delay},
+                "gate_delay": cfg.gate_delay,
+                "step_inputs": True, "max_decoder_steps": 32},
         "vocoder": {"buckets": [[B, 32]],
                     "n_mel_channels": cfg.n_mel_channels,
                     "audio": {"hop_length": 8}}})
@@ -268,9 +273,10 @@ def test_artifact_gate_controls_match_live(tmp_path):
                 "speaker_ids": {"a": 0}, "audio": {},
                 "gate_inputs": True,
                 "gate_threshold": cfg.gate_threshold,
-                "gate_delay": cfg.gate_delay}})
+                "gate_delay": cfg.gate_delay,
+                "step_inputs": True, "max_decoder_steps": 24}})
     dec = ArtifactT2SDecoder(path)
-    assert dec.gate_inputs
+    assert dec.gate_inputs and dec.step_inputs
 
     seed = 7
     tm = (batch["torchmoji_hidden"] if cfg.torchmoji_dim else None)
@@ -297,6 +303,64 @@ def test_artifact_gate_controls_match_live(tmp_path):
     assert (lengths[(1e-6, 5)] >= lengths[(1e-6, 0)]).all()
     assert (lengths[(1e-6, 5)] != lengths[(1e-6, 0)]).any() or (
         lengths[(1e-6, 0)] == 24).all()
+
+
+def test_artifact_step_cap_is_runtime_input(tmp_path):
+    """Per-request max_decoder_steps works in artifact mode: the scan
+    length is baked (jax.export fixes shapes) but the exported fn takes
+    a traced step cap that clamps mel_lengths — the worker crops mels to
+    mel_lengths before vocoding, so the user-visible behavior matches
+    the reference's dynamic decoder.max_decoder_steps
+    (text2speech.py:409-412; closes STATUS known-gap 3's remainder)."""
+    from cookietts_tpu.models.tacotron2 import Tacotron2
+    from cookietts_tpu.runtime.export_serving import ArtifactT2SDecoder
+
+    cfg = tiny_cfg(max_decoder_steps=24)
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    batch = make_batch(rng, cfg, B=B, T_txt=T, T_mel=16)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+    entries = export_tacotron2_serving(
+        model, dict(variables), buckets=[(B, T)], max_decoder_steps=24,
+        platforms=("cpu",))
+    path = str(tmp_path / "s.npz")
+    save_artifact(path, entries, {
+        "t2s": {"buckets": [[B, T]], "n_mel_channels": cfg.n_mel_channels,
+                "torchmoji_dim": cfg.torchmoji_dim,
+                "speaker_ids": {"a": 0}, "audio": {},
+                "gate_inputs": True,
+                "gate_threshold": cfg.gate_threshold,
+                "gate_delay": cfg.gate_delay,
+                "step_inputs": True, "max_decoder_steps": 24}})
+    dec = ArtifactT2SDecoder(path)
+    assert dec.step_inputs and dec.max_decoder_steps == 24
+
+    tm = (batch["torchmoji_hidden"] if cfg.torchmoji_dim else None)
+    # threshold ~1 never fires at random init -> uncapped length = 24
+    _, ml_full, _ = dec.decode(batch["text"], batch["text_lengths"],
+                               batch["speaker_id"], tm, 7,
+                               gate_threshold=0.999, gate_delay=0)
+    assert (np.asarray(ml_full) == 24).all()
+    mel6, ml6, _ = dec.decode(batch["text"], batch["text_lengths"],
+                              batch["speaker_id"], tm, 7,
+                              gate_threshold=0.999, gate_delay=0,
+                              max_steps=6)
+    assert (np.asarray(ml6) == 6).all()
+    # and the kept frames are THE SAME decode (clamp, not re-trace)
+    mel_full, _, _ = dec.decode(batch["text"], batch["text_lengths"],
+                                batch["speaker_id"], tm, 7,
+                                gate_threshold=0.999, gate_delay=0)
+    np.testing.assert_allclose(np.asarray(mel6)[:, :6],
+                               np.asarray(mel_full)[:, :6],
+                               atol=1e-6, rtol=1e-5)
+    # omitted cap -> the baked default
+    _, ml_def, _ = dec.decode(batch["text"], batch["text_lengths"],
+                              batch["speaker_id"], tm, 7,
+                              gate_threshold=0.999, gate_delay=0)
+    assert (np.asarray(ml_def) == 24).all()
 
 
 def test_artifact_decoder_error_paths(tmp_path):
