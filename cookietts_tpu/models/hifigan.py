@@ -40,15 +40,19 @@ class HiFiGANConfig:
     lrelu_slope: float = 0.1
     dtype: Any = jnp.float32
     # inference-only fused MRF resblocks (ops/pallas_kernels.
-    # hifigan_resblock). MEASURED (v5e, serving config B=64 T_dec=512,
-    # bf16): 483 ms vs stock XLA's 334 ms — XLA's batched conv
-    # pipelining beats the per-tile serial-DMA kernel at these
-    # large-batch shapes (unlike the batch-1 flow inverses, where the
-    # same recipe wins 1.5-2.6x), so this is verified OPT-IN
-    # infrastructure like the attention/LSTM cells: False (default) =
-    # stock XLA; True = fused (used by the parity tests); "auto" = fused
-    # on real-TPU backends.
-    pallas_resblocks: Any = False
+    # hifigan_resblock). MEASURED (v5e, serving config T_dec=512, bf16,
+    # distinct inputs): the per-tile VMEM-resident kernel wins where
+    # vocoding is LATENCY-bound (small batch) and loses where it is
+    # compute-bound (large batch, where XLA's batched conv pipelining
+    # already saturates the MXU):
+    #   B=1: 35.8 -> 11.2 ms (3.20x)    B=8:  69.1 -> 68.6 ms (1.01x)
+    #   B=4: 77.3 -> 36.7 ms (2.11x)    B=16: 126.6 -> 132.1 ms (0.96x)
+    #   B=64: 483 ms vs stock 334 ms (0.69x)
+    # "auto" (default) = fused on real-TPU backends when the mel batch
+    # is <= pallas_auto_batch_max; True = always fused (parity tests);
+    # False = stock XLA everywhere.
+    pallas_resblocks: Any = "auto"
+    pallas_auto_batch_max: int = 4       # measured crossover (tie at 8)
     pallas_tile: int = 2048              # width tile (multiple of 128)
 
 
@@ -171,7 +175,8 @@ class Generator(nn.Module):
         use_fused = infer and not self.is_initializing() and (
             cfg.pallas_resblocks is True
             or (cfg.pallas_resblocks == "auto"
-                and jax.default_backend() == "tpu"))
+                and jax.default_backend() == "tpu"
+                and mel.shape[0] <= cfg.pallas_auto_batch_max))
         h = _wn_conv(cfg.upsample_initial_channel, 7, "conv_pre",
                      cfg.dtype)(mel)
         for i, (rate, k) in enumerate(zip(cfg.upsample_rates,
