@@ -650,44 +650,48 @@ class WaveGlow(nn.Module):
         z = jnp.concatenate(early_out, axis=-1)
         return z, log_s_sum, logdet_w_sum
 
-    def _wn_st_pallas(self, k: int, x_in: jnp.ndarray, cond: jnp.ndarray
-                      ) -> jnp.ndarray:
-        """Evaluate flow k's WN (log_s, t) through the fused Pallas kernel
-        (ops/pallas_kernels.waveglow_wn_forward): channel-major width
-        tiles, all layers VMEM-resident. Numerically equivalent to
-        ``self.wn[k](x_in, cond)`` — parity-tested. Inference-only."""
-        from ..ops.pallas_kernels import waveglow_wn_forward
+    def _pallas_layout(self, T: int):
+        """(halo, Wt, Tp) width-tile layout shared by every flow's fused
+        WN call at sequence length ``T``."""
         cfg = self.cfg
-        L, kw, C = cfg.n_layers, cfg.kernel_size, cfg.n_channels
-        B, T, n_in = x_in.shape
-        p = self.wn[k].variables["params"]
-        dt = cfg.dtype
-
+        L, kw = cfg.n_layers, cfg.kernel_size
         halo = -(-((kw // 2) * (2 ** L - 1)) // 128) * 128
         Wt = min(cfg.pallas_row_tile, -(-T // 128) * 128)
         n_tiles = -(-T // Wt)
         Tp = halo + n_tiles * Wt + halo
+        return halo, Wt, Tp
+
+    def _wn_st_pallas_cm(self, k: int, x_half_cm: jnp.ndarray,
+                         cond_cm: jnp.ndarray, T: int, B: int,
+                         halo: int, Wt: int) -> jnp.ndarray:
+        """Evaluate flow k's WN (log_s, t) through the fused Pallas kernel
+        (ops/pallas_kernels.waveglow_wn_forward), CHANNEL-MAJOR in and
+        out: ``x_half_cm [n_in, B*Tp]`` (padded layout from
+        ``_pallas_layout``), ``cond_cm [D, B*Tp]``. Returns
+        ``st [2*n_half_out, B*Tp]`` (f32). Numerically equivalent to
+        ``self.wn[k](x, cond)`` — parity-tested. Inference-only."""
+        from ..ops.pallas_kernels import waveglow_wn_forward
+        cfg = self.cfg
+        L, kw, C = cfg.n_layers, cfg.kernel_size, cfg.n_channels
+        p = self.wn[k].variables["params"]
+        dt = cfg.dtype
+        n_in = x_half_cm.shape[0]
         cin_p = -(-n_in // 16) * 16          # sublane-pad channel dims
         n_half_out = p["end"]["kernel"].shape[1] // 2
         cout_p = -(-(2 * n_half_out) // 16) * 16
 
-        def cm(x, rows):                     # [B, T, C] -> [rows, B*Tp]
-            x = jnp.pad(x, ((0, 0), (halo, Tp - halo - T),
-                            (0, rows - x.shape[-1])))
-            return x.transpose(2, 0, 1).reshape(rows, B * Tp)
-
-        x_cm = cm(x_in.astype(jnp.float32), cin_p)
+        x_cm = jnp.pad(x_half_cm.astype(jnp.float32),
+                       ((0, cin_p - n_in), (0, 0)))
         # cond projection (the WN's fused cond_layer Dense) + conv
         # biases, computed CHANNEL-MAJOR directly (kᵀ @ condᵀ) so no
         # [T, 2CL]-sized transpose materializes per flow
-        cond_cm = cm(cond.astype(dt), cond.shape[-1])     # [D, B*Tp]
         k_cond = p["cond_layer"]["kernel"].astype(dt)     # [D, 2CL]
         cond_all_cm = k_cond.T @ cond_cm                  # [2CL, B*Tp]
         bias = (p["cond_layer"]["bias"]
                 + jnp.concatenate([p[f"in_layer{i}"]["bias"]
                                    for i in range(L)])).astype(dt)
         cond_bc = (cond_all_cm + bias[:, None]).reshape(
-            L, 2 * C, B * Tp)
+            L, 2 * C, cond_cm.shape[1])
 
         start_w = jnp.pad(p["start"]["kernel"].T,
                           ((0, 0), (0, cin_p - n_in))).astype(dt)
@@ -715,8 +719,63 @@ class WaveGlow(nn.Module):
             jnp.stack(rs_b).astype(jnp.float32), end_w.astype(dt),
             end_b.astype(jnp.float32),
             L=L, kw=kw, C=C, Wt=Wt, halo=halo, T=T, B=B)
-        st = st.reshape(cout_p, B, Tp).transpose(1, 2, 0)
-        return st[:, halo: halo + T, : 2 * n_half_out].astype(dt)
+        return st[: 2 * n_half_out]
+
+    def _inverse_waveglow_cm(self, z: jnp.ndarray, cond: jnp.ndarray
+                             ) -> jnp.ndarray:
+        """Fused-WN inverse with x kept CHANNEL-MAJOR across ALL flows.
+
+        The first fused-WN version transposed [B, T, C] -> [C, B*Tp] and
+        back around every flow's kernel call and re-transposed the SAME
+        cond tensor 48 times; at batch 1 those layout round-trips were a
+        measurable slice of the inverse (the kernel itself is
+        bandwidth-bound). Here z and cond transform ONCE on entry, the
+        coupling inverse / 1x1 inverse / early-output concats all run
+        channel-major ([C, B*Tp] row ops), and the result transposes
+        back once at the end. The kernel masks positions outside
+        [halo, halo+T) right after its start matmul, so stale values in
+        the padded columns between flows are harmless; the final slice
+        drops them."""
+        cfg = self.cfg
+        B, T, _ = z.shape
+        halo, Wt, Tp = self._pallas_layout(T)
+        dt = cfg.dtype
+
+        def cm(x):                           # [B, T, C] -> [C, B*Tp]
+            x = jnp.pad(x, ((0, 0), (halo, Tp - halo - T), (0, 0)))
+            return x.transpose(2, 0, 1).reshape(x.shape[2], B * Tp)
+
+        z_cm = cm(z)
+        cond_cm = cm(cond.astype(dt))        # ONE cond transpose, reused
+        early_sizes = [e for e in self._early if e]
+        splits = np.cumsum(early_sizes).tolist()
+        parts = (jnp.split(z_cm, splits, axis=0) if splits else [z_cm])
+        early_parts, x = parts[:-1], parts[-1]
+        hi = jax.lax.Precision.HIGHEST
+
+        for k in reversed(range(cfg.n_flows)):
+            half = self._half[k]
+            xa, xb = x[:half], x[half:]
+            if cfg.couple_transform == "second":
+                st = self._wn_st_pallas_cm(k, xa, cond_cm, T, B, halo, Wt)
+                nh = st.shape[0] // 2        # transformed-half channels
+                log_s, t = st[:nh].astype(dt), st[nh:].astype(dt)
+                xb = (xb - t) * jnp.exp(-log_s)
+            else:
+                st = self._wn_st_pallas_cm(k, xb, cond_cm, T, B, halo, Wt)
+                nh = st.shape[0] // 2
+                log_s, t = st[:nh].astype(dt), st[nh:].astype(dt)
+                xa = (xa - t) * jnp.exp(-log_s)
+            x = jnp.concatenate([xa, xb], axis=0)
+            # 1x1 inverse channel-major: y = W_inv^T @ x (same contraction
+            # as Invertible1x1Conv's einsum("btc,cd"), same f32 precision)
+            w = self.convinv[k].variables["params"]["weight"]
+            w_inv = jnp.linalg.inv(w.astype(jnp.float32)).astype(x.dtype)
+            x = jax.lax.dot(w_inv.T, x, precision=hi)
+            if self._early[k]:
+                x = jnp.concatenate([early_parts.pop(), x], axis=0)
+        return x.reshape(x.shape[0], B, Tp).transpose(1, 2, 0)[
+            :, halo: halo + T]
 
     def _inverse_waveglow(self, z: jnp.ndarray, cond: jnp.ndarray,
                           ) -> jnp.ndarray:
@@ -725,27 +784,23 @@ class WaveGlow(nn.Module):
                        or (cfg.pallas_row_step == "auto"
                            and jax.default_backend() == "tpu"))
                       and cfg.gated_unit == "GTU")
+        if use_pallas:
+            return self._inverse_waveglow_cm(z, cond)
         # split z back into early outputs + final remaining channels
         early_sizes = [e for e in self._early if e]
-        n_final = self._n_remaining
         splits = np.cumsum(early_sizes).tolist()
         parts = jnp.split(z, splits, axis=-1) if splits else [z]
         early_parts, x = parts[:-1], parts[-1]
-
-        def wn_st(k, x_in):
-            if use_pallas:
-                return self._wn_st_pallas(k, x_in, cond)
-            return self.wn[k](x_in, cond)
 
         for k in reversed(range(cfg.n_flows)):
             half = self._half[k]
             xa, xb = x[..., :half], x[..., half:]
             if cfg.couple_transform == "second":
-                st = wn_st(k, xa)
+                st = self.wn[k](xa, cond)
                 log_s, t = jnp.split(st, 2, axis=-1)
                 xb = (xb - t) * jnp.exp(-log_s)
             else:
-                st = wn_st(k, xb)
+                st = self.wn[k](xb, cond)
                 log_s, t = jnp.split(st, 2, axis=-1)
                 xa = (xa - t) * jnp.exp(-log_s)
             x = jnp.concatenate([xa, xb], axis=-1)
