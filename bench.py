@@ -519,7 +519,9 @@ def main():
             bench_waveflow_training, bench_tacotron2_training,
             bench_nfps_decode]
     if on_tpu:
-        legs[4:4] = [bench_serving_b32, bench_serving_b1]
+        # b1 before b32: the fused-MRF auto default made batch-1 the
+        # round-4 serving story (98x -> 161x), so it records first
+        legs[4:4] = [bench_serving_b1, bench_serving_b32]
     for fn in legs:
         if time.monotonic() - t0 > budget:
             print(f"[bench] skipping {fn.__name__}: over "
