@@ -91,10 +91,12 @@ def _heldout_split(args, entries, load_val, what="entries"):
             if val:
                 return entries, val, f"sibling {sib} ({len(val)} {what})"
     n = len(entries)
-    if n >= 2:
+    if n >= 4:
         n_val = max(1, n // 10)
         return (entries[:-n_val], entries[-n_val:],
                 f"held-out tail ({n_val} of {n} {what})")
+    # <4 entries: holding out a tail would eat a third to a half of a
+    # smoke run's training data — validate on training data, loudly
     print("[val] WARNING: no --val_filelist, no sibling "
           "filelist_validation.txt, and the filelist is too small to "
           "hold out a tail — validating ON TRAINING DATA")
@@ -108,8 +110,10 @@ def _cycle_chunks(n: int, batch_size: int, cap: int = 0):
     for j in range(0, n, batch_size):
         chunks.append([(j + k) % n for k in range(batch_size)])
         if cap and len(chunks) >= cap:
-            print(f"[val] capped at {cap} batches; "
-                  f"{n - cap * batch_size} validation entries unused")
+            unused = n - cap * batch_size
+            if unused > 0:     # cap below the natural chunk count only
+                print(f"[val] capped at {cap} batches; "
+                      f"{unused} validation entries unused")
             break
     return chunks
 
@@ -135,6 +139,13 @@ def _tts_val_batches(val_entries, dcfg, features, batch_size,
     if m_pad < m_req:
         m_pad = -(-m_req // 64) * 64
     cap = int(overrides.get("max_val_batches", 0) or 0)
+    if not cap and len(vds) > 2048:
+        # batches materialize once at setup (identical data every pass,
+        # features ride the disk cache) — on a very large val set that
+        # is a real startup stall + resident-memory cost
+        print(f"[val] {len(vds)} validation entries will be collated "
+              "and held in host RAM for the whole run; set "
+              "max_val_batches=N to cap")
     batches = [collate([vds[i] for i in chunk], dcfg,
                        pad_to=(t_pad, m_pad))
                for chunk in _cycle_chunks(len(vds), batch_size, cap)]

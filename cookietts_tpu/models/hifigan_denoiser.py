@@ -198,21 +198,38 @@ class DenoiserWN(nn.Module):
     [B, T] noisy audio -> [B, T] denoised audio.
 
     stage 0: WN -> 1x1 WN_end. stage >= 1: WN -> PostNet -> 1x1
-    postnet_end (the stage-0 head is still materialized so stage
-    promotion resumes checkpoints unchanged)."""
+    postnet_end. EVERY head is materialized at every stage (the torch
+    reference constructs all submodules in __init__ regardless of
+    stage, model.py:186-196), so the generator param tree is identical
+    across stages and stage promotion resumes checkpoints unchanged;
+    the inactive head's compute is dead-code-eliminated by XLA.
+
+    ``wn_channels > postnet_channels`` is rejected: PostNet res-adds
+    its ``postnet_channels``-wide conv outputs into the
+    ``max(wn, postnet)``-wide stream (the reference's own constructor
+    wires PostNet's first conv to the RAW-AUDIO channel count and
+    res-adds mismatched widths, modules.py:340-352 + model.py:186-194 —
+    it cannot run its own stage>=1 config; see MIGRATION.md)."""
     cfg: HiFiGANDenoiserConfig
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.wn_channels > cfg.postnet_channels:
+            raise ValueError(
+                f"wn_channels={cfg.wn_channels} > postnet_channels="
+                f"{cfg.postnet_channels}: PostNet residual-adds "
+                "postnet_channels-wide conv outputs into the WN output "
+                "stream, so postnet_channels must be >= wn_channels "
+                "(the reference's residual PostNet has the same "
+                "constraint and mis-wires it; MIGRATION.md)")
         out_ch = max(cfg.wn_channels, cfg.postnet_channels)
         h = WN(cfg, out_ch, name="wn")(audio[:, :, None])
-        if cfg.stage == 0:
-            return nn.Conv(1, (1,), dtype=cfg.dtype,
-                           name="wn_end")(h)[..., 0]
-        h = PostNet(cfg, out_ch, name="postnet")(h)
-        return nn.Conv(1, (1,), dtype=cfg.dtype,
-                       name="postnet_end")(h)[..., 0]
+        h0 = nn.Conv(1, (1,), dtype=cfg.dtype, name="wn_end")(h)[..., 0]
+        hp = PostNet(cfg, out_ch, name="postnet")(h)
+        hp = nn.Conv(1, (1,), dtype=cfg.dtype,
+                     name="postnet_end")(hp)[..., 0]
+        return h0 if cfg.stage == 0 else hp
 
 
 class DWModule(nn.Module):

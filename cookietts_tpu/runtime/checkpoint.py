@@ -169,7 +169,31 @@ def restore_any(state, path: str):
         raise SystemExit(
             f"{path} has no discriminator state; use --warm_start for a "
             "generator-only load")
-    g, _ = restore_train_state(state.g, path)
+    # denoiser stage promotion: generator HEAD subtrees absent from the
+    # checkpoint (stage-0 runs saved before every head was materialized,
+    # or promotion across the materialization change) start fresh; the
+    # set of fillable keys is pinned so a genuinely corrupt checkpoint
+    # still fails loudly on any other missing subtree
+    _DENOISER_HEADS = {"wn_end", "postnet", "postnet_end"}
+    g_target = jax.tree_util.tree_map(np.asarray, state.g.params)
+    missing = [k for k in g_target
+               if isinstance(tree.get("params"), dict)
+               and k not in tree["params"]]
+    if (missing and (meta or {}).get("model") == "hifigan_denoiser"
+            and set(missing) <= _DENOISER_HEADS):
+        print(f"[resume] generator head(s) {sorted(missing)} not in the "
+              "checkpoint (stage promotion); starting them fresh")
+        for k in missing:
+            tree["params"][k] = g_target[k]
+            opt = tree.get("opt_state")
+            if isinstance(opt, dict):
+                for mom in ("mu", "nu"):   # Adam moments mirror params
+                    if isinstance(opt.get(mom), dict):
+                        opt[mom][k] = jax.tree_util.tree_map(
+                            np.zeros_like, g_target[k])
+        g = _restore_train_state_from_tree(state.g, tree)
+    else:
+        g, _ = restore_train_state(state.g, path)
     if (isinstance(tree["d_params"], (list, tuple))
             and len(tree["d_params"]) == 0
             and jax.tree_util.tree_leaves(state.d.params)):

@@ -209,20 +209,30 @@ def test_cli_train_hifigan_denoiser(tmp_path):
     with open(filelist, "w") as f:
         f.write("\n".join(lines))
     run_dir = str(tmp_path / "run_dn")
+    hp = (f"segment_length=1024,"
+          f"sampling_rate={sr},noise_dir='{noise_dir}',"
+          "min_augmented_sample_rate=8000,"
+          f"max_augmented_sample_rate={sr},"
+          "wn_layers=2,wn_channels=8,postnet_layers=2,"
+          "postnet_channels=8,postnet_kernel_size=4,"
+          "window_lengths=[64,128],hop_lengths=[16,32]")
     cli.main(["train", "--model", "hifigan_denoiser",
               "--filelist", filelist, "--iters", "2",
               "--run_dir", run_dir,
-              "--hparams",
-              f"batch_size=2,n_iters=2,segment_length=1024,"
-              f"sampling_rate={sr},noise_dir='{noise_dir}',"
-              "min_augmented_sample_rate=8000,"
-              f"max_augmented_sample_rate={sr},"
-              "wn_layers=2,wn_channels=8,postnet_layers=2,"
-              "postnet_channels=8,postnet_kernel_size=4,"
-              "window_lengths=[64,128],hop_lengths=[16,32]"])
+              "--hparams", f"batch_size=2,n_iters=2,{hp}"])
     files = os.listdir(run_dir)
     assert any(f.startswith("checkpoint_") for f in files)
     assert "events.jsonl" in files
+
+    # stage promotion: resume the stage-0 (spectral-only) checkpoint at
+    # the adversarial stage — the generator tree is identical across
+    # stages (every head materialized, reference model.py:186-196), the
+    # critics start fresh (pre-adversarial checkpoints carry none)
+    cli.main(["train", "--model", "hifigan_denoiser",
+              "--filelist", filelist, "--iters", "4",
+              "--run_dir", run_dir, "--resume",
+              "--hparams", f"batch_size=2,n_iters=4,stage=2,{hp}"])
+    assert "checkpoint_4" in os.listdir(run_dir)
 
 
 def test_cli_train_gan_postnet(tmp_path):
@@ -696,7 +706,9 @@ def test_cli_waveglow_heldout_validation(tmp_path):
     sr = 16000
     rng = np.random.default_rng(5)
     lines = []
-    for i in range(3):
+    # >= 4 entries: below that _heldout_split refuses to eat a smoke
+    # run's training data and validates on training data instead
+    for i in range(5):
         t = np.arange(sr) / sr
         audio = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t)
                  + 0.01 * rng.standard_normal(len(t))).astype(np.float32)

@@ -382,6 +382,81 @@ def test_checkpointer_async_failed_save_does_not_poison(tmp_path,
     np.testing.assert_array_equal(got["params"]["w"], tree["params"]["w"])
 
 
+def test_denoiser_resume_fills_missing_generator_heads(tmp_path):
+    """--resume of an OLD-layout stage-0 denoiser checkpoint (generator
+    saved as {wn, wn_end} before every head was materialized) into a
+    stage>=1 state: the wn subtree restores, the absent heads start at
+    their fresh init with ZEROED Adam moments, and an arbitrary missing
+    subtree still fails loudly (the fillable head set is pinned)."""
+    import pytest
+
+    from cookietts_tpu.models.hifigan_denoiser import (
+        DenoiserWN, HiFiGANDenoiserConfig)
+    from cookietts_tpu.runtime.checkpoint import restore_any
+    from cookietts_tpu.runtime.train_state import GANTrainState, TrainState
+
+    cfg = HiFiGANDenoiserConfig(
+        wn_layers=2, wn_channels=8, postnet_layers=2, postnet_channels=8,
+        postnet_kernel_size=4, stage=1)
+    gen = DenoiserWN(cfg)
+    audio = jnp.zeros((1, 256), jnp.float32)
+    params = jax.device_get(
+        jax.jit(gen.init)(jax.random.PRNGKey(0), audio))["params"]
+    assert set(params) == {"wn", "wn_end", "postnet", "postnet_end"}
+
+    def fresh_states():
+        return (TrainState.create(None, params, adam()),
+                TrainState.create(None, {"dw": jnp.ones((2,))}, adam()))
+
+    # old stage-0 layout: only {wn, wn_end}; wn values shifted +1 so the
+    # restore is observable; pre-adversarial checkpoints carry no critics
+    old_g = {"wn": jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + 1.0, params["wn"]),
+        "wn_end": jax.tree_util.tree_map(np.asarray, params["wn_end"])}
+    mom = lambda t, fill: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: np.full_like(a, fill), t)
+    path = str(tmp_path / "checkpoint_3")
+    save_checkpoint(path, {
+        "step": 3, "params": old_g,
+        "opt_state": {"step": 3, "mu": mom(old_g, 2.0),
+                      "nu": mom(old_g, 4.0)},
+        "d_params": [], "d_opt_state": {},
+    }, metadata={"model": "hifigan_denoiser"})
+
+    g_state, d_state = fresh_states()
+    state, _ = restore_any(GANTrainState(g=g_state, d=d_state), path)
+    got = jax.tree_util.tree_map(np.asarray, state.g.params)
+    # wn restored from the checkpoint (shifted values)
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(got["wn"])[0],
+        np.asarray(jax.tree_util.tree_leaves(params["wn"])[0]) + 1.0)
+    # absent heads = the fresh init, with zeroed Adam moments
+    for head in ("postnet", "postnet_end"):
+        np.testing.assert_array_equal(
+            jax.tree_util.tree_leaves(got[head])[0],
+            np.asarray(jax.tree_util.tree_leaves(params[head])[0]))
+        mu = jax.tree_util.tree_map(np.asarray, state.g.opt_state.mu)
+        assert float(np.abs(
+            jax.tree_util.tree_leaves(mu[head])[0]).max()) == 0.0
+    # restored moments for present subtrees kept
+    mu_wn = jax.tree_util.tree_map(np.asarray, state.g.opt_state.mu)["wn"]
+    assert float(jax.tree_util.tree_leaves(mu_wn)[0].min()) == 2.0
+    assert int(state.g.step) == 3
+
+    # a missing NON-head subtree (corrupt checkpoint) still fails loudly
+    bad_g = {k: v for k, v in old_g.items() if k != "wn"}
+    bad = str(tmp_path / "checkpoint_bad")
+    save_checkpoint(bad, {
+        "step": 3, "params": bad_g,
+        "opt_state": {"step": 3, "mu": mom(bad_g, 0.0),
+                      "nu": mom(bad_g, 0.0)},
+        "d_params": [], "d_opt_state": {},
+    }, metadata={"model": "hifigan_denoiser"})
+    g_state, d_state = fresh_states()
+    with pytest.raises(KeyError):
+        restore_any(GANTrainState(g=g_state, d=d_state), bad)
+
+
 def test_gan_resume_migrates_weightnorm_msd(tmp_path):
     """--resume of a pre-spectral-norm HiFi-GAN run: the checkpoint's
     scale-0 MSD convs are in flax WeightNorm layout (sibling Conv_j +
