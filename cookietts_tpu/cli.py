@@ -180,6 +180,14 @@ def cmd_train(args):
         Trainer, TrainerConfig, make_tacotron2_eval_step,
         make_tacotron2_inference_eval_step, make_tacotron2_train_step)
 
+    if getattr(args, "detect_anomaly", False):
+        # the reference's --detect_anomaly (autograd anomaly mode,
+        # train.py:867-868): every primitive checks for NaN/Inf and
+        # raises AT the producing op instead of propagating
+        jax.config.update("jax_debug_nans", True)
+        print("[train] detect_anomaly: jax_debug_nans on (slow; "
+              "debugging only)")
+
     from .parallel.launch import initialize as dist_initialize
     if dist_initialize():
         print(f"[train] multi-host: process {jax.process_index()} of "
@@ -1770,6 +1778,12 @@ def main(argv=None):
     t.add_argument("--speaker_info", default=None,
                    help="speaker_info.txt stamping {name: id} into "
                         "checkpoint metadata for server/tts")
+    t.add_argument("--detect_anomaly", action="store_true",
+                   help="raise at the op that first produces a NaN/Inf "
+                        "(jax_debug_nans — the reference's "
+                        "torch.autograd.set_detect_anomaly, "
+                        "train.py:867-868,897-899). Disables jit "
+                        "caching benefits; debugging only")
     _add_common(t)
     t.set_defaults(fn=cmd_train)
 

@@ -104,6 +104,45 @@ def test_cli_train_waveglow(tmp_path):
     assert "checkpoint_4" in os.listdir(run_dir)
 
 
+def test_cli_detect_anomaly_flag(tmp_path, capsys):
+    """--detect_anomaly turns on jax_debug_nans for the run (the
+    reference's torch.autograd.set_detect_anomaly surface,
+    tacotron2_tm/train.py:867-868); a clean tiny training completes
+    under it (no false positives on the masked-math paths)."""
+    import jax
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    lines = []
+    for i in range(2):
+        t = np.arange(sr) / sr
+        audio = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t)
+                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = str(tmp_path / f"a{i}.wav")
+        audio_io.save_wav(p, audio, sr)
+        lines.append(f"{p}||{i}")
+    map_file = str(tmp_path / "map_train_0.txt")
+    with open(map_file, "w") as f:
+        f.write("\n".join(lines))
+    run_dir = str(tmp_path / "run_an")
+    try:
+        cli.main(["train", "--model", "waveglow", "--filelist", map_file,
+                  "--iters", "1", "--run_dir", run_dir, "--detect_anomaly",
+                  "--hparams",
+                  "batch_size=2,n_iters=1,segment_length=2048,"
+                  "sampling_rate=16000,filter_length=512,hop_length=128,"
+                  "win_length=512,n_mel_channels=16,mel_fmax=8000.0,"
+                  "n_flows=2,n_group=4,n_early_every=0,n_layers=1,"
+                  "n_channels=8,upsample_strides=[4,8],upsample_channels=8,"
+                  "memory_efficient=False,load_from_disk_dtw=False"])
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    out = capsys.readouterr().out
+    assert "detect_anomaly: jax_debug_nans on" in out
+    assert any(f.startswith("checkpoint_") for f in os.listdir(run_dir))
+
+
 def test_cli_train_hifigan(tmp_path, capsys):
     sr = 16000
     rng = np.random.default_rng(2)
