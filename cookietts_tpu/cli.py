@@ -275,10 +275,17 @@ def cmd_train(args):
     if args.warm_start:
         from .runtime.checkpoint import load_checkpoint, warm_start
         tree, _ = load_checkpoint(args.warm_start)
+        # hparams ignore_layers (reference hparams.py:37 + warm_start
+        # mode, train.py:204-219): path substrings to keep at init —
+        # e.g. ignore_layers=['speaker_embedding'] when changing the
+        # speaker set
+        ig = tuple(overrides.get("ignore_layers", ()) or ())
         params, n_l, n_s = warm_start(
-            jax.tree_util.tree_map(np.asarray, params), tree["params"])
+            jax.tree_util.tree_map(np.asarray, params), tree["params"],
+            ignore_layers=ig)
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        print(f"warm start: {n_l} loaded, {n_s} skipped")
+        print(f"warm start: {n_l} loaded, {n_s} skipped"
+              + (f" (ignore_layers={list(ig)})" if ig else ""))
 
     tp = int(getattr(args, "tp", 1) or 1)
     import math
@@ -500,11 +507,14 @@ def _train_untts(args, overrides):
     if args.warm_start:
         from .runtime.checkpoint import load_checkpoint, warm_start
         tree, _ = load_checkpoint(args.warm_start)
+        ig = tuple(overrides.get("ignore_layers", ()) or ())
         params, n_l, n_s = warm_start(
-            jax.tree_util.tree_map(np.asarray, state.params), tree["params"])
+            jax.tree_util.tree_map(np.asarray, state.params),
+            tree["params"], ignore_layers=ig)
         state = state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, params))
-        print(f"warm start: {n_l} loaded, {n_s} skipped")
+        print(f"warm start: {n_l} loaded, {n_s} skipped"
+              + (f" (ignore_layers={list(ig)})" if ig else ""))
 
     keys = ("text", "text_lengths", "mels", "mel_lengths",
             "speaker_id", "durations", "f0", "energy")
@@ -1184,12 +1194,14 @@ def _train_hifigan(args, overrides):
     if getattr(args, "warm_start", None):
         from .runtime.checkpoint import load_checkpoint, warm_start
         tree, _ = load_checkpoint(args.warm_start)
+        ig = tuple(overrides.get("ignore_layers", ()) or ())
         gp, n_l, n_s = warm_start(
             jax.tree_util.tree_map(np.asarray, g_state.params),
-            tree["params"])
+            tree["params"], ignore_layers=ig)
         g_state = g_state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, gp))
-        print(f"[hifigan] warm start: {n_l} loaded, {n_s} skipped")
+        print(f"[hifigan] warm start: {n_l} loaded, {n_s} skipped"
+              + (f" (ignore_layers={list(ig)})" if ig else ""))
 
     from .models.hifigan import mel_l1_loss
     from .runtime.train_state import GANTrainState
