@@ -1,13 +1,16 @@
 """Noisy/clean pair dataset for HiFiGAN-Denoiser training.
 
 Capability rebuild of CookieTTS/_4_mtw/HiFiGAN_Denoiser/mel2samp.py
-(noisify_audio, :216-248): a random clean segment is corrupted with
+(noisify_audio, :216-248). The reference's exact corruption order —
+which low-passes ONLY the clean copy and then adds the folder noise
+FULL-BAND on top (:242-247) — is preserved:
 
-1. a random segment of a noise-folder file scaled to a uniform-random
-   target SNR (skipped when no noise files are given),
-2. a "lazy low-pass" — resample down to a uniform-random rate and back
-   (:242-244),
-3. white noise with log10-uniform std (:246),
+1. "lazy low-pass" of the clean segment — resample down to a
+   uniform-random rate and back (:242-244),
+2. white noise with log10-uniform std (:246),
+3. a random segment of a noise-folder file scaled to a uniform-random
+   target SNR, added un-low-passed (:231-239, :247; skipped when no
+   noise files are given),
 
 then clamped to [-1, 1]. Returns static-shape segments so batches jit
 cleanly on TPU.
@@ -75,9 +78,14 @@ class DenoiserDataset:
         cfg = self.cfg
         noisy = clean.astype(np.float32).copy()
 
-        # lazy low-pass: down/up resample (:242-244)
-        aug_sr = int(self.rng.uniform(cfg.min_augmented_sample_rate,
-                                      cfg.max_augmented_sample_rate))
+        # lazy low-pass: down/up resample (:242-244). The rate rounds to
+        # a 100 Hz grid: an arbitrary integer (the reference draws one,
+        # but librosa's kaiser resampler takes any ratio) can be coprime
+        # with sampling_rate, which turns the scipy resample_poly
+        # fallback into a ~500k-tap polyphase — seconds per item
+        aug_sr = int(round(self.rng.uniform(
+            cfg.min_augmented_sample_rate,
+            cfg.max_augmented_sample_rate) / 100.0) * 100)
         if aug_sr < cfg.sampling_rate:
             down = resample(noisy, cfg.sampling_rate, aug_sr)
             noisy = resample(down, aug_sr, cfg.sampling_rate)

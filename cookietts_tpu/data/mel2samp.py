@@ -119,6 +119,12 @@ class Mel2Samp:
         mel_seg = seg // cfg.hop_length + 1
         if len(audio) >= seg:
             max_mel_start = (len(audio) - seg) // cfg.hop_length - 1
+            if mel is not None:
+                # a GTA dump can run a few frames short of
+                # len(audio)//hop (teacher-forcing length mismatch);
+                # keep the random start inside the dumped frames so the
+                # slice stays full-height whenever possible
+                max_mel_start = min(max_mel_start, mel.shape[0] - mel_seg)
             mel_start = (self.rng.randint(0, max_mel_start)
                          if max_mel_start > 0 else 0)
             a0 = mel_start * cfg.hop_length
@@ -128,13 +134,36 @@ class Mel2Samp:
         else:
             mel_start = 0
             audio = np.pad(audio, (0, seg - len(audio)))
-            if mel is not None and mel.shape[0] < mel_seg:
-                pad = np.full((mel_seg - mel.shape[0], mel.shape[1]),
-                              LOG_MEL_SILENCE, np.float32)
-                mel = np.concatenate([mel, pad], axis=0)
+        if mel is not None and mel.shape[0] < mel_seg:
+            # STATIC shapes: a short slice would make collate min-crop
+            # EVERY mel in the batch (audio stays seg long -> silently
+            # truncated supervision + a fresh jit shape per batch)
+            pad = np.full((mel_seg - mel.shape[0], mel.shape[1]),
+                          LOG_MEL_SILENCE, np.float32)
+            mel = np.concatenate([mel, pad], axis=0)
         return audio, mel, mel_start
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
+        """Item loader with rejection resampling: a segment whose GTA
+        mel misses the max_l1_err/max_mse_err gate substitutes a
+        different random entry (the reference's FileNotSuitable loop —
+        an uncaught raise here would kill a multi-hour run on one bad
+        dump). After 10 substitutions the thresholds themselves are the
+        problem; raise with that diagnosis."""
+        rejected = []
+        for _ in range(10):
+            try:
+                return self._load_item(index)
+            except FileNotSuitableException as e:
+                rejected.append(str(e))
+                index = self.rng.randrange(len(self.entries))
+        raise FileNotSuitableException(
+            "10 consecutive segments rejected by max_l1_err/max_mse_err "
+            f"({self.cfg.max_l1_err}/{self.cfg.max_mse_err}) — the "
+            "thresholds reject (nearly) everything; loosen them or "
+            f"regenerate the GTA dumps. Rejected: {rejected[:3]}...")
+
+    def _load_item(self, index: int) -> Dict[str, Any]:
         cfg = self.cfg
         entry = self.entries[index]
         wav_path, mel_path, speaker = entry[0], entry[1], entry[2]

@@ -122,10 +122,12 @@ def make_app(t2s=None, default_speaker: Optional[str] = None,
                 get = lambda k, d=None: self.get_body_argument(k, d)  # noqa
 
             def field(short, ref=None, default=None):
+                # a CLEARED form box posts an empty string — treat it
+                # like an absent field so float('')/int('') can't 500
                 v = get(short)
-                if v is None and ref is not None:
+                if v in (None, "") and ref is not None:
                     v = get(ref)
-                return default if v is None else v
+                return default if v in (None, "") else v
 
             def truthy(v):
                 return str(v).lower() in ("1", "true", "on", "yes")
@@ -158,6 +160,10 @@ def make_app(t2s=None, default_speaker: Optional[str] = None,
             v = field("max_duration_s", "input_max_duration_s")
             if v:
                 kwargs["max_duration_s"] = float(v)
+            v = field("dyna_max_duration_s", "input_dyna_max_duration_s")
+            if v:
+                # seconds-per-character decode cap (reference app.py:44)
+                kwargs["dyna_max_duration_s"] = float(v)
             v = field("textseg_len_target", "input_textseg_len_target")
             if v:
                 kwargs["target_segment_length"] = int(v)
@@ -180,19 +186,20 @@ def make_app(t2s=None, default_speaker: Optional[str] = None,
                 "xrt": result.get("xrt", 0.0),
                 "model": registry.current,
             }
-            if len(result["audio"]):
+            wav = (_wav_bytes(result["audio"], worker.sample_rate)
+                   if len(result["audio"]) else b"")
+            if wav:
                 fname = f"t2s_{int(time.time() * 1000)}.wav"
                 with open(os.path.join(output_dir, fname), "wb") as f:
-                    f.write(_wav_bytes(result["audio"],
-                                       worker.sample_rate))
+                    f.write(wav)
                 stats["voice"] = fname
-            if truthy(get("stats_only", "0")) or not len(result["audio"]):
+            if truthy(get("stats_only", "0")) or not wav:
                 self.set_header("Content-Type", "application/json")
                 self.write(json.dumps(stats))
                 return
             self.set_header("Content-Type", "audio/wav")
             self.set_header("X-TTS-Stats", json.dumps(stats))
-            self.write(_wav_bytes(result["audio"], worker.sample_rate))
+            self.write(wav)
 
     class VoiceHandler(tornado.web.RequestHandler):
         """Download a generated output file (reference app.py:154-170)."""

@@ -50,6 +50,9 @@ def parse_text_into_segments(text: str, split_at_quotes: bool = True,
     crossing ``max_segment_length``.
     """
     text = text.replace("\n", " ").strip()
+    # word processors auto-curl quotes; normalize so dialogue splitting
+    # and speaker_mode="quotes" see them (the reference splits on '"')
+    text = text.replace("“", '"').replace("”", '"')
     if not text:
         return []
 
@@ -305,6 +308,7 @@ class T2S:
               gate_delay: Optional[int] = None,
               max_decoder_steps: Optional[int] = None,
               max_duration_s: Optional[float] = None,
+              dyna_max_duration_s: Optional[float] = None,
               denoise_strength: float = 0.0,
               style_mode: str = "torchmoji",
               split_at_quotes: Optional[bool] = None,
@@ -318,11 +322,21 @@ class T2S:
         (reference :527-528); ``gate_threshold`` / ``gate_delay`` /
         ``max_decoder_steps`` / ``denoise_strength`` mirror the reference
         server's per-request form fields (app.py:32-51).
+        ``dyna_max_duration_s`` is the reference's per-CHARACTER duration
+        cap (seconds/char; decoder steps = min(chars * dyna * sr/hop,
+        max_duration_s * sr/hop), text2speech.py:411) — it overrides the
+        config's frames_per_char for this request.
         """
         cfg = self.cfg
         target = target_score if target_score is not None else cfg.target_score
-        max_att = max_attempts or cfg.max_attempts
-        bsz = batch_size or cfg.batch_size
+        # None-checks, not falsy-or: an explicit 0 must not silently
+        # become the default (the adjacent gate args already do this)
+        max_att = cfg.max_attempts if max_attempts is None else max_attempts
+        bsz = cfg.batch_size if batch_size is None else batch_size
+        for nm, v in (("max_attempts", max_att), ("batch_size", bsz),
+                      ("max_decoder_steps", max_decoder_steps)):
+            if v is not None and v <= 0:
+                raise ValueError(f"{nm} must be positive, got {v}")
         thr = cfg.gate_threshold if gate_threshold is None else gate_threshold
         delay = cfg.gate_delay if gate_delay is None else gate_delay
         if self.model is not None:
@@ -340,10 +354,11 @@ class T2S:
                 print(f"[t2s] gate_threshold {thr} clamped to the "
                       f"compiled {self.model.cfg.gate_threshold}")
                 thr = self.model.cfg.gate_threshold
-        steps_cap = max_decoder_steps or cfg.max_decoder_steps
+        steps_cap = (cfg.max_decoder_steps if max_decoder_steps is None
+                     else max_decoder_steps)
         if max_duration_s:     # reference input_max_duration_s (app.py:42)
-            steps_cap = min(steps_cap, int(
-                max_duration_s * self.sample_rate / self.hop_length))
+            steps_cap = min(steps_cap, max(1, int(
+                max_duration_s * self.sample_rate / self.hop_length)))
         t_start = time.time()
 
         if isinstance(speaker, str):
@@ -425,8 +440,19 @@ class T2S:
                 spk[row] = self.speaker_ids[seg_speakers[i]]
                 if tm is not None:
                     tm_arr[row] = tm[i]
-            max_steps = min(self._round_steps(
-                int(t_max * cfg.frames_per_char) + int(delay)), steps_cap)
+            # compile ONLY at bucket step counts: feeding a raw
+            # per-request steps_cap to the jit would compile (and cache
+            # forever) a fresh decode per distinct duration a client
+            # sends; the cap is enforced on mel_lengths after decode
+            fpc = (dyna_max_duration_s * self.sample_rate / self.hop_length
+                   if dyna_max_duration_s else cfg.frames_per_char)
+            # with dyna given, chars*dyna is a HARD cap like the
+            # reference's (min with max_duration_s, :411); without it
+            # frames_per_char is only the bucket-selection heuristic
+            cap_here = (max(1, min(steps_cap, int(t_max * fpc) + int(delay)))
+                        if dyna_max_duration_s else steps_cap)
+            max_steps = self._round_steps(min(
+                int(t_max * fpc) + int(delay), steps_cap))
 
             key, sub = jax.random.split(key)
             fn = self._infer_fn(max_steps)
@@ -435,7 +461,9 @@ class T2S:
                 jnp.asarray(spk), jnp.asarray(tm_arr), sub,
                 jnp.asarray(thr, jnp.float32), jnp.asarray(delay, jnp.int32))
             mels = np.asarray(mels)
-            mel_lengths = np.asarray(mel_lengths)
+            # the per-request duration/step cap applies HERE (the decode
+            # ran at a bucket length; the worker crops to mel_lengths)
+            mel_lengths = np.minimum(np.asarray(mel_lengths), cap_here)
             scores = np.asarray(scores)
 
             # a diverged decode can score NaN, which would never beat

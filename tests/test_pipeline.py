@@ -38,6 +38,19 @@ def test_parse_segments_empty():
     assert parse_text_into_segments("") == []
 
 
+def test_parse_segments_smart_quotes():
+    """Word processors auto-curl quotes; dialogue in “...” must split
+    out like ASCII quotes so speaker_mode='quotes' voices it."""
+    segs = parse_text_into_segments(
+        'She said “Come here. Now.” and left.',
+        target_segment_length=200)
+    assert any(s.startswith('"') for s in segs)
+    from cookietts_tpu.pipeline.text2speech import interleave_speakers
+    voices = interleave_speakers(segs, ["Narrator", "Alice"],
+                                 mode="quotes")
+    assert "Alice" in voices and "Narrator" in voices
+
+
 def test_fuzzy_match():
     known = ["Twilight Sparkle", "Rainbow Dash", "Nancy"]
     assert fuzzy_match_speaker("twilight", known) == "Twilight Sparkle"
@@ -109,6 +122,40 @@ def test_t2s_infer_end_to_end(tiny_t2s):
     assert result["xrt"] > 0
 
 
+def test_t2s_per_request_caps(tiny_t2s):
+    """max_duration_s compiles ONLY at step-bucket shapes (the cap
+    clamps mel_lengths post-decode), dyna_max_duration_s is the
+    reference's per-char hard cap (text2speech.py:411), and explicit
+    zero/negative control values raise instead of silently becoming
+    defaults."""
+    import pytest
+
+    sr, hop = tiny_t2s.sample_rate, tiny_t2s.hop_length
+    r = tiny_t2s.infer("Hello there friend.", speaker=["alice"],
+                       max_duration_s=3 * hop / sr, seed=1)
+    # jit cache keys stay inside the bucket set (no per-duration shape)
+    buckets = set(tiny_t2s.cfg.step_buckets) | {
+        tiny_t2s.cfg.max_decoder_steps}
+    assert set(tiny_t2s._infer_cache) <= buckets
+    # the duration cap clamps the OUTPUT (3 frames of audio)
+    assert (np.asarray(r["mel_lengths"]) <= 3).all()
+
+    from cookietts_tpu.text import text_to_sequence
+    n_tok = len(text_to_sequence("Hello there friend.",
+                                 tiny_t2s.cfg.text_cleaners))
+    r2 = tiny_t2s.infer("Hello there friend.", speaker=["alice"],
+                        dyna_max_duration_s=0.2 * hop / sr, seed=1)
+    # ~0.2 frames/token * tokens + gate_delay bounds the output
+    cap = int(n_tok * 0.2) + tiny_t2s.cfg.gate_delay
+    assert (np.asarray(r2["mel_lengths"]) <= cap).all()
+    assert set(tiny_t2s._infer_cache) <= buckets
+
+    for bad in (dict(max_attempts=0), dict(batch_size=-1),
+                dict(max_decoder_steps=0)):
+        with pytest.raises(ValueError, match="positive"):
+            tiny_t2s.infer("Hi.", speaker=["alice"], **bad)
+
+
 def test_server_stats_endpoint(tiny_t2s):
     import tornado.httpserver
     import tornado.testing
@@ -129,6 +176,14 @@ def test_server_stats_endpoint(tiny_t2s):
             stats = json.loads(resp.body)
             assert stats["segments"] == ["Hi there."]
             assert "xrt" in stats
+            # CLEARED form boxes post empty strings — numeric fields
+            # must fall back to defaults, not 500 on float('')
+            resp = self.fetch(
+                "/tts", method="POST",
+                body="input_text=Hi there.&stats_only=1&batch_size=4"
+                     "&max_attempts=1&input_target_score="
+                     "&gate_delay=&input_cat_silence_s=&target_score=0.1")
+            assert resp.code == 200, resp.body
 
     test = ServerTest()
     test.setUp()

@@ -86,6 +86,54 @@ def test_mel2samp_gta_probability(wav_dataset):
     assert item["mel"].shape[1] == cfg.n_mel_channels
 
 
+def test_mel2samp_rejection_resamples_not_crashes(wav_dataset, tmp_path):
+    """A GTA segment over max_l1_err substitutes a DIFFERENT random
+    entry (the reference's FileNotSuitable loop) instead of killing the
+    training run; thresholds that reject everything raise one clear
+    diagnosis."""
+    import dataclasses
+
+    import pytest
+
+    from cookietts_tpu.data.mel2samp import (FileNotSuitableException,
+                                             Mel2Samp)
+    cfg, entries, ds, _ = wav_dataset
+    # entry 0: a garbage GTA mel that always misses the L1 gate
+    bad_mel = str(tmp_path / "bad.mel.npy")
+    audio0, _ = audio_io.load_wav(entries[0][0])
+    np.save(bad_mel, ds.get_mel(audio0) + 50.0)
+    ents = [(entries[0][0], bad_mel, 0), entries[1]]
+    cfg2 = dataclasses.replace(cfg, load_mel_from_disk=1.0,
+                               load_from_disk_dtw=False, max_l1_err=1.0)
+    ds2 = Mel2Samp(ents, cfg2, seed=3)
+    item = ds2[0]                       # resampled to the clean entry
+    assert item["audiopath"] == ents[1][0]
+    # every entry rejected -> a diagnosis, not a bare exception
+    ds3 = Mel2Samp([ents[0]], cfg2, seed=3)
+    with pytest.raises(FileNotSuitableException, match="thresholds"):
+        ds3[0]
+
+
+def test_mel2samp_short_gta_mel_keeps_static_shape(wav_dataset, tmp_path):
+    """A GTA dump a few frames short of len(audio)//hop must still yield
+    the full mel_seg rows (a short slice would make collate min-crop the
+    WHOLE batch and change the jit shape per batch)."""
+    import dataclasses
+
+    from cookietts_tpu.data.mel2samp import Mel2Samp
+    cfg, entries, ds, _ = wav_dataset
+    audio0, _ = audio_io.load_wav(entries[0][0])
+    short = ds.get_mel(audio0)[:-5]           # 5 frames short
+    short_mel = str(tmp_path / "short.mel.npy")
+    np.save(short_mel, short)
+    cfg2 = dataclasses.replace(cfg, load_mel_from_disk=1.0,
+                               load_from_disk_dtw=False)
+    ds2 = Mel2Samp([(entries[0][0], short_mel, 0)], cfg2, seed=5)
+    mel_seg = cfg.segment_length // cfg.hop_length + 1
+    for _ in range(4):
+        assert ds2[0]["mel"].shape[0] == mel_seg
+
+
 def test_collate(wav_dataset):
     cfg, entries, ds, _ = wav_dataset
     batch = collate_mel2samp([ds[0], ds[1]])
