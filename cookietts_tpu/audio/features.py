@@ -38,10 +38,11 @@ def _frame(audio: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "hop_length", "frame_length", "f0_min", "f0_max"))
+    "sr", "hop_length", "frame_length", "f0_min", "f0_max", "center"))
 def estimate_f0(audio: jnp.ndarray, sr: int, hop_length: int = 512,
                 frame_length: int = 2048, f0_min: float = 55.0,
-                f0_max: float = 760.0, voiced_thresh: float = 0.3
+                f0_max: float = 760.0, voiced_thresh: float = 0.3,
+                center: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched autocorrelation pitch track: [B, T] -> (f0 [B, N], voiced).
 
@@ -49,7 +50,15 @@ def estimate_f0(audio: jnp.ndarray, sr: int, hop_length: int = 512,
     (data/audio_io.py:214-240): Hann-windowed frames, FFT autocorrelation,
     peak pick inside the [sr/f0_max, sr/f0_min] lag window, peak/ac0
     strength as the voicing decision, f0=0 on unvoiced frames.
+
+    ``center=True`` reflect-pads by frame_length//2 like the STFT, so
+    frame k is centered on sample k*hop and the track sits on the SAME
+    grid as the mel (count 1 + T//hop); the default start-aligned frames
+    match the host anchor ``audio_io.estimate_f0_autocorr``.
     """
+    if center:
+        pad = frame_length // 2
+        audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
     frames = _frame(audio.astype(jnp.float32), frame_length, hop_length)
     frames = frames * jnp.asarray(np.hanning(frame_length), jnp.float32)
     spec = jnp.fft.rfft(frames, n=2 * frame_length, axis=-1)
@@ -112,7 +121,12 @@ def measure_loudness(audio: jnp.ndarray,
             valid = jnp.ones_like(ms, bool)
         else:
             valid = (starts[None, :] + blk) <= lengths[:, None]
-            valid = valid | (jnp.cumsum(valid, axis=1) == 0)  # keep >=1
+            # a clip shorter than one block has NO fitting block — keep
+            # only block 0 (its samples plus pad), not every pad block
+            # (cumsum==0 is all-True when nothing is valid)
+            none_valid = ~jnp.any(valid, axis=1, keepdims=True)
+            first = jnp.arange(ms.shape[1])[None, :] == 0
+            valid = valid | (none_valid & first)
 
     def gated_loudness(ms, gate):
         mean = jnp.sum(jnp.where(gate, ms, 0.0), axis=-1) \
@@ -145,16 +159,23 @@ def fused_frontend(stft: TacotronSTFT, *, sr: int,
         audio = audio.astype(jnp.float32)
         lufs = measure_loudness(audio, lengths, sr=sr)
         if target_lufs is not None:
-            gain = 10.0 ** ((target_lufs - lufs) / 20.0)
-            finite = jnp.isfinite(gain)
-            audio = audio * jnp.where(finite, gain, 1.0)[:, None]
-            audio = jnp.clip(audio, -1.0, 1.0)
+            # mirror the host anchor (audio_io.loudness_normalize):
+            # +/-30 dB gain clamp — a fully-gated near-silent clip
+            # measures ~-300 LUFS here (the host returns -70), and an
+            # unclamped 10^13 gain would amplify noise to clipped
+            # garbage — then peak-divide rather than hard-clip
+            gain_db = jnp.clip(target_lufs - lufs, -30.0, 30.0)
+            audio = audio * (10.0 ** (gain_db / 20.0))[:, None]
+            peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True) + 1e-9
+            audio = jnp.where(peak > 1.0, audio / peak, audio)
         mel = stft.mel_spectrogram(audio)                    # [B, N, M]
         energy = jnp.exp(mel).mean(axis=-1)                  # [B, N]
+        # center=True puts f0 frames on the SAME center-padded grid as
+        # the mel, so row k of every output describes the same instant
         f0, voiced = estimate_f0(
             audio, sr, hop_length=stft.hop_length,
             frame_length=stft.stft.filter_length,
-            f0_min=f0_min, f0_max=f0_max)
+            f0_min=f0_min, f0_max=f0_max, center=True)
         n = min(mel.shape[1], f0.shape[1])
         return {
             "audio": audio,

@@ -119,6 +119,22 @@ class DataConfig:
     n_emotion_classes: int = 16
 
 
+def mel_cache_hash(cfg: "DataConfig") -> str:
+    """Mel-cache key over every knob that changes the cached values.
+
+    Module-level so producers OTHER than the dataset (the preprocess
+    on-device feature dump) can write sidecars the dataset will
+    actually hit as cache entries."""
+    return hashlib.md5(
+        f"{cfg.sampling_rate}_{cfg.filter_length}_"
+        f"{cfg.hop_length}_{cfg.win_length}_"
+        f"{cfg.n_mel_channels}_"
+        f"{cfg.mel_fmin}_{cfg.mel_fmax}_"
+        f"{cfg.clamp_val}_"
+        f"{cfg.trim_top_db if cfg.trim_enable else 'raw'}_"
+        f"{cfg.target_lufs}".encode()).hexdigest()[:8]
+
+
 def bucket_size(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -197,14 +213,7 @@ class TTSDataset:
 
     # -- audio/mel -----------------------------------------------------------
     def _cfg_hash(self) -> str:
-        return hashlib.md5(
-            f"{self.cfg.sampling_rate}_{self.cfg.filter_length}_"
-            f"{self.cfg.hop_length}_{self.cfg.win_length}_"
-            f"{self.cfg.n_mel_channels}_"
-            f"{self.cfg.mel_fmin}_{self.cfg.mel_fmax}_"
-            f"{self.cfg.clamp_val}_"
-            f"{self.cfg.trim_top_db if self.cfg.trim_enable else 'raw'}_"
-            f"{self.cfg.target_lufs}".encode()).hexdigest()[:8]
+        return mel_cache_hash(self.cfg)
 
     def _cache_path(self, audiopath: str) -> str:
         return audiopath + f".{self._cfg_hash()}.mel.npy"
@@ -511,9 +520,13 @@ class TTSDataset:
 
     def _get_durations(self, audiopath: str, t_mel: int,
                        n_text: int) -> np.ndarray:
-        sidecar = audiopath + ".dur.npy"
-        if os.path.exists(sidecar):
-            return fit_durations(np.load(sidecar), n_text, t_mel)
+        # '.dur.npy' = MFA phone durations (preprocess forced alignment);
+        # '.gdur.npy' = GTA attention-argmax letter durations (gta.py) —
+        # a usable fallback when MFA was never run
+        for sfx in (".dur.npy", ".gdur.npy"):
+            sidecar = audiopath + sfx
+            if os.path.exists(sidecar):
+                return fit_durations(np.load(sidecar), n_text, t_mel)
         base = os.path.splitext(audiopath)[0]
         for ext in (".TextGrid", ".textgrid"):
             tg = base + ext

@@ -75,12 +75,19 @@ def generate_filelist_from_datasets(
     # stable speaker-ID assignment (sorted by name)
     speakers = sorted({m["speaker"] for m in kept})
     speaker_ids = {s: i for i, s in enumerate(speakers)}
-    emotions = sorted({e for m in kept for e in m.get("emotions", [])})
+    # emotion classes: only REAL labels get ids. Non-clipper datasets
+    # default emotions=["unknown"] (metadata.py:172), so mixing labeled
+    # and unlabeled datasets must not hand every unlabeled clip a REAL
+    # supervised class — unlabeled stays -1, which collate maps to the
+    # semi-supervised "unknown" one-hot (class C) and the emotion loss
+    # leaves unsupervised
+    emotions = sorted({e for m in kept for e in m.get("emotions", [])
+                       if e and e != "unknown"})
     emotion_ids = {e: i for i, e in enumerate(emotions)}
     for m in kept:
         m["speaker_id"] = speaker_ids[m["speaker"]]
-        m["emotion_id"] = emotion_ids.get(
-            (m.get("emotions") or ["unknown"])[0], 0)
+        first = (m.get("emotions") or [None])[0]
+        m["emotion_id"] = emotion_ids.get(first, -1) if first else -1
 
     # train/val split: at least val_min_per_speaker from each speaker
     rng = random.Random(seed)
@@ -108,12 +115,17 @@ def generate_filelist_from_datasets(
 def _filelist_line(m: Dict[str, Any]) -> str:
     """Canonical line: ``path|quote|speaker_id`` plus optional extended
     columns ``|phoneme_transcript|emotion_id|noise`` when present
-    (reference octuplet format, start_preprocess.py:602-640)."""
-    line = f"{m['path']}|{m['quote']}|{m['speaker_id']}"
+    (reference octuplet format, start_preprocess.py:602-640).
+
+    '|' is the column separator, so a transcript containing one would
+    shift every later column (speaker_id parsed from transcript text);
+    replace it with '/' in the text fields."""
+    clean = lambda s: str(s).replace("|", "/")  # noqa: E731
+    line = f"{clean(m['path'])}|{clean(m['quote'])}|{m['speaker_id']}"
     if m.get("phoneme_transcript") or "emotion_id" in m or m.get("noise"):
-        line += (f"|{m.get('phoneme_transcript', '')}"
+        line += (f"|{clean(m.get('phoneme_transcript', ''))}"
                  f"|{m.get('emotion_id', '')}"
-                 f"|{m.get('noise', '')}")
+                 f"|{clean(m.get('noise', ''))}")
     return line
 
 

@@ -93,7 +93,13 @@ class GTAGenerator:
             mel_path = path + suffix
             np.save(mel_path, mel)
             if self.save_letter_durations:
-                dur_sfx = f".dur{offset}.npy" if offset else ".dur.npy"
+                # attention-argmax LETTER durations go to '.gdur.npy':
+                # '.dur.npy' belongs to MFA phone alignments
+                # (preprocess.run_forced_alignment) — the reference also
+                # keeps these apart ('_galign.pt' vs alignment caches,
+                # GTA.py:151-156) — and overwriting it would silently
+                # swap untts' duration supervision after a GTA run
+                dur_sfx = f".gdur{offset}.npy" if offset else ".gdur.npy"
                 np.save(path + dur_sfx, durs[i])
             lines.append(f"{path}|{mel_path}|{int(speaker_ids[i])}")
         return lines

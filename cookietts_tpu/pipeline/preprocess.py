@@ -49,10 +49,11 @@ class PreprocessConfig:
     mfa_binary: Optional[str] = None
     mfa_lexicon: Optional[str] = None        # defaults to arpa_dict_path
     # fused on-device feature extraction (audio/features.py): batch all
-    # clips through ONE jitted XLA program per length bucket and dump
-    # .mel.npy / .f0.npy / .energy.npy sidecars the TTSDataset consumes
-    # as caches — the TPU-native replacement for the reference's
-    # per-file pyworld/pyloudnorm/librosa host loop
+    # clips through ONE jitted XLA program per length bucket and write
+    # REAL TTSDataset mel/len cache sidecars (hash-keyed; training and
+    # TBPTT planning hit them directly) plus .gt.f0/.gt.energy analysis
+    # dumps — the TPU-native replacement for the reference's per-file
+    # pyworld/pyloudnorm/librosa host loop (dump_features_on_device)
     on_device_features: bool = False
     feature_batch: int = 16
     filter_length: int = 2048
@@ -146,8 +147,16 @@ def run_forced_alignment(result: Dict[str, Any],
         with tempfile.TemporaryDirectory() as tmp:
             corpus = os.path.join(tmp, "corpus")
             os.makedirs(corpus)
-            for m in items:
+            # corpus names are index-prefixed: chapter-numbered layouts
+            # (a/0001.wav, b/0001.wav) share basenames, and a flat copy
+            # would overwrite wav+lab pairs and hand BOTH clips the one
+            # surviving TextGrid's durations
+            names = {}
+            for j, m in enumerate(items):
                 base = os.path.splitext(os.path.basename(m["path"]))[0]
+                names[id(m)] = f"u{j:06d}_{base}"
+            for m in items:
+                base = names[id(m)]
                 shutil.copy(m["path"], os.path.join(corpus, base + ".wav"))
                 with open(os.path.join(corpus, base + ".lab"), "w",
                           encoding="utf-8") as f:
@@ -160,7 +169,7 @@ def run_forced_alignment(result: Dict[str, Any],
                 print(f"[preprocess] MFA failed for {speaker}: {e!r}")
                 continue
             for m in items:
-                base = os.path.splitext(os.path.basename(m["path"]))[0]
+                base = names[id(m)]
                 tg = None
                 for cand in (os.path.join(out, base + ".TextGrid"),
                              os.path.join(out, speaker,
@@ -171,7 +180,11 @@ def run_forced_alignment(result: Dict[str, Any],
                 if tg is None:
                     continue
                 tiers = parse_textgrid(tg)
-                hop_s = 1.0 / 100.0        # 10 ms MFA frame grid
+                # durations must land on the MEL frame grid the dataset
+                # trains on (hop/sr — dataset.py consumes the sidecar as
+                # mel frames; a 10 ms grid here would run ~16% long at
+                # 512/44100 and crush the tail phones to zero)
+                hop_s = cfg.hop_length / float(cfg.target_sr)
                 dur = durations_from_textgrid(tiers, "phones", hop_s)
                 np.save(m["path"] + ".dur.npy", np.asarray(dur, np.int32))
                 phones = " ".join(lbl for _, _, lbl in
@@ -237,29 +250,53 @@ def dump_features_on_device(paths: Sequence[str],
     """Fused on-device feature extraction over all clips.
 
     Groups files into length buckets (padded static shapes -> one XLA
-    compile per bucket), runs audio/features.py:fused_frontend on the
-    accelerator, and writes ``<wav>.gt.mel.npy`` / ``.gt.f0.npy`` /
-    ``.gt.energy.npy`` sidecars. Replaces the reference's per-file host
-    loop (pyworld :815-838, pyloudnorm :786-803, librosa mel :571-577)
-    with batched MXU work. Returns the number of clips processed.
+    compile per bucket) and runs audio/features.py:fused_frontend on the
+    accelerator — the TPU replacement for the reference's per-file host
+    loop (pyworld :815-838, pyloudnorm :786-803, librosa mel :571-577).
+    Runs AFTER step 2, so the on-disk wavs are already trimmed and
+    loudness-normalized and no second normalization is applied here.
+
+    Writes, per clip:
+    - ``<wav>.{hash}.mel.npy`` + ``.{hash}.len.npy`` — REAL TTSDataset
+      cache entries (``data.dataset.mel_cache_hash`` over a DataConfig
+      with these stft params and trim/lufs OFF, matching the
+      already-processed files): training and TBPTT planning hit them
+      directly and skip the per-file host mel work.
+    - ``<wav>.gt.f0.npy`` / ``.gt.energy.npy`` — standalone analysis
+      dumps on the mel frame grid (f0 frames are center-padded like the
+      mel). NOT training caches: the dataset's default f0 extractor is
+      the DIO port (different estimator, unvoiced handling).
+
+    Returns the number of clips processed.
     """
     import numpy as np
 
     from ..audio.features import fused_frontend
     from ..audio.stft import TacotronSTFT
+    from ..data.dataset import DataConfig, mel_cache_hash
 
     stft = TacotronSTFT(
         filter_length=cfg.filter_length, hop_length=cfg.hop_length,
         win_length=cfg.win_length, n_mel_channels=cfg.n_mel_channels,
         sampling_rate=cfg.target_sr, mel_fmin=cfg.mel_fmin,
         mel_fmax=cfg.mel_fmax)
-    fn = fused_frontend(stft, sr=cfg.target_sr,
-                        target_lufs=cfg.target_lufs)
+    # step 2 already normalized the files in place -> no second pass
+    fn = fused_frontend(stft, sr=cfg.target_sr, target_lufs=None)
+    cache_hash = mel_cache_hash(DataConfig(
+        sampling_rate=cfg.target_sr, filter_length=cfg.filter_length,
+        hop_length=cfg.hop_length, win_length=cfg.win_length,
+        n_mel_channels=cfg.n_mel_channels, mel_fmin=cfg.mel_fmin,
+        mel_fmax=(cfg.mel_fmax if cfg.mel_fmax is not None
+                  else cfg.target_sr / 2),
+        trim_enable=False, target_lufs=None))
 
     loaded = []
     for p in paths:
         try:
             audio, _ = audio_io.load_wav(p, target_sr=cfg.target_sr)
+            # the dataset loader DC-removes before the mel; match it so
+            # the cache values equal what it would compute
+            audio = audio_io.remove_dc_offset(audio)
             loaded.append((p, audio))
         except Exception as e:
             print(f"[preprocess] feature dump skip {p}: {e!r}")
@@ -282,6 +319,14 @@ def dump_features_on_device(paths: Sequence[str],
         for j, (_, a) in enumerate(chunk):
             batch[j, :len(a)] = a
             lengths[j] = len(a)
+            # fill the pad with the clip's OWN tail reflection: the STFT
+            # reflect-pads the BUCKET edge, so frames near len(a) would
+            # otherwise window bucket zeros instead of what the dataset
+            # computes on the unpadded clip (its reflect pad) — the last
+            # ~filter/2/hop cached frames would be wrong
+            n, m = len(a), min(cfg.filter_length, len(a) - 1, T - len(a))
+            if m > 0:
+                batch[j, n: n + m] = a[::-1][1: 1 + m]
         out = fn(batch, lengths)
         mel = np.asarray(out["mel"], np.float32)
         f0 = np.asarray(out["f0"], np.float32)
@@ -289,7 +334,8 @@ def dump_features_on_device(paths: Sequence[str],
         for j, (p, a) in enumerate(chunk):
             n_frames = len(a) // cfg.hop_length + 1
             n = min(n_frames, mel.shape[1])
-            np.save(p + ".gt.mel.npy", mel[j, :n])
+            np.save(p + f".{cache_hash}.mel.npy", mel[j, :n])
+            np.save(p + f".{cache_hash}.len.npy", np.asarray(n, np.int64))
             np.save(p + ".gt.f0.npy", f0[j, :n])
             np.save(p + ".gt.energy.npy", energy[j, :n])
             done += 1

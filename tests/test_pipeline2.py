@@ -84,6 +84,49 @@ def test_filelist_speaker_ids(tmp_path):
     assert len(result["validation"]) >= 1
 
 
+def test_filelist_mixed_emotion_datasets(tmp_path):
+    """Clipper datasets carry emotion labels; everything else defaults
+    emotions=["unknown"] (metadata.py:172). Mixing them must not hand
+    every unlabeled clip a REAL supervised class — unlabeled stays -1,
+    the semi-supervised 'unknown' id, through the filelist write/load
+    roundtrip. '|' in transcripts is escaped so columns never shift."""
+    import wave
+
+    lj = str(tmp_path / "LJ3")
+    _make_lj_dataset(lj)
+    clip = tmp_path / "clipper" / "Sliced Dialogue"
+    name = "00_00_05_Twilight_Neutral__Hello there.wav"
+    sr = 22050
+    audio = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+             ).astype(np.float32)
+    os.makedirs(str(clip), exist_ok=True)
+    audio_io.save_wav(str(clip / name), audio, sr)
+    with open(str(clip / (name[:-4] + ".txt")), "w") as f:
+        f.write("Hello there | friend.")      # embedded separator
+
+    result = generate_filelist_from_datasets(
+        [lj, str(tmp_path / "clipper")], min_duration=0.2,
+        val_fraction=0.0, val_min_per_speaker=0)
+    assert result["emotion_ids"] == {"neutral": 0}
+    by_ds = {}
+    for m in result["train"] + result["validation"]:
+        by_ds.setdefault(m["dataset"], []).append(m)
+    assert all(m["emotion_id"] == -1 for m in by_ds["LJ3"])
+    assert all(m["emotion_id"] == 0 for m in by_ds["clipper"])
+
+    out = str(tmp_path / "out_mixed")
+    write_filelists(result, out, per_dataset=False)
+    loaded = load_filelist(os.path.join(out, "filelist_train.txt"))
+    assert len(loaded) == len(result["train"])
+    for e in loaded:
+        assert isinstance(e["speaker_id"], int)
+        if "Hello there" in e["quote"]:
+            assert "|" not in e["quote"]           # escaped to '/'
+            assert e["emotion_id"] == 0
+        elif "Transcript" in e["quote"]:
+            assert e.get("emotion_id", -1) == -1   # unlabeled
+
+
 _TEXTGRID = '''File type = "ooTextFile"
 Object class = "TextGrid"
 item []:
@@ -400,12 +443,18 @@ def test_download_url_selection_and_methods(tmp_path, monkeypatch):
     assert called["url"] == "mega://folder"
 
 
-def test_preprocess_on_device_feature_dump(tmp_path):
-    """The fused on-device feature step dumps .gt.{mel,f0,energy}.npy
-    sidecars whose mel matches the host numpy mirror."""
+def test_preprocess_on_device_feature_dump_feeds_dataset_cache(tmp_path):
+    """The fused on-device feature step writes REAL TTSDataset cache
+    sidecars: the hash-keyed mel matches the host mirror INCLUDING tail
+    frames (each bucket row is padded with the clip's own reflection),
+    the len sidecar matches, .gt.f0/.gt.energy ride the same frame grid,
+    and a TTSDataset with the matching DataConfig serves the mel from
+    cache without recomputing."""
     import numpy as np
     from cookietts_tpu.audio.stft import TacotronSTFT
     from cookietts_tpu.data import audio_io
+    from cookietts_tpu.data.dataset import (DataConfig, TTSDataset,
+                                            mel_cache_hash)
     from cookietts_tpu.pipeline.preprocess import (PreprocessConfig,
                                                    dump_features_on_device)
 
@@ -425,15 +474,35 @@ def test_preprocess_on_device_feature_dump(tmp_path):
         win_length=512, n_mel_channels=20, mel_fmin=0.0, mel_fmax=8000.0)
     n = dump_features_on_device(paths, cfg)
     assert n == 2
+
+    dcfg = DataConfig(sampling_rate=sr, filter_length=512, hop_length=128,
+                      win_length=512, n_mel_channels=20, mel_fmin=0.0,
+                      mel_fmax=8000.0, trim_enable=False, target_lufs=None,
+                      p_arpabet=0.0)
+    h = mel_cache_hash(dcfg)
     stft = TacotronSTFT(512, 128, 512, 20, sr, 0.0, 8000.0)
     for p in paths:
-        mel = np.load(p + ".gt.mel.npy")
+        mel = np.load(p + f".{h}.mel.npy")
         f0 = np.load(p + ".gt.f0.npy")
         energy = np.load(p + ".gt.energy.npy")
         assert mel.shape[0] == f0.shape[0] == energy.shape[0]
+        assert int(np.load(p + f".{h}.len.npy")) == mel.shape[0]
         audio, _ = audio_io.load_wav(p, target_sr=sr)
-        host = stft.mel_spectrogram_np(audio)
-        # trim the tail frames whose window context differs (device mel
-        # sees the batch zero-padding, host sees reflection)
-        m = min(len(host), len(mel)) - (512 // 128 + 1)
+        host = stft.mel_spectrogram_np(audio_io.remove_dc_offset(audio))
+        # FULL parity incl. the boundary frames: the bucket pad carries
+        # each clip's own tail reflection, so the device windows see
+        # exactly what the host reflect-pad produces
+        m = min(len(host), len(mel))
+        assert m == len(mel)
         np.testing.assert_allclose(mel[:m], host[:m], atol=2e-3, rtol=1e-3)
+
+    # the dataset HITS the cache: mel computation never runs
+    entries = [{"path": p, "quote": "hi", "speaker_id": 0} for p in paths]
+    ds = TTSDataset(entries, dcfg, features=["text", "mel"])
+    ds.stft.mel_spectrogram_np = lambda *_a, **_k: (_ for _ in ()).throw(
+        AssertionError("mel recomputed despite preprocess cache"))
+    for i, p in enumerate(paths):
+        item = ds[i]
+        np.testing.assert_allclose(item["mel"],
+                                   np.load(p + f".{h}.mel.npy"),
+                                   atol=1e-6)
