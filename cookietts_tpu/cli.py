@@ -453,7 +453,9 @@ def cmd_train(args):
                       f"{len(entries_cur)} entries")
     trainer.save(periodic=True)
     trainer.ckpt.wait()      # drain async saves before reporting done
-    trainer.file_db.to_csv(os.path.join(args.run_dir, "file_losses.csv"))
+    if jax.process_index() == 0:   # shared run_dir: one writer
+        trainer.file_db.to_csv(
+            os.path.join(args.run_dir, "file_losses.csv"))
     print(f"done: {it} iters, checkpoints in {args.run_dir}")
 
 

@@ -68,16 +68,24 @@ def mse_weighted_resample(entries: Sequence[Dict[str, Any]],
     for pool in pools.values():
         random.Random(seed).shuffle(pool)
 
-    total = sum(v ** exp_factor for v in speaker_avg.values())
-    n_target = len(entries)
     out: List[Dict[str, Any]] = []
+    # speakers with NO loss record yet keep their files unchanged: the
+    # rebuilt list feeds the NEXT epoch's curation (cli), so dropping
+    # them here would be irreversible — they could never earn a record
+    # again (filter_by_attention_quality keeps unjudged files for the
+    # same reason)
+    for spk, pool in pools.items():
+        if spk not in speaker_avg:
+            out.extend(pool)
+    n_target = len(entries) - len(out)     # judged share of the length
+    total = sum(v ** exp_factor for v in speaker_avg.values())
     for spk, avg in speaker_avg.items():
         pool = pools.get(spk, [])
         if not pool or total <= 0:
             continue
-        n_files = round((avg ** exp_factor) / total * n_target)
-        if n_files == 0:
-            continue
+        # every judged speaker keeps at least one file — rounding an
+        # easy speaker to zero would also permanently drop it
+        n_files = max(1, round((avg ** exp_factor) / total * n_target))
         if len(pool) < n_files:
             pool = pool * math.ceil(n_files / len(pool))
         out.extend(pool[:n_files])

@@ -51,8 +51,13 @@ def save_checkpoint(path: str, state_tree: Any,
         f.write(blob)
     os.replace(tmp, path)
     if metadata is not None:
-        with open(path + ".json", "w") as f:
+        # atomic like the blob: restore_any keys behavior off this
+        # sidecar (model tag, best losses) — a reader racing a re-save
+        # must never see a truncated JSON
+        jtmp = path + ".json.tmp"
+        with open(jtmp, "w") as f:
             json.dump(metadata, f, indent=1, default=str)
+        os.replace(jtmp, path + ".json")
 
 
 def load_checkpoint(path: str) -> Any:
@@ -80,6 +85,13 @@ def restore_like(target: Any, tree: Any) -> Any:
     if isinstance(target, dict):
         return {k: restore_like(v, tree[k]) for k, v in target.items()}
     if isinstance(target, (list, tuple)):
+        if len(tree) != len(target):
+            # zip would silently truncate — e.g. a GAN checkpoint with 2
+            # critic param dicts resumed into a model built with 3 would
+            # "restore" a 2-tuple and fail confusingly much later
+            raise ValueError(
+                f"checkpoint container length {len(tree)} != target "
+                f"{len(target)} (model structure changed since save?)")
         restored = [restore_like(t, v) for t, v in zip(target, tree)]
         return type(target)(restored) if isinstance(target, list) \
             else tuple(restored)
@@ -191,9 +203,9 @@ def restore_any(state, path: str):
                     if isinstance(opt.get(mom), dict):
                         opt[mom][k] = jax.tree_util.tree_map(
                             np.zeros_like, g_target[k])
-        g = _restore_train_state_from_tree(state.g, tree)
-    else:
-        g, _ = restore_train_state(state.g, path)
+    # `tree` is already loaded — restore from it directly (re-reading a
+    # multi-GB checkpoint would double resume latency and host memory)
+    g = _restore_train_state_from_tree(state.g, tree)
     if (isinstance(tree["d_params"], (list, tuple))
             and len(tree["d_params"]) == 0
             and jax.tree_util.tree_leaves(state.d.params)):
@@ -420,9 +432,18 @@ class Checkpointer:
 
     # -- manual trigger (save_model.py) ---------------------------------------
     def manual_save_requested(self) -> bool:
+        # rank 0 only: _save writes on rank 0, so another host consuming
+        # the shared-run-dir trigger would silently drop the user's
+        # manual save; the remove races that same sharing, so a missing
+        # file just means someone else already took it
+        if jax.process_index() != 0:
+            return False
         trigger = os.path.join(self.run_dir, "save")
         if os.path.exists(trigger):
-            os.remove(trigger)
+            try:
+                os.remove(trigger)
+            except FileNotFoundError:
+                return False
             return True
         return False
 

@@ -78,7 +78,11 @@ class LiveConfig:
         self.path = path
         self.values: Dict[str, Any] = dict(defaults or DEFAULT_LIVE_CONFIG)
         self._mtime: float = -1.0
-        self.poll()
+        # first read runs with the documented loop variables defaulted:
+        # a file using `iteration` (the reference run_every_epoch style)
+        # would otherwise NameError here, record its mtime in the error
+        # handler, and never be retried by the in-loop polls
+        self.poll({"iteration": 0, "epoch": 0})
 
     def poll(self, context: Optional[Dict[str, Any]] = None) -> bool:
         """Re-exec the file if it changed. Returns True on reload."""
@@ -87,7 +91,8 @@ class LiveConfig:
         mtime = os.path.getmtime(self.path)
         if mtime == self._mtime:
             return False
-        ns: Dict[str, Any] = dict(context or {})
+        ns: Dict[str, Any] = {"iteration": 0, "epoch": 0}
+        ns.update(context or {})
         ns.update({"math": math})
         try:
             with open(self.path) as f:

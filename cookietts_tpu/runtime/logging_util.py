@@ -30,7 +30,21 @@ def _flatten_tree(tree: Any) -> Dict[str, Any]:
     return _flatten(tree, sep=".") if isinstance(tree, dict) else {"": tree}
 
 
+def _higher_is_better(key: str) -> bool:
+    """Direction for best-so-far tracking (scores/accuracies rise,
+    losses fall)."""
+    k = key.lower()
+    return any(t in k for t in ("score", "attention", "acc", "diagonal"))
+
+
 class MetricsLogger:
+    """Raw + exp-smoothed + best-so-far scalars (reference
+    logger.py:25-51), TB images/histograms, and a machine-greppable
+    events.jsonl. Writes from process 0 only: on a multi-host shared
+    run_dir every host appending the same events.jsonl would interleave
+    (O_APPEND is not atomic on network filesystems) and duplicate every
+    record — the same hazard Checkpointer._save rank-gates."""
+
     def __init__(self, log_dir: str, smoothing: float = 0.95,
                  use_tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
@@ -38,9 +52,13 @@ class MetricsLogger:
         self.smoothing = smoothing
         self._smoothed: Dict[str, float] = {}
         self._best: Dict[str, float] = {}
-        self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a")
+        import jax
+        self._rank0 = jax.process_index() == 0
+        self._jsonl = (open(os.path.join(log_dir, "events.jsonl"), "a")
+                       if self._rank0 else None)
         self.tb = (SummaryWriter(log_dir)
-                   if use_tensorboard and SummaryWriter else None)
+                   if self._rank0 and use_tensorboard and SummaryWriter
+                   else None)
 
     def log_scalars(self, step: int, scalars: Dict[str, Any],
                     prefix: str = "train") -> None:
@@ -48,16 +66,24 @@ class MetricsLogger:
         for k, v in scalars.items():
             v = float(v)
             rec[k] = v
-            s = self._smoothed.get(k, v)
+            # state keys include the prefix: 'loss' under 'train' and
+            # 'validation' are different series — a shared EMA would
+            # cross-contaminate them
+            sk = f"{prefix}/{k}"
+            s = self._smoothed.get(sk, v)
             s = self.smoothing * s + (1 - self.smoothing) * v
-            self._smoothed[k] = s
-            b = self._best.get(k)
-            self._best[k] = v if b is None else min(b, v)
+            self._smoothed[sk] = s
+            b = self._best.get(sk)
+            best = (max if _higher_is_better(k) else min)(
+                v if b is None else b, v)
+            self._best[sk] = best
             if self.tb:
                 self.tb.add_scalar(f"{prefix}/{k}", v, step)
                 self.tb.add_scalar(f"{prefix}_smoothed/{k}", s, step)
-        self._jsonl.write(json.dumps(rec) + "\n")
-        self._jsonl.flush()
+                self.tb.add_scalar(f"{prefix}_best/{k}", best, step)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
 
     def log_image(self, step: int, name: str, image) -> None:
         if self.tb is not None:
@@ -80,11 +106,13 @@ class MetricsLogger:
                 self.tb.add_histogram(f"{prefix}/{name}", a, step)
             rec[name] = [float(a.min()), float(a.mean()),
                          float(a.max()), float(a.std())]
-        self._jsonl.write(json.dumps(rec) + "\n")
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self.tb:
             self.tb.close()
 
@@ -122,16 +150,16 @@ class FileLossDB:
 
     def filter_paths(self, min_att_score: Optional[float] = None,
                      min_avg_max_attention: Optional[float] = None):
-        """Paths passing the attention-quality curation thresholds
-        (reference train.py:803-825)."""
-        keep = []
-        for p, e in self.db.items():
-            if (min_att_score is not None
-                    and e.get("att_score", 1.0) < min_att_score):
-                continue
-            if (min_avg_max_attention is not None
-                    and e.get("avg_max_attention", 1.0)
-                    < min_avg_max_attention):
-                continue
-            keep.append(p)
-        return keep
+        """Paths passing the attention-quality curation thresholds —
+        ONE implementation of the rule (data.curation.
+        filter_by_attention_quality, reference train.py:803-825), so a
+        threshold change can never silently diverge between the two."""
+        from ..data.curation import filter_by_attention_quality
+        neg_inf = float("-inf")
+        kept = filter_by_attention_quality(
+            [{"path": p} for p in self.db], self.db,
+            min_att_score=(neg_inf if min_att_score is None
+                           else min_att_score),
+            min_avg_max_attention=(neg_inf if min_avg_max_attention is None
+                                   else min_avg_max_attention))
+        return [e["path"] for e in kept]

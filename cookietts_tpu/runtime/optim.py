@@ -169,7 +169,15 @@ class ReduceLROnPlateau:
     """Plateau LR scheduler (the vocoder trainer steps one with the
     broadcast validation MSE, reference _4_mtw/waveglow/train.py:671-700).
 
-    Call ``lr = sched.step(metric)`` after each validation."""
+    Call ``lr = sched.step(metric)`` after each validation.
+
+    ``min_lr`` floors the EFFECTIVE learning rate (torch semantics —
+    param-group lr = max(lr*factor, min_lr)): the Trainer applies it at
+    ``lr = max(base_lr * scale, min(min_lr, base_lr))``, because this
+    object only tracks the multiplier and the base LR is a live
+    schedule it cannot see. Clamping ``scale`` at min_lr (the old
+    behavior) floored the MULTIPLIER — with base_lr=1e-4 that allowed
+    an effective 1e-10."""
     factor: float = 0.5
     patience: int = 5
     min_lr: float = 1e-6
@@ -185,7 +193,6 @@ class ReduceLROnPlateau:
         else:
             self._bad_steps += 1
             if self._bad_steps > self.patience:
-                self.scale = max(self.scale * self.factor,
-                                 self.min_lr)
+                self.scale = max(self.scale * self.factor, 1e-12)
                 self._bad_steps = 0
         return self.scale

@@ -453,7 +453,10 @@ class Trainer:
         base_lr = self.live.lr(iteration)
         lr = base_lr / (2.0 ** (self.n_restarts / 3.0))
         if self.plateau is not None:
-            lr = lr * self.plateau.scale
+            # torch ReduceLROnPlateau floors the EFFECTIVE lr at min_lr
+            # (never raising it above the base schedule)
+            lr = max(lr * self.plateau.scale,
+                     min(self.plateau.min_lr, lr))
         ctrl = {
             "lr": lr,
             "grad_clip": live.get("grad_clip_thresh", 1.0),

@@ -39,3 +39,25 @@ def test_mse_weighted_resample_oversamples_hard_speaker():
 def test_mse_weighted_resample_no_losses_noop():
     entries = _entries()
     assert mse_weighted_resample(entries, {}) == entries
+
+
+def test_mse_weighted_resample_never_drops_speakers():
+    """The rebuilt list feeds the NEXT epoch's curation, so a speaker
+    missing here can never return: speakers with no loss record keep
+    their files unchanged, and judged-but-easy speakers keep >=1 file
+    even when their share rounds to zero."""
+    entries = _entries()          # speakers 0 and 1, 10 files each
+    # speaker 2: never judged (no loss record at all)
+    entries = entries + [{"path": f"s2_{i}.wav", "speaker_id": 2}
+                         for i in range(4)]
+    losses = {}
+    for i in range(10):
+        losses[f"s0_{i}.wav"] = {"spec_MSE": 100.0}  # dominates the share
+        losses[f"s1_{i}.wav"] = {"spec_MSE": 1e-6}   # rounds to zero
+    new = mse_weighted_resample(entries, losses, exp_factor=1.0, seed=0)
+    spk = {e["speaker_id"] for e in new}
+    assert spk == {0, 1, 2}
+    # the unjudged speaker's files are untouched
+    assert sum(1 for e in new if e["speaker_id"] == 2) == 4
+    # the easy speaker keeps at least one file
+    assert sum(1 for e in new if e["speaker_id"] == 1) >= 1

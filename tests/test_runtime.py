@@ -139,6 +139,41 @@ def test_live_config_reload(tmp_path):
     assert lc["A_"] == 7e-4
 
 
+def test_live_config_file_using_iteration_applies_at_init(tmp_path):
+    """A reference-style run_every_epoch file that references the
+    documented loop variables (iteration/epoch) must apply from its
+    FIRST read: the init poll used to exec with an empty namespace,
+    NameError, record the mtime, and never retry."""
+    p = str(tmp_path / "run_every_epoch.py")
+    with open(p, "w") as f:
+        f.write("A_ = 1e-3 if iteration < 5000 else 2e-4\n")
+    lc = LiveConfig(p)
+    assert lc["A_"] == 1e-3
+    # in-loop polls re-exec on change with the real iteration
+    with open(p, "w") as f:
+        f.write("A_ = 5e-4 if iteration < 5000 else 2e-4\n")
+    os.utime(p, (os.path.getmtime(p) + 5, os.path.getmtime(p) + 5))
+    assert lc.poll({"iteration": 9000})
+    assert lc["A_"] == 2e-4
+
+
+def test_plateau_min_lr_floors_effective_lr():
+    """min_lr floors the EFFECTIVE lr like torch (Trainer applies
+    max(base*scale, min(min_lr, base))) — the old clamp floored the
+    MULTIPLIER, allowing base_lr * 1e-6."""
+    from cookietts_tpu.runtime.optim import ReduceLROnPlateau
+    sched = ReduceLROnPlateau(factor=0.5, patience=0, min_lr=1e-6)
+    for _ in range(40):                    # forever-plateaued metric
+        sched.step(1.0)
+    base_lr = 1e-4
+    lr = max(base_lr * sched.scale, min(sched.min_lr, base_lr))
+    assert lr == 1e-6                      # floored at min_lr, not 1e-10
+    # and a base schedule already below the floor is never RAISED
+    tiny_base = 1e-8
+    lr2 = max(tiny_base * sched.scale, min(sched.min_lr, tiny_base))
+    assert lr2 == tiny_base
+
+
 def test_lr_schedule_shapes():
     cfg = {"A_": 1e-3, "B_": 1000.0, "C_": 0.0, "warmup_start": 0,
            "warmup_end": 100, "warmup_start_lr": 1e-4, "decay_start": 200}
