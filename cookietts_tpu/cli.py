@@ -497,7 +497,8 @@ def _train_untts(args, overrides):
     def batch_of(idx):
         b = collate([dataset[int(i)] for i in idx], dcfg)
         keys = ("text", "text_lengths", "mels", "mel_lengths",
-                "speaker_id", "durations", "f0", "energy")
+                "speaker_id", "durations", "f0", "energy",
+                "frame_f0", "frame_energy", "frame_voiced")
         return {k: jnp.asarray(b[k]) for k in keys if k in b}
 
     dev = batch_of(np.random.default_rng(0).integers(
@@ -519,7 +520,8 @@ def _train_untts(args, overrides):
               + (f" (ignore_layers={list(ig)})" if ig else ""))
 
     keys = ("text", "text_lengths", "mels", "mel_lengths",
-            "speaker_id", "durations", "f0", "energy")
+            "speaker_id", "durations", "f0", "energy",
+            "frame_f0", "frame_energy", "frame_voiced")
     val_batches = [{k: b[k] for k in keys if k in b}
                    for b in _tts_val_batches(val_entries, dcfg, features,
                                              batch_size, overrides,

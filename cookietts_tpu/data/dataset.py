@@ -716,6 +716,19 @@ def collate(items: Sequence[Dict[str, Any]],
                     v = np.asarray(it[src])[:N]
                     arr[i, : len(v)] = v
                 out[dst] = arr
+        # FRAME-level prosody for the decoder conditioning (the
+        # reference conditions its decoder flow on [contexts, voiced,
+        # f0, energy] at frame rate, untts/model.py:437,538 — char
+        # averages above feed the predictors/VarGlow only)
+        m_pad = out["mels"].shape[1] if "mels" in out else 0
+        for src, dst in (("f0", "frame_f0"), ("energy", "frame_energy"),
+                         ("voiced", "frame_voiced")):
+            if src in items[0] and m_pad:
+                arr = np.zeros((B, m_pad), np.float32)
+                for i, it in enumerate(items):
+                    v = np.asarray(it[src], np.float32)[:m_pad]
+                    arr[i, : len(v)] = v
+                out[dst] = arr
 
     for key in ("speaker_id", "emotion_id"):
         if key in items[0]:

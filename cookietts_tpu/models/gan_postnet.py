@@ -36,7 +36,15 @@ class GANPostnetConfig:
 
 def _conv_stack(cfg: GANPostnetConfig, x: jnp.ndarray, out_final: int,
                 deterministic: bool, prefix: str) -> jnp.ndarray:
-    """Shared residual conv-BN-leaky stack (model.py conv loop)."""
+    """Shared residual conv-BN-leaky stack (model.py conv loop).
+
+    Two reference quirks are REPRODUCED deliberately (model.py:237-246,
+    296-313 have byte-identical control flow): (a) "connected" layers
+    skip LeakyReLU expecting relu(h+res) to supply it, but layer 0
+    always changes width and takes the res-refresh branch, so conv0-BN-
+    conv1 has no nonlinearity between; (b) the residual anchor only
+    refreshes on a WIDTH CHANGE, never after a successful add, so every
+    later skip reaches back to the layer that last changed width."""
     res = x
     n = cfg.n_convolutions
     for i in range(n):
@@ -94,6 +102,10 @@ class GANDiscriminator(nn.Module):
                                (B, T, speaker_embed.shape[-1]))
         x = jnp.concatenate([mel.astype(cfg.dtype), spk], axis=-1)
         out = _conv_stack(cfg, x, 1, deterministic, "dis_")   # [B, T, 1]
+        # unmasked mean over T like the reference (model.py:313
+        # pred_fakeness.mean(dim=2)): zero-padded frames score as
+        # content for BOTH real and fake inputs, so the bias cancels in
+        # the BCE comparison — kept for parity rather than "fixed"
         return jax.nn.sigmoid(jnp.mean(out[..., 0].astype(jnp.float32),
                                        axis=1))
 

@@ -209,10 +209,17 @@ class MelFlowDecoder(nn.Module):
 
     def forward(self, mel: jnp.ndarray, cond: jnp.ndarray,
                 frame_mask: jnp.ndarray):
-        """mel -> (z, log_s_sum, logdet_w_sum); masked frames excluded."""
+        """mel -> (z, log_s_sum, logdet_w_sum); masked frames excluded.
+
+        x re-masks between flows: the WN's dilated SAME convs reach
+        ~receptive-field frames past each boundary, and after a coupling
+        the padded region holds nonzero ``t`` offsets — without the
+        re-mask, valid frames near the end would be computed from
+        padding values that differ between training (zero-padded mels)
+        and inference (Gaussian z), an end-of-utterance artifact."""
         cfg = self.cfg
-        x = mel
         m = frame_mask[:, :, None].astype(jnp.float32)
+        x = mel * m.astype(mel.dtype)
         n_valid = jnp.sum(m) * cfg.n_mel_channels
         log_s_sum = jnp.zeros((), jnp.float32)
         logdet_w_sum = jnp.zeros((), jnp.float32)
@@ -223,23 +230,28 @@ class MelFlowDecoder(nn.Module):
             st = self.wn[k](xb, cond)
             log_s, t = jnp.split(st, 2, axis=-1)
             xa = xa * jnp.exp(log_s) + t
-            x = jnp.concatenate([xa, xb], axis=-1)
+            x = jnp.concatenate([xa, xb], axis=-1) * m.astype(mel.dtype)
             log_s_sum = log_s_sum + jnp.sum(
                 log_s.astype(jnp.float32) * m)
             logdet_w_sum = logdet_w_sum + \
                 logdet_w.astype(jnp.float32) * jnp.sum(m)
         return x, log_s_sum, logdet_w_sum, n_valid
 
-    def inverse(self, z: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    def inverse(self, z: jnp.ndarray, cond: jnp.ndarray,
+                frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Mirrors forward's between-flow masking so padded positions
+        are zero under BOTH directions (no mask = all frames valid)."""
         cfg = self.cfg
-        x = z
+        m = (jnp.ones(z.shape[:2] + (1,), z.dtype) if frame_mask is None
+             else frame_mask[:, :, None].astype(z.dtype))
+        x = z * m
         for k in reversed(range(cfg.dec_n_flows)):
             half = self._half
             xa, xb = x[..., :half], x[..., half:]
             st = self.wn[k](xb, cond)
             log_s, t = jnp.split(st, 2, axis=-1)
             xa = (xa - t) * jnp.exp(-log_s)
-            x = jnp.concatenate([xa, xb], axis=-1)
+            x = jnp.concatenate([xa, xb], axis=-1) * m
             x, _ = self.convinv[k](x, inverse=True)
         return x
 
@@ -278,6 +290,14 @@ class UnTTS(nn.Module):
                 name="energy_predictor")
         self.cond_proj = nn.Dense(cfg.dec_n_channels, dtype=cfg.dtype,
                                   name="cond_proj")
+        if cfg.predict_f0 or cfg.predict_energy:
+            # frame-level [voiced, f0, energy] decoder conditioning (the
+            # reference conditions its decoder flow on exactly these at
+            # frame rate, untts/model.py:437,538; at inference it feeds
+            # the sampled/predicted variances, :649) — without it pitch
+            # and energy cannot influence synthesis at all
+            self.prosody_proj = nn.Dense(
+                cfg.dec_n_channels, dtype=cfg.dtype, name="prosody_proj")
         if cfg.use_positional_attention:
             self.pos_attention = PositionalAttention(
                 cfg.dec_n_channels, cfg.pos_attention_heads, cfg.dtype,
@@ -310,13 +330,36 @@ class UnTTS(nn.Module):
                                  (x.shape[0], N, spk.shape[-1]))], axis=-1)
         return x, mask
 
+    def _prosody_cond(self, f0_frames, energy_frames, voiced_frames,
+                      shape):
+        """[B, T] frame prosody -> dec_n_channels conditioning term.
+
+        Always THREE channels (voiced, f0, energy) with zeros for absent
+        features, so the projection's input width never depends on which
+        optional batch keys a caller provides."""
+        B, T = shape
+        z = jnp.zeros((B, T), jnp.float32)
+        f0f = z if f0_frames is None else f0_frames.astype(jnp.float32)
+        en = z if energy_frames is None \
+            else energy_frames.astype(jnp.float32)
+        vo = ((f0f > 0).astype(jnp.float32) if voiced_frames is None
+              else voiced_frames.astype(jnp.float32))
+        p = jnp.stack([vo, f0f, en], axis=-1).astype(self.cfg.dtype)
+        return self.prosody_proj(p)
+
     def __call__(self, text, text_lengths, mels, mel_lengths, speaker_id,
                  durations, f0: Optional[jnp.ndarray] = None,
                  energy: Optional[jnp.ndarray] = None,
+                 frame_f0: Optional[jnp.ndarray] = None,
+                 frame_energy: Optional[jnp.ndarray] = None,
+                 frame_voiced: Optional[jnp.ndarray] = None,
                  deterministic: bool = False):
         """Training forward with ground-truth (MFA) char durations.
 
-        durations: [B, N] int frames per char (from alignments).
+        durations: [B, N] int frames per char (from alignments);
+        f0/energy: [B, N] CHAR averages (predictor + VarGlow targets);
+        frame_f0/frame_energy/frame_voiced: [B, T] frame-rate prosody
+        for the decoder conditioning (reference model.py:437,538).
         Returns dict: z/log_s/logdet for the flow NLL + predictor outputs.
         """
         cfg = self.cfg
@@ -338,12 +381,23 @@ class UnTTS(nn.Module):
 
         # prosody flow NLL on (log-dur [, f0]) per char
         if cfg.use_varglow:
-            vals = [jnp.log(jnp.maximum(
-                durations.astype(jnp.float32), 1e-1))]
+            # padded chars carry durations=0 / f0=0 — fill them with the
+            # row's LAST VALID value (channel mixing blends a boundary
+            # group's chars, so the pad must be plausible data) and mask
+            # the NLL at group granularity inside the flow
+            last = jnp.maximum(text_lengths - 1, 0)[:, None]
+
+            def edge_fill(v):
+                lastv = jnp.take_along_axis(v, last, axis=1)
+                return jnp.where(char_mask, v, lastv)
+
+            vals = [edge_fill(jnp.log(jnp.maximum(
+                durations.astype(jnp.float32), 1e-1)))]
             if cfg.predict_f0 and f0 is not None:
-                vals.append(f0.astype(jnp.float32))
+                vals.append(edge_fill(f0.astype(jnp.float32)))
             values = jnp.stack(vals, axis=-1)          # [B, N, C]
-            vz, vls, vlw, vn = self.varglow.forward(values, enc)
+            vz, vls, vlw, vn = self.varglow.forward(values, enc,
+                                                    char_mask)
             out.update({"varglow_z": vz, "varglow_log_s": vls,
                         "varglow_logdet_w": vlw, "varglow_n": vn})
 
@@ -356,6 +410,10 @@ class UnTTS(nn.Module):
         else:
             frames, _ = length_regulate(enc, durations, T)
             cond = self.cond_proj(frames)
+        if cfg.predict_f0 or cfg.predict_energy:
+            cond = cond + self._prosody_cond(
+                frame_f0, frame_energy, frame_voiced,
+                (mels.shape[0], T)) * frame_mask[:, :, None]
         z, log_s, logdet_w, n_valid = self.decoder.forward(
             mels, cond, frame_mask)
         out.update({"z": z, "log_s_sum": log_s, "logdet_w_sum": logdet_w,
@@ -376,14 +434,20 @@ class UnTTS(nn.Module):
             key = jax.random.PRNGKey(0)
         sigma = cfg.sigma if sigma is None else sigma
         enc, char_mask = self._encode(text, text_lengths, speaker_id, True)
+        char_f0 = char_energy = None
         if sample_prosody and cfg.use_varglow:
             key, k_pro = jax.random.split(key)
             sampled = self.varglow.sample(enc, k_pro, prosody_sigma)
-            log_dur = jnp.zeros(char_mask.shape, jnp.float32)
-            n = sampled.shape[1]
-            log_dur = log_dur.at[:, :n].set(sampled[..., 0])
+            N = char_mask.shape[1]            # flow pads N up to n_group
+            log_dur = sampled[:, :N, 0]
+            if cfg.predict_f0 and sampled.shape[-1] > 1:
+                char_f0 = sampled[:, :N, 1]   # sampled per-char pitch
         else:
             log_dur = self.duration_predictor(enc, char_mask, True)
+        if char_f0 is None and cfg.predict_f0:
+            char_f0 = self.f0_predictor(enc, char_mask, True)
+        if cfg.predict_energy:
+            char_energy = self.energy_predictor(enc, char_mask, True)
         dur = jnp.round(jnp.exp(log_dur) * duration_scale)
         dur = jnp.clip(dur, 0.0, cfg.max_frames_per_char) * char_mask
         dur = dur.astype(jnp.int32)
@@ -397,9 +461,24 @@ class UnTTS(nn.Module):
         else:
             frames, frame_mask = length_regulate(enc, dur, max_frames)
             cond = self.cond_proj(frames)
+        if cfg.predict_f0 or cfg.predict_energy:
+            # predicted/sampled per-char prosody expands over the SAME
+            # duration matrix and conditions the decoder (reference
+            # feeds the sampled variances at inference, model.py:649) —
+            # pitch/energy now actually shape the output
+            B, N = char_mask.shape
+            zc = jnp.zeros((B, N), jnp.float32)
+            chans = jnp.stack(
+                [zc if char_f0 is None else char_f0.astype(jnp.float32),
+                 zc if char_energy is None
+                 else char_energy.astype(jnp.float32)], axis=-1)
+            pros, _ = length_regulate(chans, dur, max_frames)
+            cond = cond + self._prosody_cond(
+                pros[..., 0], pros[..., 1], None,
+                (B, max_frames)) * frame_mask[:, :, None]
         z = sigma * jax.random.normal(
             key, (text.shape[0], max_frames, cfg.n_mel_channels), cfg.dtype)
-        mel = self.decoder.inverse(z, cond)
+        mel = self.decoder.inverse(z, cond, frame_mask)
         mel_lengths = jnp.minimum(jnp.sum(dur, axis=1), max_frames)
         return {"mel_outputs": mel * frame_mask[:, :, None],
                 "mel_lengths": mel_lengths,
@@ -471,30 +550,62 @@ class VarGlow(nn.Module):
                    for k in range(self.n_flows)]
         self._half = half
 
+    def _pad_len(self, N: int) -> int:
+        g = self.n_group
+        return -(-N // g) * g
+
     def _squeeze(self, values: jnp.ndarray) -> jnp.ndarray:
-        """[B, N, C] -> [B, N/g, g*C] (N must be padded to g)."""
+        """[B, N, C] -> [B, ceil(N/g), g*C] (pads the tail group — a
+        plain truncation would leave the last N % g chars untrained in
+        the NLL and force them to 1 frame at sampled inference)."""
         B, N, C = values.shape
         g = self.n_group
-        return values[:, : (N // g) * g].reshape(B, N // g, g * C)
+        Np = self._pad_len(N)
+        if Np != N:
+            values = jnp.pad(values, ((0, 0), (0, Np - N), (0, 0)),
+                             mode="edge")
+        return values.reshape(B, Np // g, g * C)
 
     def _unsqueeze(self, x: jnp.ndarray) -> jnp.ndarray:
         B, Ng, gC = x.shape
         return x.reshape(B, Ng * self.n_group, self.n_channels_in)
 
     def _group_cond(self, text_feats: jnp.ndarray) -> jnp.ndarray:
-        """[B, N, D] -> [B, N/g, g*D] grouped conditioning."""
+        """[B, N, D] -> [B, ceil(N/g), g*D] grouped conditioning."""
         B, N, D = text_feats.shape
         g = self.n_group
-        return text_feats[:, : (N // g) * g].reshape(B, N // g, g * D)
+        Np = self._pad_len(N)
+        if Np != N:
+            text_feats = jnp.pad(text_feats,
+                                 ((0, 0), (0, Np - N), (0, 0)))
+        return text_feats.reshape(B, Np // g, g * D)
 
-    def forward(self, values: jnp.ndarray, text_feats: jnp.ndarray):
+    def forward(self, values: jnp.ndarray, text_feats: jnp.ndarray,
+                char_mask: Optional[jnp.ndarray] = None):
         """values [B, N, C], text_feats [B, N, D] ->
-        (z, log_s_sum, logdet_w_sum, n_elements)."""
+        (z, log_s_sum, logdet_w_sum, n_elements).
+
+        ``char_mask`` [B, N] masks the NLL at GROUP granularity (a group
+        counts while it holds >= 1 valid char): without it the flow
+        spends capacity modeling padding constants and the NLL varies
+        with how much padding the batch carries. Callers should fill
+        padded positions of ``values`` with plausible data (edge
+        replication) — channel mixing blends a boundary group's chars.
+        """
         x = self._squeeze(values.astype(self.dtype))
         cond = self._group_cond(text_feats.astype(self.dtype))
+        B, Ng, gC = x.shape
+        if char_mask is None:
+            gmask = jnp.ones((B, Ng), jnp.float32)
+        else:
+            g = self.n_group
+            Np = self._pad_len(char_mask.shape[1])
+            cm = jnp.pad(char_mask.astype(jnp.float32),
+                         ((0, 0), (0, Np - char_mask.shape[1])))
+            gmask = cm.reshape(B, Ng, g).max(axis=-1)        # [B, Ng]
         log_s_sum = jnp.zeros((), jnp.float32)
         logdet_w_sum = jnp.zeros((), jnp.float32)
-        B, Ng, _ = x.shape
+        n_groups = jnp.sum(gmask)
         for k in range(self.n_flows):
             x, logdet_w = self.convinv[k](x)
             xa, xb = x[..., : self._half], x[..., self._half:]
@@ -502,10 +613,14 @@ class VarGlow(nn.Module):
             log_s, t = jnp.split(st, 2, axis=-1)
             xa = xa * jnp.exp(log_s) + t
             x = jnp.concatenate([xa, xb], axis=-1)
-            log_s_sum = log_s_sum + jnp.sum(log_s.astype(jnp.float32))
+            log_s_sum = log_s_sum + jnp.sum(
+                log_s.astype(jnp.float32) * gmask[:, :, None])
             logdet_w_sum = logdet_w_sum + \
-                logdet_w.astype(jnp.float32) * (B * Ng)
-        return x, log_s_sum, logdet_w_sum, float(np.prod(x.shape))
+                logdet_w.astype(jnp.float32) * n_groups
+        # zero padded groups' z so the z^2 term of the NLL matches the
+        # masked log-det terms
+        return x * gmask[:, :, None], log_s_sum, logdet_w_sum, \
+            n_groups * gC
 
     def inverse(self, z: jnp.ndarray, text_feats: jnp.ndarray
                 ) -> jnp.ndarray:
@@ -526,7 +641,7 @@ class VarGlow(nn.Module):
         """Sample prosody scalars for [B, N, D] text feats -> [B, N', C]."""
         B, N, _ = text_feats.shape
         g = self.n_group
-        shape = (B, N // g, g * self.n_channels_in)
+        shape = (B, self._pad_len(N) // g, g * self.n_channels_in)
         z = sigma * jax.random.normal(key, shape, self.dtype)
         return self.inverse(z, text_feats)
 

@@ -41,6 +41,21 @@ def initialize(coordinator_address: Optional[str] = None,
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if not explicit and not on_pod:
         return False
+    # dev-backend path (explicit coordinator, no cluster auto-detect):
+    # JAX has env vars for the address but NOT for process counts — an
+    # initialize(None, None, None) call would raise "Number of processes
+    # must be defined" at startup. Accept the standard env pair.
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if explicit and not on_pod and (num_processes is None
+                                    or process_id is None):
+        raise SystemExit(
+            "multi-host init: JAX_COORDINATOR_ADDRESS is set but the "
+            "process topology is not auto-discoverable on this backend "
+            "— also set JAX_NUM_PROCESSES and JAX_PROCESS_ID (or pass "
+            "num_processes/process_id)")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
@@ -52,7 +67,15 @@ def global_batch_slice(global_batch: int) -> slice:
     feed. With batch sharded over dp and dp laid out process-major, each
     host loads only its local rows (the reference's DistributedSampler
     equivalent, train.py:158)."""
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n != 0:
+        # a silent floor-division would leave the remainder rows never
+        # loaded by ANY host (cmd_train also guards this, but library
+        # callers reach here directly)
+        raise ValueError(
+            f"global batch {global_batch} is not divisible by the "
+            f"{n} processes — every row must belong to exactly one host")
+    per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
 

@@ -44,12 +44,19 @@ TACOTRON2_TP_RULES: List[TPRule] = [
 
 # WaveGlow/WaveFlow: every WN hidden layer is column-parallel over its
 # channel axis; cond_layer's fused [C_cond, 2*C*n_layers] matmul is the
-# single largest weight in the model.
+# single largest weight in the model. Rank-4 rules come FIRST: WN_2d
+# (WaveFlow) conv kernels are (kh, kw, in, out) and the 3-length spec
+# would land 'tp' on the INPUT-channel dim — correct under GSPMD but
+# with activation all-gathers on the contracted axis instead of
+# output-sharded compute (spec_for takes the first rule that fits, and
+# a 4-spec cannot fit a rank-3 conv, so 1-D WNs fall through).
 WAVEGLOW_TP_RULES: List[TPRule] = [
     (r"(start|cond_layer)/kernel$", P(None, "tp")),
     (r"(start|cond_layer)/bias$", P("tp")),
+    (r"in_layer.*?/kernel$", P(None, None, None, "tp")),
     (r"in_layer.*?/kernel$", P(None, None, "tp")),
     (r"in_layer.*?/bias$", P("tp")),
+    (r"res_skip.*?/kernel$", P(None, None, None, "tp")),
     (r"res_skip.*?/kernel$", P(None, None, "tp")),
     (r"res_skip.*?/bias$", P("tp")),
 ]

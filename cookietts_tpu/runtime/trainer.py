@@ -1001,6 +1001,9 @@ def _untts_loss_fn(model, sigma, dur_weight, f0_weight, energy_weight,
             mels=batch["mels"], mel_lengths=batch["mel_lengths"],
             speaker_id=batch["speaker_id"], durations=batch["durations"],
             f0=batch.get("f0"), energy=batch.get("energy"),
+            frame_f0=batch.get("frame_f0"),
+            frame_energy=batch.get("frame_energy"),
+            frame_voiced=batch.get("frame_voiced"),
             deterministic=deterministic, **kwargs)
         gt = {"durations": batch["durations"]}
         if "f0" in batch:
