@@ -63,15 +63,30 @@ BASELINE_WAVEFLOW_TRAIN_SAMPLES_S = (1 * 3 * 36000) / 0.64
 _RESULTS = []
 
 
-def _emit(metric, value, unit, baseline):
+def _emit(metric, value, unit, baseline, baseline_kind="reference_measured",
+          **extra):
     """Collect a metric line; main() prints each as soon as its leg
-    finishes and repeats the headline last (see main)."""
-    _RESULTS.append(json.dumps({
+    finishes and repeats the headline last (see main).
+
+    ``vs_baseline`` means "x the reference's committed number" ONLY when
+    ``baseline_kind`` is reference_measured (a number in BASELINE.md) or
+    north_star_target (the BASELINE.json >=100x serving goal). Legs with
+    no committed reference artifact pass ``baseline=None`` and a
+    descriptive kind — the JSON then carries ``vs_baseline: null`` plus
+    any leg-specific comparison fields in ``extra`` (VERDICT r4 weak #3:
+    the column must not imply a measured reference comparison that does
+    not exist)."""
+    rec = {
         "metric": metric,
         "value": round(float(value), 4),
         "unit": unit,
-        "vs_baseline": round(float(value) / baseline, 4),
-    }))
+        "vs_baseline": (None if baseline is None
+                        else round(float(value) / baseline, 4)),
+        "baseline_kind": baseline_kind,
+    }
+    rec.update({k: (round(float(v), 4) if isinstance(v, (int, float))
+                    else v) for k, v in extra.items()})
+    _RESULTS.append(json.dumps(rec))
 
 
 def _timed(fn, args_fn, n_iters, check):
@@ -223,8 +238,11 @@ def bench_waveflow_training(on_tpu, dtype):
         return metrics["loss"]
 
     elapsed = _timed(run, lambda i: (batches[i],), n, _check_program(n))
+    # baseline = the committed training-budget notebook's 3-GPU node
+    # (scripts/Waveflow training time.ipynb) — one chip vs three GPUs
     _emit("waveflow_train_samples_per_s", B * seg / elapsed,
-          "samples_per_s", BASELINE_WAVEFLOW_TRAIN_SAMPLES_S)
+          "samples_per_s", BASELINE_WAVEFLOW_TRAIN_SAMPLES_S,
+          baseline_kind="reference_measured_3gpu_node")
 
 
 def bench_serving(on_tpu, dtype, B=None):
@@ -323,7 +341,7 @@ def bench_serving(on_tpu, dtype, B=None):
     audio_seconds = B * T_dec * hop / sr
     rtf = audio_seconds / (taco_elapsed + voc_elapsed)
     _emit(f"serving_rtf_tacotron2_hifigan_b{B}", rtf, "x_realtime",
-          NORTH_STAR_SERVING_RTF)
+          NORTH_STAR_SERVING_RTF, baseline_kind="north_star_target")
 
 
 def bench_nfps_decode(on_tpu, dtype):
@@ -387,8 +405,12 @@ def bench_nfps_decode(on_tpu, dtype):
                          lambda i: (jax.random.fold_in(key, i),),
                          n_iters, _check_program(n_iters))
         rtf[r] = (B * T_dec * hop / sr) / elapsed
+    # no reference number exists: upstream declares n_frames_per_step but
+    # never implemented r>1 ("currently only 1 is supported",
+    # hparams.py:209) — the ratio compares our own r=4 to our own r=1
     _emit("tacotron2_decode_nfps4_speedup_b1", rtf[4] / rtf[1],
-          "x_vs_nfps1", 1.0)
+          "x_vs_nfps1", None, baseline_kind="no_reference_feature",
+          rtf_nfps1=rtf[1], rtf_nfps4=rtf[4])
 
 
 def bench_serving_b32(on_tpu, dtype):
@@ -481,9 +503,16 @@ def bench_tacotron2_training(on_tpu, dtype):
         return metrics["loss"]
 
     elapsed = _timed(run, lambda i: (batches[i],), n, _check_program(n))
-    baseline_frames_s = 32 * sr / hop      # reference batch at real time
-    _emit("tacotron2_train_mel_frames_per_s", B * T_mel / elapsed,
-          "mel_frames_per_s", baseline_frames_s)
+    # the reference commits NO tacotron2 training throughput anywhere, so
+    # there is nothing honest to put in vs_baseline; the transparent
+    # derived anchor (reference batch_size=32 consuming frames at exactly
+    # real time = 2756 frames/s) rides its own named field instead
+    frames_s = B * T_mel / elapsed
+    anchor = 32 * sr / hop
+    _emit("tacotron2_train_mel_frames_per_s", frames_s,
+          "mel_frames_per_s", None,
+          baseline_kind="no_reference_number",
+          x_realtime_at_ref_batch32=frames_s / anchor)
 
 
 def main():

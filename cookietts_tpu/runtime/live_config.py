@@ -78,6 +78,12 @@ class LiveConfig:
         self.path = path
         self.values: Dict[str, Any] = dict(defaults or DEFAULT_LIVE_CONFIG)
         self._mtime: float = -1.0
+        # a file whose expressions read `iteration`/`epoch` is re-exec'd
+        # on EVERY poll (the reference exec's run_every_epoch.py every 5
+        # iterations, train.py:646-661, precisely so schedules over the
+        # loop variables stay live); static files only re-exec on mtime
+        # change
+        self._dynamic: bool = False
         # first read runs with the documented loop variables defaulted:
         # a file using `iteration` (the reference run_every_epoch style)
         # would otherwise NameError here, record its mtime in the error
@@ -85,11 +91,12 @@ class LiveConfig:
         self.poll({"iteration": 0, "epoch": 0})
 
     def poll(self, context: Optional[Dict[str, Any]] = None) -> bool:
-        """Re-exec the file if it changed. Returns True on reload."""
+        """Re-exec the file if it changed (always, for files that use the
+        loop variables). Returns True on reload."""
         if not self.path or not os.path.exists(self.path):
             return False
         mtime = os.path.getmtime(self.path)
-        if mtime == self._mtime:
+        if mtime == self._mtime and not self._dynamic:
             return False
         ns: Dict[str, Any] = {"iteration": 0, "epoch": 0}
         ns.update(context or {})
@@ -99,11 +106,14 @@ class LiveConfig:
                 code = f.read()
             exec(compile(code, self.path, "exec"), ns)  # noqa: S102
         except Exception as e:  # keep previous good config
-            print(f"[live_config] parse error in {self.path}: {e!r} "
-                  f"— keeping previous values")
+            if mtime != self._mtime:     # print once per file version
+                print(f"[live_config] parse error in {self.path}: {e!r} "
+                      f"— keeping previous values")
             self._mtime = mtime
+            self._dynamic = False        # stop re-exec'ing a broken file
             return False
         self._mtime = mtime
+        self._dynamic = ("iteration" in code) or ("epoch" in code)
         for k in list(self.values):
             if k in ns:
                 self.values[k] = ns[k]

@@ -157,6 +157,38 @@ def test_live_config_file_using_iteration_applies_at_init(tmp_path):
     assert lc["A_"] == 2e-4
 
 
+def test_live_config_iteration_schedule_stays_live(tmp_path):
+    """A file whose expressions read ``iteration`` is re-exec'd on EVERY
+    poll even with an unchanged mtime — the reference exec's
+    run_every_epoch.py every 5 iterations precisely so schedules over the
+    loop variables keep updating (train.py:646-661). A static file still
+    short-circuits on mtime."""
+    p = str(tmp_path / "run_every_epoch.py")
+    with open(p, "w") as f:
+        f.write("loss_scalars = {'diag_att_weight': "
+                "0.05 if iteration < 100 else 0.0}\n")
+    lc = LiveConfig(p)
+    assert lc["loss_scalars"]["diag_att_weight"] == 0.05
+    # same mtime, later iteration -> schedule advances
+    assert lc.poll({"iteration": 200})
+    assert lc["loss_scalars"]["diag_att_weight"] == 0.0
+    # static file: unchanged mtime short-circuits
+    with open(p, "w") as f:
+        f.write("A_ = 3e-4\n")
+    os.utime(p, (os.path.getmtime(p) + 5, os.path.getmtime(p) + 5))
+    assert lc.poll({"iteration": 300})
+    assert lc["A_"] == 3e-4
+    assert not lc.poll({"iteration": 400})
+    # a broken DYNAMIC file stops re-exec'ing (no per-poll error spam)
+    # and keeps the previous good values
+    with open(p, "w") as f:
+        f.write("A_ = iteration +\n")
+    os.utime(p, (os.path.getmtime(p) + 10, os.path.getmtime(p) + 10))
+    assert not lc.poll({"iteration": 500})
+    assert lc["A_"] == 3e-4
+    assert not lc._dynamic
+
+
 def test_plateau_min_lr_floors_effective_lr():
     """min_lr floors the EFFECTIVE lr like torch (Trainer applies
     max(base*scale, min(min_lr, base))) — the old clamp floored the
