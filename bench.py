@@ -344,6 +344,325 @@ def bench_serving(on_tpu, dtype, B=None):
           NORTH_STAR_SERVING_RTF, baseline_kind="north_star_target")
 
 
+def bench_quality_gate(on_tpu, dtype):
+    """The audio-quality gate BASELINE.json names: ">=100x RT ... at
+    reference-matching audio quality, gated by mel MSE and waveform MCD".
+
+    Same weights + same held-out inputs through BOTH paths of each
+    serving-stack model:
+
+    - the f32 reference-parity path: float32 activations under
+      jax.default_matmul_precision('highest') (reproduces CPU/f32
+      semantics on the MXU), stock XLA kernels (Pallas off). This path
+      is itself parity-tested against the live torch reference modules
+      to <=2e-5 (tests/test_reference_parity.py), so a small delta here
+      transitively bounds the delta vs the reference's f32 behavior.
+    - the BENCHED serving path: bf16 activations + the default-on Pallas
+      kernels (fused WaveGlow WN inverse; fused MRF resblocks at B<=4) —
+      exactly the configuration the serving RTF legs time.
+
+    Metrics mirror the reference's validation protocol: teacher-forced
+    mel MSE (train.py:395-455), multi-window STFT MSE/MAE — the vocoder
+    val metric (_4_mtw/waveglow/train.py:296-327) — and mel-cepstral
+    distortion (_2_ttm/tacotron2_tm/metric.py:11-55). Each line records
+    its threshold and a pass verdict. Thresholds were set at ~3-5x the
+    values measured on the v5e (r5), tight enough that a regression in
+    any bf16/Pallas kernel trips the gate. Artifact-export fidelity is
+    gated separately by
+    tests/test_export_serving.py::test_artifact_gate_controls_match_live
+    (exported decode == live path on the same inputs).
+    """
+    from cookietts_tpu.audio.stft import STFT, TacotronSTFT
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.models.waveglow import WaveGlow, WaveGlowConfig
+    from cookietts_tpu.ops.mcd import mcd
+    from cookietts_tpu.text import N_SYMBOLS
+
+    rng = np.random.default_rng(7)
+
+    # -- Tacotron2: teacher-forced mel fidelity --------------------------
+    if on_tpu:
+        B, T_txt, T_mel = 8, 96, 384
+        tdims = {}
+    else:
+        B, T_txt, T_mel = 2, 12, 32
+        tdims = dict(
+            symbols_embedding_dim=16, n_speakers=4,
+            speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+            encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+            encoder_n_convolutions=1, torchmoji_dim=8,
+            torchmoji_crushed_dim=4, memory_bottleneck_dim=16,
+            prenet_dim=8, attention_rnn_dim=16, decoder_rnn_dim=16,
+            second_decoder_rnn_dim=0, attention_dim=8,
+            windowed_attention_range=4, postnet_embedding_dim=16,
+            postnet_n_convolutions=2, postnet_residual_connections=0)
+    cfg32 = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=jnp.float32, **tdims)
+    cfg16 = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype, **tdims)
+    batch = dict(
+        text=jnp.asarray(rng.integers(1, cfg32.n_symbols, (B, T_txt)),
+                         jnp.int32),
+        text_lengths=jnp.full((B,), T_txt, jnp.int32),
+        mels=jnp.asarray(
+            np.log(np.clip(np.abs(
+                rng.standard_normal((B, T_mel, cfg32.n_mel_channels))),
+                1e-5, None)), jnp.float32),
+        mel_lengths=jnp.full((B,), T_mel, jnp.int32),
+        speaker_id=jnp.asarray(rng.integers(0, cfg32.n_speakers, (B,)),
+                               jnp.int32),
+        sylps=jnp.full((B,), 4.0, jnp.float32),
+    )
+    m32 = Tacotron2(cfg32)
+    variables = jax.jit(m32.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, key=jax.random.PRNGKey(2), deterministic=False)
+
+    def tf_forward(model):
+        def fn(v, b, k):
+            out, _ = model.apply(
+                v, text=b["text"], text_lengths=b["text_lengths"],
+                mels=b["mels"], mel_lengths=b["mel_lengths"],
+                speaker_id=b["speaker_id"], sylps=b["sylps"], key=k,
+                p_teacher_forcing=1.0, teacher_force_till=0,
+                deterministic=True)
+            return out["mel_outputs_postnet"].astype(jnp.float32)
+        return jax.jit(fn)
+
+    key = jax.random.PRNGKey(3)
+    with jax.default_matmul_precision("highest"):
+        mel_f32 = np.asarray(tf_forward(m32)(variables, batch, key))
+    mel_b16 = np.asarray(tf_forward(Tacotron2(cfg16))(variables, batch,
+                                                      key))
+    t2_mse = float(np.mean((mel_f32 - mel_b16) ** 2))
+    t2_mcd = float(np.mean([mcd(mel_f32[i], mel_b16[i])
+                            for i in range(B)]))
+    _emit("quality_tacotron2_tf_mel_mse_bf16_vs_f32", t2_mse,
+          "log_mel_mse", None, baseline_kind="quality_gate",
+          mcd_db=t2_mcd, threshold_mse=5e-3, threshold_mcd_db=0.5,
+          passed=bool(t2_mse < 5e-3 and t2_mcd < 0.5))
+
+    # -- WaveGlow: inverse-flow waveform fidelity ------------------------
+    sr_v = 48000
+    wdims = dict(
+        n_mel_channels=160, n_flows=48, n_group=24, n_early_every=4,
+        n_early_size=2, n_layers=8, n_channels=256, kernel_size=3,
+        hop_length=600, upsample_strides=(5, 5), upsample_channels=256,
+        memory_efficient=False)
+    t_mel_v = 160 if on_tpu else 16          # 2 s of audio on TPU
+    if not on_tpu:
+        wdims.update(n_flows=4, n_channels=32, upsample_channels=32)
+    w32 = WaveGlow(WaveGlowConfig(dtype=jnp.float32,
+                                  pallas_row_step=False, **wdims))
+    w16 = WaveGlow(WaveGlowConfig(dtype=dtype, **wdims))
+    mel_v = jnp.asarray(
+        rng.standard_normal((1, t_mel_v, 160)), jnp.float32)
+    tiny_audio = jnp.asarray(
+        rng.standard_normal((1, t_mel_v * 600)), jnp.float32)
+    wvars = jax.jit(w32.init)(jax.random.PRNGKey(0), tiny_audio, mel_v)
+    # activate the couplings: the WN "end" convs are zero-init (identity
+    # couplings, reference glow.py init), which would leave the WN stack —
+    # the bulk of the inverse's compute — OUT of the measurement; small
+    # bounded weights emulate a trained flow's log_s scale
+    end_rng = np.random.default_rng(11)
+
+    def _fill_end(path, leaf):
+        if any(p == "end" for p in path) and leaf.ndim >= 2:
+            return jnp.asarray(
+                0.05 * end_rng.standard_normal(leaf.shape), leaf.dtype)
+        return leaf
+
+    import jax.tree_util as jtu
+    wvars = {"params": jtu.tree_map_with_path(
+        lambda kp, v: _fill_end([getattr(k, "key", "") for k in kp], v),
+        wvars["params"])}
+    # ONE fixed f32 z through both paths (method=inverse): sampling z in
+    # the path's own dtype would compare two DIFFERENT valid noise draws
+    # (bf16 rounds the draw), which swamps the kernel-fidelity signal the
+    # gate exists to measure
+    z = jnp.asarray(rng.standard_normal(
+        (1, t_mel_v * 600 // wdims["n_group"], wdims["n_group"])),
+        jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        wav_f32 = np.asarray(jax.jit(
+            lambda v, zz, m: w32.apply(v, zz, m,
+                                       method=WaveGlow.inverse))(
+            wvars, z, mel_v), np.float32)
+    wav_b16 = np.asarray(jax.jit(
+        lambda v, zz, m: w16.apply(v, zz, m, method=WaveGlow.inverse))(
+        wvars, z, mel_v), np.float32)
+
+    def stft_mse_mae(a, b):
+        """The reference's multi-window validation metric
+        (_4_mtw/waveglow/train.py:296-327): mean STFT-magnitude MSE/MAE
+        over [1200, 2400]-sample windows @48 kHz."""
+        banks = [STFT(1200, 300, 1200), STFT(2400, 600, 2400)]
+        n = min(a.shape[-1], b.shape[-1])
+        mse = mae = 0.0
+        for bank in banks:
+            ma, _ = bank.transform(jnp.asarray(a[..., :n]),
+                                   return_phase=False)
+            mb, _ = bank.transform(jnp.asarray(b[..., :n]),
+                                   return_phase=False)
+            mse += float(jnp.mean((ma - mb) ** 2))
+            mae += float(jnp.mean(jnp.abs(ma - mb)))
+        return mse / len(banks), mae / len(banks)
+
+    w_mse, w_mae = stft_mse_mae(wav_f32, wav_b16)
+    vstft = TacotronSTFT(filter_length=2400, hop_length=600,
+                         win_length=2400, n_mel_channels=160,
+                         sampling_rate=sr_v, mel_fmax=16000.0)
+    w_mcd = mcd(vstft.mel_spectrogram_np(wav_f32[0]),
+                vstft.mel_spectrogram_np(wav_b16[0]))
+    _emit("quality_waveglow_stft_mse_bf16pallas_vs_f32", w_mse,
+          "stft_mag_mse", None, baseline_kind="quality_gate",
+          stft_mae=w_mae, mcd_db=w_mcd, threshold_mse=5e-2,
+          threshold_mcd_db=1.0,
+          passed=bool(w_mse < 5e-2 and w_mcd < 1.0))
+
+    # -- HiFi-GAN: generator waveform fidelity (fused MRF at B=1) --------
+    sr_h, hop_h = 44100, 512
+    hdims = dict(n_mel_channels=80, upsample_rates=(8, 8, 4, 2),
+                 upsample_kernel_sizes=(16, 16, 8, 4))
+    t_mel_h = 256 if on_tpu else 16
+    if not on_tpu:
+        hdims.update(resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+                     upsample_initial_channel=32)
+    h32 = Generator(HiFiGANConfig(dtype=jnp.float32,
+                                  pallas_resblocks=False, **hdims))
+    h16 = Generator(HiFiGANConfig(dtype=dtype, **hdims))
+    mel_h = jnp.asarray(rng.standard_normal((1, t_mel_h, 80)), jnp.float32)
+    hvars = jax.jit(h32.init)(jax.random.PRNGKey(0), mel_h)
+    with jax.default_matmul_precision("highest"):
+        hwav_f32 = np.asarray(jax.jit(
+            lambda v, m: h32.apply(v, m, infer=True))(hvars, mel_h),
+            np.float32)
+    hwav_b16 = np.asarray(jax.jit(
+        lambda v, m: h16.apply(v, m, infer=True))(hvars, mel_h),
+        np.float32)
+    hstft = TacotronSTFT(filter_length=2048, hop_length=hop_h,
+                         win_length=2048, n_mel_channels=80,
+                         sampling_rate=sr_h, mel_fmax=11025.0)
+    h_mcd = mcd(hstft.mel_spectrogram_np(hwav_f32[0]),
+                hstft.mel_spectrogram_np(hwav_b16[0]))
+    h_mse = float(np.mean((hwav_f32 - hwav_b16) ** 2))
+    _emit("quality_hifigan_mcd_bf16pallas_vs_f32", h_mcd, "mcd_db",
+          None, baseline_kind="quality_gate", wave_mse=h_mse,
+          threshold_mcd_db=1.0, passed=bool(h_mcd < 1.0))
+
+
+def bench_ttfa(on_tpu, dtype):
+    """Time-to-first-audio at batch 1 through the chunked streaming
+    pipeline (pipeline/streaming.py:streaming_tts).
+
+    No reference equivalent: the reference vocodes only COMPLETE mels
+    (text2speech.py:658-666), so its first audio sample waits for the
+    whole decode + vocode. The TPU-native stream overlaps a chunked AR
+    decode with halo-exact chunked postnet + vocoding (bit-identical
+    waveform, tests/test_pipeline.py) and puts the first piece out after
+    ONE decode chunk. gate_threshold=2.0 forces the full fixed-length
+    decode (random-init gates would stop instantly), matching the other
+    serving legs' honesty about per-step cost.
+
+    Emits TTFA in ms; extra fields carry the non-streamed first-audio
+    latency (full decode + full vocode on the same weights — what the
+    reference architecture makes the user wait) and the streamed
+    full-utterance xRT (streaming must not cost throughput)."""
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.pipeline.streaming import (make_streaming_fns,
+                                                  streaming_tts)
+    from cookietts_tpu.text import N_SYMBOLS
+
+    sr, hop = 44100, 512
+    if on_tpu:
+        B, T_txt, T_dec, chunk, halo = 1, 64, 512, 64, 32
+        tdims = {}
+        hdims = dict(n_mel_channels=80, upsample_rates=(8, 8, 4, 2),
+                     upsample_kernel_sizes=(16, 16, 8, 4))
+        n_iters = 5
+    else:
+        B, T_txt, T_dec, chunk, halo = 1, 10, 64, 24, 16
+        tdims = dict(
+            symbols_embedding_dim=16, n_speakers=4,
+            speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+            encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+            encoder_n_convolutions=1, torchmoji_dim=8,
+            torchmoji_crushed_dim=4, memory_bottleneck_dim=16,
+            prenet_dim=8, attention_rnn_dim=16, decoder_rnn_dim=16,
+            second_decoder_rnn_dim=0, attention_dim=8,
+            windowed_attention_range=4, postnet_embedding_dim=16,
+            postnet_n_convolutions=2, postnet_residual_connections=0)
+        hdims = dict(n_mel_channels=80, resblock_kernel_sizes=(3,),
+                     resblock_dilations=((1, 3),),
+                     upsample_rates=(8, 8, 4, 2),
+                     upsample_kernel_sizes=(16, 16, 8, 4),
+                     upsample_initial_channel=32)
+        n_iters = 1
+    tcfg = Tacotron2Config(n_symbols=N_SYMBOLS, dtype=dtype,
+                           max_decoder_steps=T_dec, **tdims)
+    hcfg = HiFiGANConfig(dtype=dtype, **hdims)
+    taco, gen = Tacotron2(tcfg), Generator(hcfg)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, tcfg.n_symbols, (B, T_txt)),
+                       jnp.int32)
+    text_lengths = jnp.full((B,), T_txt, jnp.int32)
+    speaker_id = jnp.zeros((B,), jnp.int32)
+    mels_init = jnp.asarray(
+        rng.standard_normal((B, 16, tcfg.n_mel_channels)), jnp.float32)
+    tvars = jax.jit(taco.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=text, text_lengths=text_lengths, mels=mels_init,
+        mel_lengths=jnp.full((B,), 16, jnp.int32), speaker_id=speaker_id,
+        sylps=jnp.full((B,), 4.0), key=jax.random.PRNGKey(2),
+        deterministic=False)
+    gvars = jax.jit(gen.init)(
+        jax.random.PRNGKey(3),
+        jnp.zeros((B, chunk + 2 * halo, 80), jnp.float32))
+    voc = jax.jit(lambda m: gen.apply(gvars, m, infer=True))
+    fns = make_streaming_fns(taco)
+
+    def run_stream():
+        """(ttfa_s, total_s, samples, first_samples) for one stream."""
+        t0 = time.perf_counter()
+        ttfa = first = None
+        total_samples = 0
+        for off, piece in streaming_tts(
+                taco, tvars, voc, text=text, text_lengths=text_lengths,
+                speaker_id=speaker_id, key=jax.random.PRNGKey(9),
+                max_decoder_steps=T_dec, decode_chunk_steps=chunk,
+                vocoder_halo=halo, hop_length=hop, gate_threshold=2.0,
+                gate_delay=4, fns=fns):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+                first = piece.shape[1]
+            total_samples = off + piece.shape[1]
+        return ttfa, time.perf_counter() - t0, total_samples, first
+
+    run_stream()                                   # compile warmup
+    ttfas, totals, samples, firsts = zip(
+        *[run_stream() for _ in range(n_iters)])
+    ttfa_ms = 1e3 * min(ttfas)
+    stream_xrt = (min(samples) / sr) / min(totals)
+
+    # the non-streamed first-audio latency: full fixed-length decode,
+    # full postnet, full vocode (the reference's serving shape)
+    full_infer = jax.jit(lambda v, k: taco.apply(
+        v, text, text_lengths, speaker_id, key=k,
+        max_decoder_steps=T_dec,
+        method=Tacotron2.inference)["mel_outputs_postnet"])
+    full_voc = jax.jit(lambda m: gen.apply(gvars, m, infer=True))
+    _ = np.asarray(full_voc(full_infer(tvars, jax.random.PRNGKey(9))))
+    t0 = time.perf_counter()
+    _ = np.asarray(full_voc(full_infer(tvars, jax.random.PRNGKey(10))))
+    full_ms = 1e3 * (time.perf_counter() - t0)
+
+    _emit("serving_ttfa_ms_b1_streaming", ttfa_ms, "ms", None,
+          baseline_kind="no_reference_feature",
+          nonstreamed_first_audio_ms=full_ms,
+          streamed_total_xrt=stream_xrt,
+          first_piece_audio_s=firsts[0] / sr)
+
+
 def bench_nfps_decode(on_tpu, dtype):
     """Decode speedup from n_frames_per_step=4 at batch 1.
 
@@ -544,13 +863,13 @@ def main():
     # Tacotron2 training throughput. The B-variant serving legs only
     # exist on TPU (the CPU smoke path fixes its own tiny batch and
     # would just emit the same metric three times).
-    legs = [bench_serving, bench_waveglow, bench_waveflow,
-            bench_waveflow_training, bench_tacotron2_training,
-            bench_nfps_decode]
+    legs = [bench_serving, bench_quality_gate, bench_waveglow,
+            bench_waveflow, bench_waveflow_training,
+            bench_tacotron2_training, bench_ttfa, bench_nfps_decode]
     if on_tpu:
         # b1 before b32: the fused-MRF auto default made batch-1 the
         # round-4 serving story (98x -> 161x), so it records first
-        legs[4:4] = [bench_serving_b1, bench_serving_b32]
+        legs[5:5] = [bench_serving_b1, bench_serving_b32]
     for fn in legs:
         if time.monotonic() - t0 > budget:
             print(f"[bench] skipping {fn.__name__}: over "

@@ -803,6 +803,66 @@ class Tacotron2(nn.Module):
         }
         return outputs, carry
 
+    # -- chunked streaming inference (no reference equivalent) ---------------
+    # The reference vocodes whole utterances (text2speech.py:658-666), so
+    # time-to-first-audio is bounded below by the FULL decode + vocode.
+    # These three methods expose the decoder as (prepare once, decode a
+    # chunk of steps, refine with the postnet) so a host loop can overlap
+    # decoding with halo-exact chunked postnet/vocoding
+    # (pipeline/streaming.py:streaming_tts) and put the first audio out
+    # after ONE chunk instead of the whole utterance.
+
+    def inference_prepare(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
+                          speaker_id: jnp.ndarray,
+                          torchmoji_hidden: Optional[jnp.ndarray] = None,
+                          sylps: Optional[jnp.ndarray] = None):
+        """Encode once for chunked decode: (memory, initial DecoderCarry)."""
+        memory, _ = self._build_memory(
+            text, text_lengths, speaker_id, sylps, torchmoji_hidden,
+            None, True)
+        carry = self.decoder.init_carry(
+            memory.shape[0], memory.shape[1], memory.shape[-1],
+            memory.dtype)
+        return memory, carry
+
+    def decode_chunk(self, memory: jnp.ndarray, memory_lengths: jnp.ndarray,
+                     carry: DecoderCarry, keys: jnp.ndarray):
+        """Free-running decode of ``keys.shape[0]`` steps from ``carry``.
+
+        ``keys``: the per-step rng keys — slice a host-side
+        ``jax.random.split(k_dec, S_total)`` so the chunked decode draws
+        the SAME prenet-dropout randomness as the full scan (chunked mels
+        are then bit-identical to ``Decoder.inference``'s).
+        Returns (mel_raw [B, S*r, M], gate_logits [B, S*r],
+        weights [B, S, T_enc], carry).
+        """
+        cfg = self.cfg
+        B = memory.shape[0]
+        S = keys.shape[0]
+        r = cfg.n_frames_per_step
+        const = self.decoder.cell.attention.precompute(memory,
+                                                       memory_lengths)
+        xs = {
+            "teacher_frame": jnp.zeros(
+                (S, B, cfg.n_mel_channels * r), memory.dtype),
+            "tf": jnp.zeros((S, B), bool),
+            "key": keys,
+        }
+        carry, ys = self.decoder._scan(carry, xs, memory, const, True)
+        mel_raw = jnp.swapaxes(ys["mel_frame"], 0, 1).reshape(
+            B, S * r, cfg.n_mel_channels)
+        gate = jnp.swapaxes(ys["gate"], 0, 1).reshape(B, S * r)
+        weights = jnp.swapaxes(ys["weights"], 0, 1)
+        return mel_raw, gate, weights, carry
+
+    def postnet_refine(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """Postnet over a raw-decoder mel window (halo handling is the
+        caller's: the stack's receptive-field radius is
+        2 * postnet_n_convolutions frames)."""
+        if not self.cfg.use_postnet:
+            return mel
+        return self.postnet(mel, deterministic=True)
+
     def inference(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
                   speaker_id: jnp.ndarray,
                   torchmoji_hidden: Optional[jnp.ndarray] = None,

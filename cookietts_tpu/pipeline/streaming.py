@@ -67,3 +67,117 @@ def vocode_streamed(vocoder_fn: Callable, mel,
         [p for _, p in streaming_vocode(
             vocoder_fn, mel, chunk_frames, halo_frames, hop_length)],
         axis=1)
+
+
+def make_streaming_fns(taco):
+    """(prepare, decode_chunk, postnet_refine) jitted once — pass as
+    ``fns=`` to repeated :func:`streaming_tts` calls so they share one
+    trace cache instead of re-jitting per invocation."""
+    import jax
+
+    from ..models.tacotron2 import Tacotron2
+
+    prepare = jax.jit(lambda v, t, tl, s, tm, sy: taco.apply(
+        v, t, tl, s, tm, sy, method=Tacotron2.inference_prepare))
+    step = jax.jit(lambda v, m, ml, c, k: taco.apply(
+        v, m, ml, c, k, method=Tacotron2.decode_chunk))
+    refine = jax.jit(lambda v, m: taco.apply(
+        v, m, method=Tacotron2.postnet_refine))
+    return prepare, step, refine
+
+
+def streaming_tts(taco, variables, vocoder_fn, *, text, text_lengths,
+                  speaker_id, key, torchmoji_hidden=None, sylps=None,
+                  max_decoder_steps: int = 512, decode_chunk_steps: int = 32,
+                  vocoder_halo: int = 32, hop_length: int = 256,
+                  gate_threshold: float = 0.5, gate_delay: int = 10,
+                  fns=None) -> Iterator[Tuple[int, np.ndarray]]:
+    """End-to-end chunked TTS: yield ``(start_sample, audio_piece)`` with
+    the FIRST piece available after one decode chunk + one vocode chunk —
+    instead of after the whole utterance like the reference server
+    (text2speech.py:658-666, which vocodes complete mels).
+
+    Composition (all pieces halo- or causality-exact):
+    - ``Tacotron2.inference_prepare`` encodes once;
+    - ``Tacotron2.decode_chunk`` advances the causal AR decoder
+      ``decode_chunk_steps`` steps per dispatch, drawing the SAME per-step
+      rng keys as the full scan (bit-identical raw mels);
+    - the postnet refines a clamped window with its receptive-field halo
+      (radius ``2 * postnet_n_convolutions`` frames);
+    - the vocoder renders a clamped window with ``vocoder_halo`` frames.
+
+    Audio for frames ``[a, b)`` is emitted once raw mel exists up to
+    ``b + postnet_halo + vocoder_halo`` — the streamed waveform matches
+    the full pipeline exactly away from the utterance tail (the full
+    fixed-length scan keeps decoding past the gate, so the final
+    ``postnet_halo`` frames of a gate-stopped stream see different
+    padding frames).
+
+    Gate stopping is host-side: decoding stops one chunk after every
+    lane's gate has fired (+ ``gate_delay`` frames are kept).
+    """
+    import jax
+
+    cfg = taco.cfg
+    r = cfg.n_frames_per_step
+    hp = 2 * cfg.postnet_n_convolutions if cfg.use_postnet else 0
+    S_total = -(-max_decoder_steps // r)
+    # the full scan's key schedule (Tacotron2.inference splits base -> 3,
+    # then k_dec -> S keys)
+    _, _, k_dec = jax.random.split(key, 3)
+    keys = jax.random.split(k_dec, -(-S_total // decode_chunk_steps)
+                            * decode_chunk_steps)
+
+    if fns is None:
+        fns = make_streaming_fns(taco)
+    prepare, step, refine = fns
+
+    memory, carry = prepare(variables, text, text_lengths, speaker_id,
+                            torchmoji_hidden, sylps)
+    B = int(text.shape[0])
+
+    raw = np.zeros((B, 0, cfg.n_mel_channels), np.float32)
+    gates = np.zeros((B, 0), np.float32)
+    emitted = 0                      # frames of audio already yielded
+    mel_len = None                   # known once every gate fires
+    done_decoding = False
+    n_chunks = 0
+    while not done_decoding:
+        t0 = n_chunks * decode_chunk_steps
+        mel_c, gate_c, _w, carry = step(
+            variables, memory, text_lengths, carry,
+            keys[t0:t0 + decode_chunk_steps])
+        n_chunks += 1
+        raw = np.concatenate([raw, np.asarray(mel_c, np.float32)], axis=1)
+        gates = np.concatenate(
+            [gates, np.asarray(gate_c, np.float32)], axis=1)
+        F = raw.shape[1]
+        sig = 1.0 / (1.0 + np.exp(-gates))
+        fired = (sig > gate_threshold).any(axis=1).all()
+        if fired:
+            stop = np.array([np.argmax(sig[b] > gate_threshold)
+                             for b in range(B)])
+            mel_len = int(min(np.max(stop) + gate_delay, F))
+        if (mel_len is not None and F >= mel_len + hp) \
+                or F >= S_total * r:
+            done_decoding = True
+            mel_len = mel_len if mel_len is not None else F
+        # emit audio for frames whose postnet+vocoder halos are decoded
+        # (everything, on the final chunk)
+        safe = mel_len if done_decoding else F - hp - vocoder_halo
+        safe = min(safe, mel_len or F)
+        if safe <= emitted:
+            continue
+        # postnet window with halo, clamped to available frames
+        lo_p = max(0, emitted - vocoder_halo - hp)
+        hi_p = min(F, safe + vocoder_halo + hp)
+        refined = np.asarray(refine(variables, raw[:, lo_p:hi_p]),
+                             np.float32)
+        # vocoder window with halo, in refined-frame coordinates
+        lo_v = max(0, emitted - vocoder_halo) - lo_p
+        hi_v = min(hi_p - lo_p, (safe + vocoder_halo) - lo_p)
+        audio = np.asarray(vocoder_fn(refined[:, lo_v:hi_v]), np.float32)
+        a0 = (emitted - (lo_v + lo_p)) * hop_length
+        a1 = a0 + (safe - emitted) * hop_length
+        yield emitted * hop_length, audio[:, a0:a1]
+        emitted = safe

@@ -581,3 +581,68 @@ def test_t2s_token_resplit_keeps_quote_marker(tiny_t2s):
             assert (v == "Alice") == s.startswith(('"', "“")), (s, v)
     finally:
         tiny_t2s.cfg = old
+
+
+def test_streaming_tts_end_to_end_matches_full_pipeline():
+    """streaming_tts: chunked AR decode + halo-exact chunked postnet +
+    chunked vocode reproduces the full pipeline's waveform exactly (the
+    decoder scan is causal and draws the same per-step keys; postnet and
+    vocoder windows carry their receptive-field halos). First audio
+    arrives after ONE decode chunk instead of the whole utterance."""
+    import jax
+
+    from cookietts_tpu.models.hifigan import Generator, HiFiGANConfig
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.pipeline.streaming import streaming_tts
+
+    tcfg = Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=16, n_speakers=4,
+        speaker_embedding_dim=8, encoder_speaker_embed_dim=4,
+        encoder_conv_hidden_dim=16, encoder_lstm_dim=16,
+        encoder_n_convolutions=1, torchmoji_dim=8, torchmoji_crushed_dim=4,
+        memory_bottleneck_dim=16, prenet_dim=8, attention_rnn_dim=16,
+        decoder_rnn_dim=16, second_decoder_rnn_dim=0, attention_dim=8,
+        windowed_attention_range=4, postnet_embedding_dim=16,
+        postnet_n_convolutions=2, postnet_residual_connections=0,
+        n_mel_channels=12, max_decoder_steps=96)
+    hcfg = HiFiGANConfig(
+        n_mel_channels=12, resblock_kernel_sizes=(3, 7),
+        resblock_dilations=((1, 3, 5), (1, 3, 5)),
+        upsample_rates=(4, 4, 2), upsample_kernel_sizes=(8, 8, 4),
+        upsample_initial_channel=24)
+    taco, gen = Tacotron2(tcfg), Generator(hcfg)
+    rng = np.random.default_rng(0)
+    B, T_txt = 2, 10
+    text = jnp.asarray(rng.integers(1, 40, (B, T_txt)), jnp.int32)
+    text_lengths = jnp.asarray([10, 7], jnp.int32)
+    speaker_id = jnp.asarray([0, 1], jnp.int32)
+    mels_init = jnp.asarray(rng.standard_normal((B, 8, 12)), jnp.float32)
+    tvars = jax.jit(taco.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text=text, text_lengths=text_lengths, mels=mels_init,
+        mel_lengths=jnp.full((B,), 8, jnp.int32), speaker_id=speaker_id,
+        sylps=jnp.full((B,), 4.0), key=jax.random.PRNGKey(2),
+        deterministic=False)
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(3),
+                              jnp.zeros((B, 8, 12), jnp.float32))
+    voc = jax.jit(lambda m: gen.apply(gvars, m))
+
+    key = jax.random.PRNGKey(7)
+    # full pipeline: one fixed-length decode + postnet + one vocode
+    full = taco.apply(tvars, text, text_lengths, speaker_id, key=key,
+                      max_decoder_steps=96, method=Tacotron2.inference)
+    full_audio = np.asarray(voc(full["mel_outputs_postnet"]), np.float32)
+
+    # streamed: gate_threshold=2.0 (sigmoid < 1 always) forces the full
+    # 96 frames so every sample has a full-run counterpart to compare
+    pieces = list(streaming_tts(
+        taco, tvars, voc, text=text, text_lengths=text_lengths,
+        speaker_id=speaker_id, key=key, max_decoder_steps=96,
+        decode_chunk_steps=24, vocoder_halo=24, hop_length=32,
+        gate_threshold=2.0, gate_delay=4))
+    assert len(pieces) >= 2, "stream must yield before decode finishes"
+    offs = [o for o, _ in pieces]
+    assert offs[0] == 0 and offs == sorted(offs)
+    streamed = np.concatenate([p for _, p in pieces], axis=1)
+    assert streamed.shape == full_audio.shape
+    np.testing.assert_allclose(streamed, full_audio, atol=1e-5)

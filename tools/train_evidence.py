@@ -1,6 +1,7 @@
 """From-scratch learning evidence: train Tacotron2 on a synthetic but
 genuinely alignable corpus and show attention diagonality, the free-running
-inference ``weighted_score``, and gate accuracy EMERGING from random init.
+inference ``weighted_score``, gate accuracy, AND text-content correctness
+EMERGING from random init.
 
 Every other training test in the suite is a single-batch overfit or a
 converted-checkpoint parity check; this script demonstrates the property
@@ -9,20 +10,43 @@ serve (the reference validates exactly this — inference-mode attention
 quality, CookieTTS/_2_ttm/tacotron2_tm/train.py:774-797, scored by the
 weighted score of loss_function.py:266-288).
 
-Corpus: each letter 'a'..'h' is a fixed 90 ms harmonic tone (log-spaced
-fundamentals 220–1575 Hz + two harmonics), words are separated by 60 ms of
-silence, and every utterance ends in 200 ms of silence (the gate target).
-Text→audio correspondence is therefore strictly monotonic and local, so a
-correct attention mechanism MUST discover a diagonal alignment to predict
-the mel — but nothing about the mapping is given to the model: it trains
-from random init with the standard CLI trainer, standard loss weights
-(guided attention at its default 0.05), and held-out validation.
+Corpus: each letter 'a'..'h' is a fixed 90 ms harmonic tone (see
+cookietts_tpu/data/evidence_corpus.py). Text→audio correspondence is
+strictly monotonic and local, so a correct attention mechanism MUST
+discover a diagonal alignment to render the right tones — but nothing
+about the mapping is given to the model: it trains from random init with
+the standard CLI trainer and held-out validation.
 
-Run:  python tools/train_evidence.py --iters 3000
-Writes TRAIN_EVIDENCE.md at the repo root with the measured curve and the
-exact reproduction command, and exits nonzero if the success criteria are
-not met (inference weighted_score noise -> >0.6, gate firing on >90% of
-held-out utterances).
+Two findings from round 5 are baked into the recipe and criteria:
+
+1. **The weighted_score alone is gameable on short texts.** Its
+   encoder-coverage punishment is gated on text_lengths > 12 (reference
+   loss_function.py:266-288 / text2speech.py:596-613 — tuned for real
+   sentences), so on this corpus' short utterances a model with fully
+   DEGENERATE attention (parked on one token, decoding prosody from the
+   previous-frame copy channel) still scores ~0.59. The evidence
+   therefore ALSO requires a tone-decoder **character error rate**: the
+   corpus' letters are fixed harmonic stacks, so synthesized mels can be
+   decoded back to text by template matching — rendering the right tones
+   in the right order is impossible without reading the text.
+2. **drop_frame_rate is what forces the model off the copy channel.**
+   Within a letter the mel is nearly constant, so at full teacher forcing
+   the prenet input already reveals the current frame and attention gets
+   almost no gradient signal — trained with drop_frame_rate=0 this corpus
+   converges to the degenerate solution above. DFR (the reference's
+   flagship feature, _2_ttm/README.md:8-10, MOS 3.84→3.92) replaces a
+   random 30% of teacher frames with the dataset mean, which makes the
+   text the only reliable source of the current tone. The same recipe
+   with dfr=0.3 aligns; with dfr=0.0 it never does.
+
+The LR/guided-attention schedule rides the trainer's live-config file
+(the reference's run_every_epoch.py mechanism): warmup → flat → decay,
+with the guided-attention prior annealed away once alignment exists.
+
+Run:  python tools/train_evidence.py
+Writes TRAIN_EVIDENCE.md at the repo root with the measured curves and
+the exact reproduction command, and exits nonzero if the success criteria
+are not met.
 """
 from __future__ import annotations
 
@@ -33,7 +57,8 @@ import sys
 import time
 
 # Force the local CPU backend BEFORE jax import (the sandbox's axon plugin
-# would otherwise route compiles through the TPU tunnel).
+# would otherwise route compiles through the TPU tunnel). JAX_PLATFORM_NAME
+# is the variant the plugin honors.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -48,84 +73,50 @@ jax.config.update("jax_platforms", "cpu")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SR = 22050
-CHARS = "abcdefgh"
-CHAR_S = 0.090          # seconds per letter tone
-GAP_S = 0.060           # inter-word silence
-END_S = 0.200           # trailing silence -> gate target
-N_TRAIN, N_VAL = 96, 16
+# corpus + tone decoder live in the package so the vocoder-evidence tool
+# and the regression test build the bit-identical corpus
+from cookietts_tpu.data.evidence_corpus import (  # noqa: E402
+    CHARS, MEL_CFG, N_TRAIN, N_VAL, SR, char_error_rate, decode_tones,
+    make_corpus, tone_templates)
+
+# model dims shared by the hparams string and the CER-time model rebuild
+DIMS = dict(
+    symbols_embedding_dim=64, n_speakers=1, speaker_embedding_dim=8,
+    encoder_speaker_embed_dim=4, encoder_conv_hidden_dim=64,
+    encoder_lstm_dim=32, encoder_n_convolutions=2, torchmoji_dim=8,
+    torchmoji_crushed_dim=4, memory_bottleneck_dim=64, prenet_dim=32,
+    attention_rnn_dim=128, decoder_rnn_dim=128, second_decoder_rnn_dim=0,
+    attention_dim=32, windowed_attention_range=6, postnet_embedding_dim=32,
+    postnet_n_convolutions=2, postnet_residual_connections=0,
+)
 
 HPARAMS = (
     "batch_size=16,"
     f"sampling_rate={SR},filter_length=1024,hop_length=256,win_length=1024,"
     "n_mel_channels=32,mel_fmax=8000.0,trim_enable=False,"
-    "symbols_embedding_dim=64,n_speakers=1,speaker_embedding_dim=8,"
-    "encoder_speaker_embed_dim=4,encoder_conv_hidden_dim=64,"
-    "encoder_lstm_dim=32,encoder_n_convolutions=2,torchmoji_dim=8,"
-    "torchmoji_crushed_dim=4,memory_bottleneck_dim=64,prenet_dim=32,"
-    "attention_rnn_dim=128,decoder_rnn_dim=128,second_decoder_rnn_dim=0,"
-    "attention_dim=32,windowed_attention_range=6,postnet_embedding_dim=32,"
-    "postnet_n_convolutions=2,postnet_residual_connections=0,"
+    + ",".join(f"{k}={v}" for k, v in DIMS.items()) + ","
     "text_buckets=[24],mel_buckets=[144],max_segment_frames=144,"
-    "validation_interval=100,checkpoint_interval=100000,"
-    "drop_frame_rate=0.0,p_teacher_forcing=1.0,teacher_force_till=0,"
+    "validation_interval=100,checkpoint_interval=500,"
+    "drop_frame_rate=0.3,p_teacher_forcing=1.0,teacher_force_till=0,"
     "curation_enable=False"
 )
 
-
-def char_tone(c: str, rng: np.random.Generator) -> np.ndarray:
-    """90 ms harmonic tone unique to the letter; 5 ms fades, tiny noise."""
-    i = CHARS.index(c)
-    f0 = 220.0 * (1575.0 / 220.0) ** (i / (len(CHARS) - 1))
-    t = np.arange(int(SR * CHAR_S)) / SR
-    x = (0.50 * np.sin(2 * np.pi * f0 * t)
-         + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
-         + 0.12 * np.sin(2 * np.pi * 3 * f0 * t))
-    fade = int(0.005 * SR)
-    env = np.ones_like(x)
-    env[:fade] = np.linspace(0, 1, fade)
-    env[-fade:] = np.linspace(1, 0, fade)
-    return (0.5 * x * env + 0.001 * rng.standard_normal(len(x))
-            ).astype(np.float32)
-
-
-def render(text: str, rng: np.random.Generator) -> np.ndarray:
-    parts = []
-    for w, word in enumerate(text.split(" ")):
-        if w:
-            parts.append(np.zeros(int(SR * GAP_S), np.float32))
-        for c in word:
-            parts.append(char_tone(c, rng))
-    parts.append(np.zeros(int(SR * END_S), np.float32))
-    return np.concatenate(parts)
-
-
-def make_corpus(work: str, seed: int = 0):
-    from cookietts_tpu.data import audio_io
-    rng = np.random.default_rng(seed)
-    os.makedirs(work, exist_ok=True)
-    seen, texts = set(), []
-    while len(texts) < N_TRAIN + N_VAL:
-        n_words = int(rng.integers(2, 4))
-        words = ["".join(rng.choice(list(CHARS),
-                                    size=int(rng.integers(2, 5))))
-                 for _ in range(n_words)]
-        t = " ".join(words)
-        if len(t) <= 14 and t not in seen:
-            seen.add(t)
-            texts.append(t)
-    lines = []
-    for i, t in enumerate(texts):
-        p = os.path.join(work, f"u{i:03d}.wav")
-        audio_io.save_wav(p, render(t, rng), SR)
-        lines.append(f"{p}|{t}|0")
-    train_fl = os.path.join(work, "filelist_train.txt")
-    val_fl = os.path.join(work, "filelist_validation.txt")
-    with open(train_fl, "w") as f:
-        f.write("\n".join(lines[:N_TRAIN]))
-    with open(val_fl, "w") as f:
-        f.write("\n".join(lines[N_TRAIN:]))
-    return train_fl, val_fl
+# the reference-style live config (run_every_epoch.py): LR warmup -> flat
+# -> exponential decay, drop-frame-rate on, guided attention annealed away
+# once alignment exists so the diagonal prior stops capping sharpness
+LIVE_CONFIG = """\
+A_ = 1e-3
+warmup_start = 0
+warmup_end = 300
+warmup_start_lr = 2e-4
+decay_start = 1500
+B_ = 700.0
+C_ = 3e-5
+drop_frame_rate = 0.3
+loss_scalars = {"diag_att_weight": (
+    0.05 if iteration < 2000
+    else 0.05 * max(0.0, 1.0 - (iteration - 2000) / 500.0))}
+"""
 
 
 def parse_curve(run_dir: str):
@@ -143,23 +134,94 @@ def parse_curve(run_dir: str):
     return train, val, inf
 
 
+def free_running_cer(run_dir: str, val_fl: str, checkpoint: str = None,
+                     nfps: int = 1):
+    """Synthesize every held-out utterance free-running from the latest
+    checkpoint and decode the tones back to text. Returns
+    (mean CER, gt sanity CER, [(text, decoded)])."""
+    import jax.numpy as jnp
+
+    from cookietts_tpu.data.dataset import DataConfig, TTSDataset, collate
+    from cookietts_tpu.data.filelist import load_filelist
+    from cookietts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from cookietts_tpu.runtime.checkpoint import load_checkpoint
+    from cookietts_tpu.text import N_SYMBOLS
+
+    if checkpoint is None:
+        from cookietts_tpu.runtime.checkpoint import Checkpointer
+        checkpoint = Checkpointer(run_dir).latest()
+    tree, _ = load_checkpoint(checkpoint)
+    cfg = Tacotron2Config(n_symbols=N_SYMBOLS, n_mel_channels=32,
+                          n_frames_per_step=nfps, **DIMS)
+    model = Tacotron2(cfg)
+    variables = {"params": tree["params"], **tree.get("mutables", {})}
+
+    dcfg = DataConfig(sampling_rate=SR, filter_length=1024, hop_length=256,
+                      win_length=1024, n_mel_channels=32, mel_fmax=8000.0,
+                      trim_enable=False, text_buckets=[24],
+                      mel_buckets=[144])
+    entries = load_filelist(val_fl)
+    ds = TTSDataset(entries, dcfg,
+                    features=("text", "mel", "speaker_id", "sylps", "gate"))
+    b = collate([ds[i] for i in range(len(ds))], dcfg)
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != "audiopath"}
+    out = model.apply(
+        variables, text=batch["text"], text_lengths=batch["text_lengths"],
+        speaker_id=batch["speaker_id"], sylps=batch["sylps"],
+        key=jax.random.PRNGKey(0),
+        max_decoder_steps=int(batch["mels"].shape[1]),
+        method=Tacotron2.inference)
+
+    templates = tone_templates()
+    texts = [e["quote"].replace(" ", "") for e in entries]
+    cers, pairs, gt_cers = [], [], []
+    for i, text in enumerate(texts):
+        pred = decode_tones(np.asarray(out["mel_outputs_postnet"][i]),
+                            int(out["mel_lengths"][i]), templates)
+        cers.append(char_error_rate(pred, text))
+        pairs.append((text, pred))
+        gt = decode_tones(np.asarray(b["mels"][i]),
+                          int(b["mel_lengths"][i]), templates)
+        gt_cers.append(char_error_rate(gt, text))
+    return float(np.mean(cers)), float(np.mean(gt_cers)), pairs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--work", default="/tmp/train_evidence")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nfps", type=int, default=1,
+                    help="n_frames_per_step: 4 backs the r=4 interactive-"
+                         "serving headline with training-quality evidence "
+                         "(the reference declares but never implemented "
+                         "r>1, hparams.py:209)")
     ap.add_argument("--resume", action="store_true",
                     help="continue the run in --work to --iters")
-    ap.add_argument("--report", default=os.path.join(REPO,
-                                                     "TRAIN_EVIDENCE.md"))
+    ap.add_argument("--report", default=None,
+                    help="default TRAIN_EVIDENCE.md "
+                         "(TRAIN_EVIDENCE_R{nfps}.md for --nfps > 1)")
     args = ap.parse_args()
+    if args.report is None:
+        args.report = os.path.join(
+            REPO, "TRAIN_EVIDENCE.md" if args.nfps == 1
+            else f"TRAIN_EVIDENCE_R{args.nfps}.md")
+    hparams = HPARAMS
+    if args.nfps != 1:
+        hparams += f",n_frames_per_step={args.nfps}"
+        if args.work == "/tmp/train_evidence":
+            args.work = f"/tmp/train_evidence_r{args.nfps}"
 
     train_fl, val_fl = make_corpus(args.work, args.seed)
     run_dir = os.path.join(args.work, "run")
+    live_path = os.path.join(args.work, "run_every_epoch.py")
+    with open(live_path, "w") as f:
+        f.write(LIVE_CONFIG)
     cmd = ["train", "--model", "tacotron2",
            "--filelist", train_fl, "--val_filelist", val_fl,
            "--iters", str(args.iters), "--run_dir", run_dir,
-           "--hparams", HPARAMS + ",checkpoint_interval=500"]
+           "--live_config", live_path,
+           "--hparams", hparams]
     if args.resume:
         cmd.append("--resume")
 
@@ -184,12 +246,14 @@ def main():
     t_loss0 = train[0]["loss"]
     t_loss1 = np.mean([r["loss"] for r in train[-20:]])
 
+    cer, gt_cer, pairs = free_running_cer(run_dir, val_fl, nfps=args.nfps)
+
     ok = (first["inf_weighted_score"] < 0.40
           and peak["inf_weighted_score"] > 0.60
           and last["inf_weighted_score"] > 0.55
-          and peak["inf_gate_fired"] > 0.90)
-    # gate PLACEMENT (where available — older events predate the metric):
-    # the decoder stops within ~0.14 s of the true utterance end
+          and peak["inf_gate_fired"] > 0.90
+          and cer < 0.15)
+    # gate PLACEMENT: the decoder stops within ~0.14 s of the true end
     if last.get("inf_len_abs_err") is not None:
         ok = ok and last["inf_len_abs_err"] < 12.0
 
@@ -198,23 +262,34 @@ def main():
     cli_cmd = "python -m cookietts_tpu " + " ".join(
         (f'"{a}"' if " " in a or "," in a else a) for a in cmd)
 
+    title = "# TRAIN_EVIDENCE — from-scratch alignment learning"
+    if args.nfps != 1:
+        title = (f"# TRAIN_EVIDENCE_R{args.nfps} — from-scratch alignment "
+                 f"learning at n_frames_per_step={args.nfps}")
     lines = [
-        "# TRAIN_EVIDENCE — from-scratch alignment learning",
+        title,
         "",
+    ] + ([f"Same corpus/recipe/criteria as TRAIN_EVIDENCE.md but decoding "
+          f"{args.nfps} mel frames per decoder step — the novel surface "
+          "behind the r=4 interactive-serving headline (the reference "
+          "only declares n_frames_per_step, hparams.py:209).", ""]
+         if args.nfps != 1 else []) + [
         "Proof that the framework *learns* (not merely *equals* converted",
         "checkpoints): Tacotron2 trained from random init by the standard",
         "CLI trainer on a synthetic strictly-monotonic corpus (each letter",
         "is a unique 90 ms harmonic tone; held-out validation filelist).",
         "The free-running inference attention score — the metric that",
         "drives `best_inf_attsc`, dataset curation, and server rejection",
-        "sampling — rises from noise to production quality, and the gate",
-        "learns to stop.",
+        "sampling — rises from noise to production quality, the gate",
+        "learns to stop, and (the ungameable check) the synthesized tones",
+        "DECODE BACK to the input text.",
         "",
         "Reproduce (CPU, single process; deterministic given the seed):",
         "```",
         shell,
         "```",
-        "which generates the corpus under /tmp/train_evidence and runs:",
+        "which generates the corpus under /tmp/train_evidence, writes the",
+        "live-config schedule (run_every_epoch.py-style), and runs:",
         "```",
         cli_cmd,
         "```",
@@ -224,6 +299,12 @@ def main():
         f"- wall clock: {wall / 60.0:.1f} min on 1 CPU core "
         f"({args.iters} iters, batch 16)",
         f"- teacher-forced train loss: {t_loss0:.3f} -> {t_loss1:.3f}",
+        "- recipe notes: drop_frame_rate=0.3 is ESSENTIAL on this corpus "
+        "(letters are steady tones, so at dfr=0 the decoder copies the "
+        "teacher-forced previous frame and attention never learns — "
+        "measured round 5: same recipe at dfr=0 parks attention on one "
+        "token and free-running tone CER is ~0.79); the LR decays and "
+        "the guided-attention prior anneals away via the live config.",
         "",
         "Held-out FREE-RUNNING inference validation "
         "(`validation_inf` stream of events.jsonl):",
@@ -242,6 +323,20 @@ def main():
             f"| {'-' if err is None else format(err, '.1f')} |")
     lines += [
         "",
+        "Tone-decoder readback of the final checkpoint's free-running",
+        "synthesis (template-match each frame to a letter's harmonic",
+        "stack, collapse runs — evidence_corpus.py):",
+        "",
+        "| held-out text (spaces stripped) | decoded from synthesis |",
+        "|---|---|",
+    ]
+    for text, pred in pairs:
+        lines.append(f"| `{text}` | `{pred}` |")
+    lines += [
+        "",
+        f"- free-running character error rate: **{cer:.3f}** "
+        f"(decoder sanity floor on ground-truth mels: {gt_cer:.3f})",
+        "",
         "Success criteria (all measured on the HELD-OUT set, free-running):",
         f"- initial weighted_score {first['inf_weighted_score']:.3f} < 0.40 "
         "(random-init attention is noise)",
@@ -256,6 +351,10 @@ def main():
          "(stops within ~0.14 s of the true utterance end)"
          if last.get("inf_len_abs_err") is not None else
          "- gate placement: (metric added mid-run; see later rows)"),
+        f"- tone-decoder CER {cer:.3f} < 0.15 — the weighted_score's "
+        "coverage punishment is text_lengths>12-gated (reference "
+        "loss_function.py:266-288), so on short utterances it can be "
+        "satisfied WITHOUT reading the text; CER cannot",
         "",
         f"**Result: {'PASS' if ok else 'FAIL'}**",
         "",
