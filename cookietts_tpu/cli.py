@@ -370,7 +370,8 @@ def cmd_train(args):
                     ("teacher_force_till", int),
                     ("curation_enable", bool),
                     ("curation_min_att_score", float),
-                    ("curation_min_avg_max_attention", float)):
+                    ("curation_min_avg_max_attention", float),
+                    ("validate_at_start", bool)):
         if k in overrides:
             trainer.live.values[k] = cast(overrides[k])
     # self-describing checkpoints: model kind + the config overrides that
@@ -999,6 +1000,7 @@ def _make_trainer(args, overrides, state, train_step, eval_step=None,
         "checkpoint_interval": int(overrides.get("checkpoint_interval", 0)),
         "LossExplosionThreshold": float(
             overrides.get("loss_explosion_threshold", 1e3)),
+        "validate_at_start": bool(overrides.get("validate_at_start", False)),
     })
     if getattr(args, "live_config", None):
         trainer.live._mtime = -1.0       # re-overlay the file on top

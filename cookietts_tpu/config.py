@@ -18,22 +18,11 @@ import json
 import re
 from typing import Any, Dict
 
-# One assignment inside a comma-separated override string. Values may be
-# scalars, quoted strings, or bracketed lists (lists may contain commas,
-# which is why a plain str.split(',') is not enough).
-_ASSIGN_RE = re.compile(
-    r"""
-    \s*(?P<name>[a-zA-Z][\w\.]*)\s*=\s*
-    (?P<value>
-        \[[^\]]*\]            # [list, of, things]
-      | "(?:[^"\\]|\\.)*"     # "quoted string"
-      | '(?:[^'\\]|\\.)*'     # 'quoted string'
-      | [^,\[]*               # bare scalar
-    )\s*
-    ($|,)
-    """,
-    re.VERBOSE,
-)
+# One assignment name inside a comma-separated override string. Values
+# are scanned by hand (bracket-balanced) so lists may nest and contain
+# commas — e.g. the reference HiFi-GAN's resblock_dilations=[[1,3,5],[1,3,5]]
+# (config_v1.json) — which a regex alternative cannot match.
+_NAME_RE = re.compile(r"\s*(?P<name>[a-zA-Z][\w\.]*)\s*=\s*")
 
 
 def _parse_scalar(text: str) -> Any:
@@ -58,21 +47,72 @@ def _parse_scalar(text: str) -> Any:
     return t
 
 
+def _scan_value(s: str, pos: int) -> tuple[str, int]:
+    """Scan one value starting at ``pos``: a bracket-balanced list, a
+    quoted string, or a bare scalar running to the next top-level comma.
+    Returns (raw_text, position_after)."""
+    if pos < len(s) and s[pos] == "[":
+        depth, i = 0, pos
+        while i < len(s):
+            if s[i] == "[":
+                depth += 1
+            elif s[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    return s[pos:i + 1], i + 1
+            i += 1
+        raise ValueError(f"Unbalanced '[' in hparam override at: {s[pos:]!r}")
+    if pos < len(s) and s[pos] in "\"'":
+        q, i = s[pos], pos + 1
+        while i < len(s):
+            if s[i] == "\\":
+                i += 2
+                continue
+            if s[i] == q:
+                return s[pos:i + 1], i + 1
+            i += 1
+        raise ValueError(f"Unterminated quote in hparam override at: "
+                         f"{s[pos:]!r}")
+    i = s.find(",", pos)
+    if i < 0:
+        i = len(s)
+    return s[pos:i], i
+
+
+def _parse_value(raw: str) -> Any:
+    raw = raw.strip()
+    if raw.startswith("["):
+        inner = raw[1:-1]
+        items = []
+        pos = 0
+        while pos < len(inner):
+            while pos < len(inner) and inner[pos] in ", \t\n":
+                pos += 1
+            if pos >= len(inner):
+                break
+            v, pos = _scan_value(inner, pos)
+            items.append(_parse_value(v))
+        return items
+    return _parse_scalar(raw)
+
+
 def parse_override_string(s: str) -> Dict[str, Any]:
-    """Parse ``"a=1,b=[2,3],c=hello,d=3.5e-4"`` into a dict."""
+    """Parse ``"a=1,b=[2,3],c=[[1,3],[5]],d=3.5e-4"`` into a dict."""
     out: Dict[str, Any] = {}
     pos = 0
     while pos < len(s):
-        m = _ASSIGN_RE.match(s, pos)
+        m = _NAME_RE.match(s, pos)
         if not m:
             raise ValueError(f"Could not parse hparam override at: {s[pos:]!r}")
-        name, raw = m.group("name"), m.group("value").strip()
-        if raw.startswith("["):
-            inner = raw[1:-1].strip()
-            out[name] = [] if not inner else [_parse_scalar(v) for v in inner.split(",")]
-        else:
-            out[name] = _parse_scalar(raw)
-        pos = m.end()
+        raw, pos = _scan_value(s, m.end())
+        out[m.group("name")] = _parse_value(raw)
+        # one optional separating comma (trailing comma is fine)
+        tail = s[pos:pos + 1]
+        if tail == ",":
+            pos += 1
+        elif tail not in ("", " ") and not s[pos:].isspace():
+            raise ValueError(
+                f"Expected ',' between hparam overrides at: {s[pos:]!r}")
     return out
 
 

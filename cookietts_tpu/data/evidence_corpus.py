@@ -24,17 +24,27 @@ import numpy as np
 
 SR = 22050
 CHARS = "abcdefgh"
-CHAR_S = 0.090          # seconds per letter tone
+CHAR_S = 0.090          # NOMINAL seconds per letter tone
+CHAR_S_MIN, CHAR_S_MAX = 0.060, 0.115   # per-char duration jitter range
 GAP_S = 0.060           # inter-word silence
 END_S = 0.200           # trailing silence -> gate target
 N_TRAIN, N_VAL = 96, 16
 
 
-def char_tone(c: str, rng: np.random.Generator) -> np.ndarray:
-    """90 ms harmonic tone unique to the letter; 5 ms fades, tiny noise."""
+def char_tone(c: str, rng: np.random.Generator,
+              dur_s: float = CHAR_S) -> np.ndarray:
+    """Harmonic tone unique to the letter; 5 ms fades, tiny noise.
+
+    ``dur_s`` jitters per char instance (see :func:`render`): with FIXED
+    durations every boundary sits at a predictable frame, so a model can
+    time transitions positionally without reading the text — measured in
+    round 5, fixed-duration corpora train to degenerate attention that
+    copies the previous frame (CER ~1.0) while scoring ~0.5 on the
+    length-gated weighted_score. Duration jitter (like real phone-length
+    variance) makes text the only source of WHEN the tone changes."""
     i = CHARS.index(c)
     f0 = 220.0 * (1575.0 / 220.0) ** (i / (len(CHARS) - 1))
-    t = np.arange(int(SR * CHAR_S)) / SR
+    t = np.arange(int(SR * dur_s)) / SR
     x = (0.50 * np.sin(2 * np.pi * f0 * t)
          + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
          + 0.12 * np.sin(2 * np.pi * 3 * f0 * t))
@@ -52,7 +62,8 @@ def render(text: str, rng: np.random.Generator) -> np.ndarray:
         if w:
             parts.append(np.zeros(int(SR * GAP_S), np.float32))
         for c in word:
-            parts.append(char_tone(c, rng))
+            dur = float(rng.uniform(CHAR_S_MIN, CHAR_S_MAX))
+            parts.append(char_tone(c, rng, dur))
     parts.append(np.zeros(int(SR * END_S), np.float32))
     return np.concatenate(parts)
 
@@ -70,7 +81,12 @@ def make_corpus(work: str, seed: int = 0):
                                     size=int(rng.integers(2, 5))))
                  for _ in range(n_words)]
         t = " ".join(words)
-        if len(t) <= 14 and t not in seen:
+        flat = t.replace(" ", "")
+        has_repeat = any(a == b for a, b in zip(flat, flat[1:]))
+        # adjacent repeats would fuse into ONE tone run under duration
+        # jitter (the decoder could no longer count letters by run
+        # length), so they are excluded from the text distribution
+        if len(t) <= 14 and t not in seen and not has_repeat:
             seen.add(t)
             texts.append(t)
     lines = []
@@ -120,12 +136,12 @@ def decode_tones(mel: np.ndarray, mel_len: int,
                  templates: np.ndarray | None = None,
                  min_run: int = 3) -> str:
     """[T, n_mel] log-mel -> recovered letter string: template-match each
-    frame to a letter (or silence), then emit round(run / frames_per_char)
-    copies per run — REPEATED letters ('aabb') form one long run, so run
-    LENGTH carries the count (every letter is exactly CHAR_S seconds)."""
+    frame to a letter (or silence), collapse each run of >= min_run
+    frames to ONE letter (the corpus excludes adjacent repeats, so a run
+    is always a single letter — run lengths vary with the per-char
+    duration jitter and with STFT-window smear across word gaps)."""
     if templates is None:
         templates = tone_templates()
-    frames_per_char = CHAR_S * SR / MEL_CFG["hop_length"]
     mel = np.asarray(mel, np.float32)[:int(mel_len)]
     labels = []
     for fr in mel:
@@ -140,8 +156,7 @@ def decode_tones(mel: np.ndarray, mel_len: int,
             run += 1
         else:
             if prev is not None and prev >= 0 and run >= min_run:
-                out.append(CHARS[prev]
-                           * max(1, round(run / frames_per_char)))
+                out.append(CHARS[prev])
             prev, run = lab, 1
     return "".join(out)
 

@@ -109,7 +109,9 @@ def make_tacotron2_train_step(model, mesh=None,
         total, loss_dict, file_losses = tacotron2_loss(
             out, gt, loss_weights,
             gate_positive_weight=gate_positive_weight,
-            guided_att_sigma=guided_att_sigma)
+            # live-config-schedulable (reference hparams guided_att sigma;
+            # a traced scalar so annealing it does not retrace)
+            guided_att_sigma=ctrl.get("guided_att_sigma", guided_att_sigma))
         return total, (loss_dict, file_losses, new_mut, new_carry)
 
     def step(state: TrainState, batch, key, ctrl, carry=None):
@@ -423,6 +425,7 @@ class Trainer:
         self.carry = None        # TBPTT decoder state carried across iters
         self._iter_time_ema = None   # smoothed s/iter (tracing subsystem)
         self._profiling = False
+        self._start_validated = False   # one-shot validate_at_start guard
 
     def resume(self, path: Optional[str] = None) -> int:
         """Full resume (params + optimizer + step) from ``path`` or the
@@ -463,6 +466,7 @@ class Trainer:
             "p_teacher_forcing": live.get("p_teacher_forcing", 1.0),
             "teacher_force_till": live.get("teacher_force_till", 20),
             "drop_frame_rate": live.get("drop_frame_rate", 0.0),
+            "guided_att_sigma": live.get("guided_att_sigma", 0.5),
         }
         weights = dict(DEFAULT_LOSS_SCALARS)
         weights.update(live.get("loss_scalars", {}))
@@ -492,6 +496,18 @@ class Trainer:
         self._maybe_profile(it)
         if it % 5 == 0:
             self.live.poll({"iteration": it})
+        if (it == 0 and not self._start_validated
+                and bool(self.live.get("validate_at_start", False))
+                and self.eval_step is not None and self.val_batches):
+            # opt-in step-0 validation: anchors learning curves at TRUE
+            # random init (the reference's first val fires only after
+            # validation_interval steps, train.py:774-797)
+            self._start_validated = True
+            self.validate(self.val_batches, iteration=0)
+            if self.inference_eval_step is not None:
+                self.validate(self.val_batches, iteration=0,
+                              step_fn=self.inference_eval_step,
+                              prefix="validation_inf")
         self.key, sub = jax.random.split(self.key)
         ctrl = self.ctrl(it)
         batch = dict(batch)           # never mutate the caller's dict

@@ -16,6 +16,18 @@ def test_parse_override_lists_and_quotes():
     assert d["t"] == 3.5e-4
 
 
+def test_parse_override_nested_lists():
+    # the reference HiFi-GAN configs carry nested dilation lists
+    # (config_v1.json resblock_dilation_sizes=[[1,3,5],[1,3,5],[1,3,5]])
+    d = parse_override_string(
+        "resblock_dilations=[[1,3,5],[1,3,5]],empty=[],deep=[[1,[2,3]],[4]]")
+    assert d["resblock_dilations"] == [[1, 3, 5], [1, 3, 5]]
+    assert d["empty"] == []
+    assert d["deep"] == [[1, [2, 3]], [4]]
+    with pytest.raises(ValueError):
+        parse_override_string("a=[[1,2],[3]")
+
+
 def test_hparams_roundtrip_and_types():
     hp = HParams(lr=1e-3, steps=100, name="taco", dims=[1, 2], flag=False)
     hp.parse("lr=5e-4,steps=200,flag=true,dims=[3,4,5]")

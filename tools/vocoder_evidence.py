@@ -35,8 +35,8 @@ WG_HPARAMS = (
     "sampling_rate=22050,filter_length=1024,hop_length=256,win_length=1024,"
     "n_mel_channels=32,mel_fmax=8000.0,segment_length=8192,"
     "n_flows=6,n_group=8,n_early_every=0,n_early_size=0,"
-    "n_layers=4,n_channels=64,upsample_strides=[16,16],"
-    "upsample_channels=64,"
+    "n_layers=4,n_channels=64,upsample_strides=[8,4],"
+    "upsample_channels=64,validate_at_start=true,"
     "validation_interval=50,checkpoint_interval=100000"
 )
 
@@ -46,7 +46,7 @@ HG_HPARAMS = (
     "n_mel_channels=32,mel_fmax=8000.0,segment_length=8192,"
     "upsample_rates=[8,8,2,2],upsample_kernel_sizes=[16,16,4,4],"
     "upsample_initial_channel=128,resblock_kernel_sizes=[3,7],"
-    "resblock_dilations=[[1,3,5],[1,3,5]],"
+    "resblock_dilations=[[1,3,5],[1,3,5]],validate_at_start=true,"
     "validation_interval=50,checkpoint_interval=100000"
 )
 
