@@ -68,14 +68,15 @@ def render(text: str, rng: np.random.Generator) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def make_corpus(work: str, seed: int = 0):
-    """Write N_TRAIN+N_VAL wavs + filelist_train/validation.txt under
+def make_corpus(work: str, seed: int = 0,
+                n_train: int = N_TRAIN, n_val: int = N_VAL):
+    """Write n_train+n_val wavs + filelist_train/validation.txt under
     ``work``; returns (train_filelist, val_filelist)."""
     from . import audio_io
     rng = np.random.default_rng(seed)
     os.makedirs(work, exist_ok=True)
     seen, texts = set(), []
-    while len(texts) < N_TRAIN + N_VAL:
+    while len(texts) < n_train + n_val:
         n_words = int(rng.integers(2, 4))
         words = ["".join(rng.choice(list(CHARS),
                                     size=int(rng.integers(2, 5))))
@@ -97,9 +98,9 @@ def make_corpus(work: str, seed: int = 0):
     train_fl = os.path.join(work, "filelist_train.txt")
     val_fl = os.path.join(work, "filelist_validation.txt")
     with open(train_fl, "w") as f:
-        f.write("\n".join(lines[:N_TRAIN]))
+        f.write("\n".join(lines[:n_train]))
     with open(val_fl, "w") as f:
-        f.write("\n".join(lines[N_TRAIN:]))
+        f.write("\n".join(lines[n_train:]))
     return train_fl, val_fl
 
 

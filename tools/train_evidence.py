@@ -29,15 +29,19 @@ Two findings from round 5 are baked into the recipe and criteria:
    corpus' letters are fixed harmonic stacks, so synthesized mels can be
    decoded back to text by template matching — rendering the right tones
    in the right order is impossible without reading the text.
-2. **drop_frame_rate is what forces the model off the copy channel.**
-   Within a letter the mel is nearly constant, so at full teacher forcing
-   the prenet input already reveals the current frame and attention gets
-   almost no gradient signal — trained with drop_frame_rate=0 this corpus
-   converges to the degenerate solution above. DFR (the reference's
-   flagship feature, _2_ttm/README.md:8-10, MOS 3.84→3.92) replaces a
-   random 30% of teacher frames with the dataset mean, which makes the
-   text the only reliable source of the current tone. The same recipe
-   with dfr=0.3 aligns; with dfr=0.0 it never does.
+2. **drop_frame_rate is what forces the model off the copy channel —
+   and on steady tones it must be dialed near 1.** Within a letter the
+   mel is constant, so the teacher-forced prenet input + LSTM carry
+   already reveal the current frame and attention gets almost no
+   gradient. DFR (the reference's flagship feature, _2_ttm/README.md:
+   8-10, MOS 3.84→3.92) replaces teacher frames with the dataset mean;
+   measured round 5 on this corpus: dfr 0.0 parks attention on one
+   token (CER 0.79 while "scoring" 0.59), dfr 0.3 and dfr 0.35 +
+   p_teacher_forcing 0.9 still babble (CER >= 0.88), dfr 0.9 makes the
+   attended text context the only reliable tone source and content
+   attention finally forms. Real speech needs only the reference's 0.3
+   because real frames have intra-phone dynamics the copy channel
+   cannot predict; the corpus' steady tones are the adversarial case.
 
 The LR/guided-attention schedule rides the trainer's live-config file
 (the reference's run_every_epoch.py mechanism): warmup → flat → decay,
@@ -92,7 +96,8 @@ DIMS = dict(
     encoder_lstm_dim=32, encoder_n_convolutions=2, torchmoji_dim=8,
     torchmoji_crushed_dim=4, memory_bottleneck_dim=64, prenet_dim=32,
     attention_rnn_dim=128, decoder_rnn_dim=128, second_decoder_rnn_dim=0,
-    attention_dim=32, windowed_attention_range=6, postnet_embedding_dim=32,
+    attention_dim=128, windowed_attention_range=6,
+    attention_learned_temperature=True, postnet_embedding_dim=32,
     postnet_n_convolutions=2, postnet_residual_connections=0,
 )
 
@@ -107,13 +112,23 @@ HPARAMS = (
     "curation_enable=False"
 )
 
+# 384 train / 16 held-out: big enough that memorizing utterances is a
+# WORSE loss minimizer than reading the text (at 96 the model can key
+# renders off incidental utterance identity)
+N_TRAIN_EVIDENCE = 384
+
 # the reference-style live config (run_every_epoch.py): LR warmup -> flat
-# -> exponential decay; drop-frame-rate AND partial teacher forcing keep
-# the decoder off the previous-frame copy channel (measured round 5:
-# at p_tf=1.0 the teacher-forced loss is minimizable through the LSTM
-# carry alone, so content attention never forms); a STRONG narrow guided
-# prior (weight 1.0, sigma 0.2) bootstraps the monotonic sweep, then
-# anneals away so it stops capping sharpness
+# -> exponential decay; drop_frame_rate + partial teacher forcing starve
+# the previous-frame copy channel (the corpus' letters are STEADY tones,
+# so at dfr=0/p_tf=1 the teacher-forced loss is minimizable through the
+# prenet input + LSTM carry alone and attention never carries content);
+# a STRONG narrow guided prior (weight 1.0, sigma 0.2) bootstraps the
+# monotonic sweep, then anneals away so it stops capping sharpness.
+# attention_dim=128 + the learned softmax temperature (DIMS) are what
+# let the content term SHARPEN once the sweep exists — measured round 5:
+# at attention_dim=32/fixed temperature every recipe (dfr 0..0.9) blurs
+# attention over +-3 tokens, the context is the same "average letter"
+# everywhere, and free-running CER stays >= 0.86
 LIVE_CONFIG = """\
 A_ = 1e-3
 warmup_start = 0
@@ -126,8 +141,8 @@ drop_frame_rate = 0.35
 p_teacher_forcing = 0.9
 guided_att_sigma = 0.2
 loss_scalars = {"diag_att_weight": (
-    1.0 if iteration < 1500
-    else max(0.0, 1.0 - (iteration - 1500) / 1300.0))}
+    1.0 if iteration < 1200
+    else max(0.0, 1.0 - (iteration - 1200) / 1200.0))}
 """
 
 
@@ -200,7 +215,7 @@ def free_running_cer(run_dir: str, val_fl: str, checkpoint: str = None,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=4000)
+    ap.add_argument("--iters", type=int, default=3500)
     ap.add_argument("--work", default="/tmp/train_evidence")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nfps", type=int, default=1,
@@ -228,7 +243,8 @@ def main():
         if args.work == "/tmp/train_evidence":
             args.work = f"/tmp/train_evidence_r{args.nfps}"
 
-    train_fl, val_fl = make_corpus(args.work, args.seed)
+    train_fl, val_fl = make_corpus(args.work, args.seed,
+                                   n_train=N_TRAIN_EVIDENCE)
     run_dir = os.path.join(args.work, "run")
     live_path = os.path.join(args.work, "run_every_epoch.py")
     with open(live_path, "w") as f:
@@ -317,7 +333,7 @@ def main():
         cli_cmd,
         "```",
         "",
-        f"- corpus: {N_TRAIN} train / {N_VAL} held-out utterances, "
+        f"- corpus: {N_TRAIN_EVIDENCE} train / {N_VAL} held-out utterances, "
         f"alphabet {CHARS!r}, 2-3 words of 2-4 letters",
         f"- wall clock: {wall / 60.0:.1f} min on 1 CPU core "
         f"({args.iters} iters, batch 16)",
