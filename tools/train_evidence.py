@@ -335,8 +335,10 @@ def main():
         "",
         f"- corpus: {N_TRAIN_EVIDENCE} train / {N_VAL} held-out utterances, "
         f"alphabet {CHARS!r}, 2-3 words of 2-4 letters",
-        f"- wall clock: {wall / 60.0:.1f} min on 1 CPU core "
-        f"({args.iters} iters, batch 16)",
+        (f"- report generated with --resume from an existing run "
+         f"(train wall clock not re-measured)" if args.resume else
+         f"- wall clock: {wall / 60.0:.1f} min "
+         f"({args.iters} iters, batch 16)"),
         f"- teacher-forced train loss: {t_loss0:.3f} -> {t_loss1:.3f}",
         "- recipe notes: drop_frame_rate=0.35 AND p_teacher_forcing=0.9 "
         "are ESSENTIAL on this corpus (letters are steady tones, so at "
