@@ -177,9 +177,17 @@ def free_running_cer(run_dir: str, val_fl: str, checkpoint: str = None,
     if checkpoint is None:
         from cookietts_tpu.runtime.checkpoint import Checkpointer
         checkpoint = Checkpointer(run_dir).latest()
-    tree, _ = load_checkpoint(checkpoint)
+    tree, meta = load_checkpoint(checkpoint)
+    # prefer the dims recorded in the checkpoint sidecar (lets this
+    # evaluate recipe probes whose dims differ from DIMS)
+    dims = dict(DIMS)
+    if meta and meta.get("model_config"):
+        dims.update({k: v for k, v in meta["model_config"].items()
+                     if k in Tacotron2Config.__dataclass_fields__})
+        for k in ("n_mel_channels", "n_frames_per_step", "n_symbols"):
+            dims.pop(k, None)
     cfg = Tacotron2Config(n_symbols=N_SYMBOLS, n_mel_channels=32,
-                          n_frames_per_step=nfps, **DIMS)
+                          n_frames_per_step=nfps, **dims)
     model = Tacotron2(cfg)
     variables = {"params": tree["params"], **tree.get("mutables", {})}
 
