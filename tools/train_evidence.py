@@ -109,7 +109,15 @@ HPARAMS = (
     "text_buckets=[24],mel_buckets=[144],max_segment_frames=144,"
     "validation_interval=100,checkpoint_interval=500,"
     "drop_frame_rate=0.35,p_teacher_forcing=0.9,teacher_force_till=0,"
-    "curation_enable=False"
+    "curation_enable=False,"
+    # the last piece of the recipe (round 5): at these tiny dims the
+    # reference-default train-time corruption (encoder conv dropout 0.5
+    # + decoder-RNN dropout 0.25, on TOP of dfr 0.35 + always-on prenet
+    # dropout + partial teacher forcing) leaves the decoder UNDERFIT —
+    # teacher-forced CER stalls at ~0.32 and renders blend adjacent
+    # letters. Dialing just these two to 0.1 drops free-running CER
+    # 0.86 -> ~0.1 with the same schedule
+    "encoder_conv_dropout=0.1,p_decrnn_dropout=0.1"
 )
 
 # 384 train / 16 held-out: big enough that memorizing utterances is a
@@ -267,7 +275,13 @@ def main():
 
     from cookietts_tpu import cli
     t0 = time.time()
-    cli.main(cmd)
+    try:
+        cli.main(cmd)
+    except SystemExit as e:
+        # --resume on an already-complete run: regenerate the report
+        # from the existing events/checkpoints instead of dying
+        if not (args.resume and "nothing to do" in str(e)):
+            raise
     wall = time.time() - t0
 
     train, val, inf = parse_curve(run_dir)
@@ -302,7 +316,8 @@ def main():
              + (" --tpu" if _USE_TPU else "")
              + (f" --nfps {args.nfps}" if args.nfps != 1 else ""))
     cli_cmd = "python -m cookietts_tpu " + " ".join(
-        (f'"{a}"' if " " in a or "," in a else a) for a in cmd)
+        (f'"{a}"' if " " in a or "," in a else a)
+        for a in cmd if a != "--resume")
 
     title = "# TRAIN_EVIDENCE — from-scratch alignment learning"
     if args.nfps != 1:
@@ -355,7 +370,12 @@ def main():
         "measured round 5: dfr=0 parks attention on one token, CER ~0.79; "
         "dfr=0.3 alone still babbles, CER ~0.93); a strong narrow guided "
         "prior (weight 1.0, sigma 0.2) bootstraps the monotonic sweep "
-        "and anneals away via the live config while the LR decays.",
+        "and anneals away via the live config while the LR decays; and "
+        "train-time corruption must be dialed DOWN at these tiny dims "
+        "(encoder conv dropout 0.5->0.1, decoder-RNN dropout 0.25->0.1 — "
+        "at the reference defaults the decoder underfits rendering: "
+        "teacher-forced CER stalls at ~0.32 and free-running CER >= 0.86 "
+        "with the identical schedule).",
         "",
         "Held-out FREE-RUNNING inference validation "
         "(`validation_inf` stream of events.jsonl):",
