@@ -84,8 +84,10 @@ def _emit(metric, value, unit, baseline, baseline_kind="reference_measured",
                         else round(float(value) / baseline, 4)),
         "baseline_kind": baseline_kind,
     }
-    rec.update({k: (round(float(v), 4) if isinstance(v, (int, float))
-                    else v) for k, v in extra.items()})
+    rec.update({k: (v if isinstance(v, bool)          # bool is an int —
+                    else round(float(v), 4)            # keep JSON true/false
+                    if isinstance(v, (int, float)) else v)
+                for k, v in extra.items()})
     _RESULTS.append(json.dumps(rec))
 
 
@@ -653,7 +655,8 @@ def bench_ttfa(on_tpu, dtype):
         v, text, text_lengths, speaker_id, key=k,
         max_decoder_steps=T_dec,
         method=Tacotron2.inference)["mel_outputs_postnet"])
-    full_voc = jax.jit(lambda m: gen.apply(gvars, m, infer=True))
+    full_voc = voc      # same jit wrapper; the full-mel shape compiles
+    #                     its own specialization either way
     _ = np.asarray(full_voc(full_infer(tvars, jax.random.PRNGKey(9))))
     t0 = time.perf_counter()
     _ = np.asarray(full_voc(full_infer(tvars, jax.random.PRNGKey(10))))

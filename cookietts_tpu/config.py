@@ -106,13 +106,18 @@ def parse_override_string(s: str) -> Dict[str, Any]:
             raise ValueError(f"Could not parse hparam override at: {s[pos:]!r}")
         raw, pos = _scan_value(s, m.end())
         out[m.group("name")] = _parse_value(raw)
-        # one optional separating comma (trailing comma is fine)
-        tail = s[pos:pos + 1]
-        if tail == ",":
+        # one optional separating comma, with whitespace allowed on
+        # either side (trailing comma / trailing whitespace are fine)
+        while pos < len(s) and s[pos] in " \t\n":
             pos += 1
-        elif tail not in ("", " ") and not s[pos:].isspace():
-            raise ValueError(
-                f"Expected ',' between hparam overrides at: {s[pos:]!r}")
+        if pos < len(s):
+            if s[pos] != ",":
+                raise ValueError(
+                    f"Expected ',' between hparam overrides at: "
+                    f"{s[pos:]!r}")
+            pos += 1
+            while pos < len(s) and s[pos] in " \t\n":
+                pos += 1
     return out
 
 

@@ -816,19 +816,25 @@ class Tacotron2(nn.Module):
                           speaker_id: jnp.ndarray,
                           torchmoji_hidden: Optional[jnp.ndarray] = None,
                           sylps: Optional[jnp.ndarray] = None):
-        """Encode once for chunked decode: (memory, initial DecoderCarry)."""
+        """Encode once for chunked decode: (memory, attention const,
+        initial DecoderCarry). The attention precompute (memory
+        projection + length mask) happens HERE, once per utterance like
+        the full scan — not per decode_chunk dispatch."""
         memory, _ = self._build_memory(
             text, text_lengths, speaker_id, sylps, torchmoji_hidden,
             None, True)
+        const = self.decoder.cell.attention.precompute(memory,
+                                                       text_lengths)
         carry = self.decoder.init_carry(
             memory.shape[0], memory.shape[1], memory.shape[-1],
             memory.dtype)
-        return memory, carry
+        return memory, const, carry
 
-    def decode_chunk(self, memory: jnp.ndarray, memory_lengths: jnp.ndarray,
+    def decode_chunk(self, memory: jnp.ndarray, const,
                      carry: DecoderCarry, keys: jnp.ndarray):
         """Free-running decode of ``keys.shape[0]`` steps from ``carry``.
 
+        ``const``: the attention precompute from :meth:`inference_prepare`.
         ``keys``: the per-step rng keys — slice a host-side
         ``jax.random.split(k_dec, S_total)`` so the chunked decode draws
         the SAME prenet-dropout randomness as the full scan (chunked mels
@@ -840,8 +846,6 @@ class Tacotron2(nn.Module):
         B = memory.shape[0]
         S = keys.shape[0]
         r = cfg.n_frames_per_step
-        const = self.decoder.cell.attention.precompute(memory,
-                                                       memory_lengths)
         xs = {
             "teacher_frame": jnp.zeros(
                 (S, B, cfg.n_mel_channels * r), memory.dtype),

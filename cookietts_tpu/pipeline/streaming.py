@@ -79,8 +79,8 @@ def make_streaming_fns(taco):
 
     prepare = jax.jit(lambda v, t, tl, s, tm, sy: taco.apply(
         v, t, tl, s, tm, sy, method=Tacotron2.inference_prepare))
-    step = jax.jit(lambda v, m, ml, c, k: taco.apply(
-        v, m, ml, c, k, method=Tacotron2.decode_chunk))
+    step = jax.jit(lambda v, m, c0, c, k: taco.apply(
+        v, m, c0, c, k, method=Tacotron2.decode_chunk))
     refine = jax.jit(lambda v, m: taco.apply(
         v, m, method=Tacotron2.postnet_refine))
     return prepare, step, refine
@@ -132,25 +132,33 @@ def streaming_tts(taco, variables, vocoder_fn, *, text, text_lengths,
         fns = make_streaming_fns(taco)
     prepare, step, refine = fns
 
-    memory, carry = prepare(variables, text, text_lengths, speaker_id,
-                            torchmoji_hidden, sylps)
+    memory, att_const, carry = prepare(variables, text, text_lengths,
+                                       speaker_id, torchmoji_hidden, sylps)
     B = int(text.shape[0])
 
     raw = np.zeros((B, 0, cfg.n_mel_channels), np.float32)
     gates = np.zeros((B, 0), np.float32)
     emitted = 0                      # frames of audio already yielded
     mel_len = None                   # known once every gate fires
+    max_frames = S_total * r         # what the full fixed-length scan emits
     done_decoding = False
     n_chunks = 0
     while not done_decoding:
         t0 = n_chunks * decode_chunk_steps
         mel_c, gate_c, _w, carry = step(
-            variables, memory, text_lengths, carry,
+            variables, memory, att_const, carry,
             keys[t0:t0 + decode_chunk_steps])
         n_chunks += 1
         raw = np.concatenate([raw, np.asarray(mel_c, np.float32)], axis=1)
         gates = np.concatenate(
             [gates, np.asarray(gate_c, np.float32)], axis=1)
+        if raw.shape[1] > max_frames:
+            # the last chunk may overshoot the step budget when S_total
+            # is not a multiple of decode_chunk_steps — the full scan
+            # never decodes those frames, so drop them before any
+            # gate/length logic sees them
+            raw = raw[:, :max_frames]
+            gates = gates[:, :max_frames]
         F = raw.shape[1]
         sig = 1.0 / (1.0 + np.exp(-gates))
         fired = (sig > gate_threshold).any(axis=1).all()
@@ -159,13 +167,13 @@ def streaming_tts(taco, variables, vocoder_fn, *, text, text_lengths,
                              for b in range(B)])
             mel_len = int(min(np.max(stop) + gate_delay, F))
         if (mel_len is not None and F >= mel_len + hp) \
-                or F >= S_total * r:
+                or F >= max_frames:
             done_decoding = True
             mel_len = mel_len if mel_len is not None else F
         # emit audio for frames whose postnet+vocoder halos are decoded
         # (everything, on the final chunk)
         safe = mel_len if done_decoding else F - hp - vocoder_halo
-        safe = min(safe, mel_len or F)
+        safe = min(safe, F if mel_len is None else mel_len)
         if safe <= emitted:
             continue
         # postnet window with halo, clamped to available frames

@@ -35,6 +35,7 @@ DEFAULT_LIVE_CONFIG: Dict[str, Any] = {
     "LossExplosionThreshold": 1e3,
     # regularization
     "drop_frame_rate": 0.25,
+    "guided_att_sigma": 0.5,
     "p_teacher_forcing": 1.0,
     "teacher_force_till": 20,
     "val_p_teacher_forcing": 0.8,
@@ -101,6 +102,7 @@ class LiveConfig:
         ns: Dict[str, Any] = {"iteration": 0, "epoch": 0}
         ns.update(context or {})
         ns.update({"math": math})
+        code = ""
         try:
             with open(self.path) as f:
                 code = f.read()
@@ -110,7 +112,11 @@ class LiveConfig:
                 print(f"[live_config] parse error in {self.path}: {e!r} "
                       f"— keeping previous values")
             self._mtime = mtime
-            self._dynamic = False        # stop re-exec'ing a broken file
+            # a schedule over the loop variables may raise only at one
+            # boundary iteration (e.g. a division that hits zero once);
+            # keep re-exec'ing it so a transient error cannot silently
+            # freeze the schedule for the rest of the run
+            self._dynamic = ("iteration" in code) or ("epoch" in code)
             return False
         self._mtime = mtime
         self._dynamic = ("iteration" in code) or ("epoch" in code)

@@ -47,3 +47,15 @@ def test_hparams_type_mismatch_raises():
     hp = HParams(a=1)
     with pytest.raises(TypeError):
         hp.set_hparam("a", "not_an_int")
+
+
+def test_parse_override_whitespace_around_commas():
+    # round-5 review regression: whitespace between a list/quoted value
+    # and the following comma must parse (the reference PARAM_RE grammar
+    # tolerates it, utils_hparam.py:32-40)
+    d = parse_override_string("a=[1,2] ,b=3")
+    assert d == {"a": [1, 2], "b": 3}
+    d = parse_override_string('a="x" , b=3, c=[4 , 5] ')
+    assert d == {"a": "x", "b": 3, "c": [4, 5]}
+    with pytest.raises(ValueError):
+        parse_override_string("a=[1,2] b=3")   # still needs the comma

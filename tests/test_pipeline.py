@@ -646,3 +646,21 @@ def test_streaming_tts_end_to_end_matches_full_pipeline():
     streamed = np.concatenate([p for _, p in pieces], axis=1)
     assert streamed.shape == full_audio.shape
     np.testing.assert_allclose(streamed, full_audio, atol=1e-5)
+
+    # regression (round-5 review): when max_decoder_steps is NOT a
+    # multiple of decode_chunk_steps the last chunk overshoots the step
+    # budget — the stream must DROP the overshoot frames the full scan
+    # never decodes, not emit extra audio
+    full90 = taco.apply(tvars, text, text_lengths, speaker_id, key=key,
+                        max_decoder_steps=90, method=Tacotron2.inference)
+    full90_audio = np.asarray(voc(full90["mel_outputs_postnet"]),
+                              np.float32)
+    pieces90 = list(streaming_tts(
+        taco, tvars, voc, text=text, text_lengths=text_lengths,
+        speaker_id=speaker_id, key=key, max_decoder_steps=90,
+        decode_chunk_steps=24, vocoder_halo=24, hop_length=32,
+        gate_threshold=2.0, gate_delay=4))
+    streamed90 = np.concatenate([p for _, p in pieces90], axis=1)
+    assert streamed90.shape == full90_audio.shape, (
+        "stream emitted frames beyond the decoder-step budget")
+    np.testing.assert_allclose(streamed90, full90_audio, atol=1e-5)

@@ -179,14 +179,18 @@ def test_live_config_iteration_schedule_stays_live(tmp_path):
     assert lc.poll({"iteration": 300})
     assert lc["A_"] == 3e-4
     assert not lc.poll({"iteration": 400})
-    # a broken DYNAMIC file stops re-exec'ing (no per-poll error spam)
-    # and keeps the previous good values
+    # a broken DYNAMIC file keeps the previous good values but STAYS
+    # dynamic (round-5 review: a schedule raising transiently at one
+    # iteration must not silently freeze for the rest of the run; the
+    # error prints once per file version, not per poll)
     with open(p, "w") as f:
         f.write("A_ = iteration +\n")
     os.utime(p, (os.path.getmtime(p) + 10, os.path.getmtime(p) + 10))
     assert not lc.poll({"iteration": 500})
     assert lc["A_"] == 3e-4
-    assert not lc._dynamic
+    assert lc._dynamic
+    assert not lc.poll({"iteration": 600})   # still broken, values kept
+    assert lc["A_"] == 3e-4
 
 
 def test_plateau_min_lr_floors_effective_lr():
@@ -589,3 +593,34 @@ def test_gan_resume_migrates_weightnorm_msd(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(state.d.params[0]["scale1"])[0]),
         np.asarray(jax.tree_util.tree_leaves(old_msd["scale1"])[0]))
+
+
+# -- live config (round-5 review regressions) ----------------------------------
+
+def test_live_config_guided_att_sigma_is_honored(tmp_path):
+    """The overlay must carry guided_att_sigma (it silently dropped keys
+    absent from DEFAULT_LIVE_CONFIG — the evidence recipe believed it was
+    scheduling sigma while training ran the default)."""
+    from cookietts_tpu.runtime.live_config import LiveConfig
+
+    p = tmp_path / "live.py"
+    p.write_text("guided_att_sigma = 0.3\ndrop_frame_rate = 0.1\n")
+    live = LiveConfig(str(p))
+    assert live.get("guided_att_sigma") == 0.3
+    assert live.get("drop_frame_rate") == 0.1
+
+
+def test_live_config_transient_error_keeps_dynamic_schedule(tmp_path):
+    """A schedule over `iteration` that raises at ONE iteration must keep
+    re-exec'ing afterwards (a transient error used to permanently freeze
+    the schedule by clearing the dynamic flag)."""
+    from cookietts_tpu.runtime.live_config import LiveConfig
+
+    p = tmp_path / "live.py"
+    p.write_text("A_ = 1.0 / (2 - iteration)\n")
+    live = LiveConfig(str(p))          # iteration=0 -> A_=0.5
+    assert live.get("A_") == 0.5
+    assert not live.poll({"iteration": 2})   # raises ZeroDivisionError
+    assert live.get("A_") == 0.5             # previous good value kept
+    assert live.poll({"iteration": 4})       # MUST still be re-exec'd
+    assert live.get("A_") == 1.0 / (2 - 4)

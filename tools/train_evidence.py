@@ -130,7 +130,7 @@ N_TRAIN_EVIDENCE = 384
 # the previous-frame copy channel (the corpus' letters are STEADY tones,
 # so at dfr=0/p_tf=1 the teacher-forced loss is minimizable through the
 # prenet input + LSTM carry alone and attention never carries content);
-# a STRONG narrow guided prior (weight 1.0, sigma 0.2) bootstraps the
+# a STRONG guided prior (weight 1.0, sigma 0.5) bootstraps the
 # monotonic sweep, then anneals away so it stops capping sharpness.
 # attention_dim=128 + the learned softmax temperature (DIMS) are what
 # let the content term SHARPEN once the sweep exists — measured round 5:
@@ -147,7 +147,12 @@ B_ = 1000.0
 C_ = 3e-5
 drop_frame_rate = 0.35
 p_teacher_forcing = 0.9
-guided_att_sigma = 0.2
+# NOTE round 5: earlier recipe drafts wrote 0.2 here, but the live-config
+# overlay silently DROPPED keys absent from its defaults (bug found in the
+# round-5 review and fixed in runtime/live_config.py) — every measured run,
+# including the committed TRAIN_EVIDENCE.md one, actually trained at the
+# 0.5 default. 0.5 is therefore the honest, reproducing value.
+guided_att_sigma = 0.5
 loss_scalars = {"diag_att_weight": (
     1.0 if iteration < 1200
     else max(0.0, 1.0 - (iteration - 1200) / 1200.0))}
@@ -369,7 +374,7 @@ def main():
         "frame through the LSTM carry and attention never learns — "
         "measured round 5: dfr=0 parks attention on one token, CER ~0.79; "
         "dfr=0.3 alone still babbles, CER ~0.93); a strong narrow guided "
-        "prior (weight 1.0, sigma 0.2) bootstraps the monotonic sweep "
+        "prior (weight 1.0, sigma 0.5) bootstraps the monotonic sweep "
         "and anneals away via the live config while the LR decays; and "
         "train-time corruption must be dialed DOWN at these tiny dims "
         "(encoder conv dropout 0.5->0.1, decoder-RNN dropout 0.25->0.1 — "
