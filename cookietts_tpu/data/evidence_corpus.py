@@ -23,6 +23,7 @@ import os
 import numpy as np
 
 SR = 22050
+HOP = 256               # mel hop of the evidence recipe (MEL_CFG below)
 CHARS = "abcdefgh"
 CHAR_S = 0.090          # NOMINAL seconds per letter tone
 CHAR_S_MIN, CHAR_S_MAX = 0.060, 0.115   # per-char duration jitter range
@@ -32,7 +33,7 @@ N_TRAIN, N_VAL = 96, 16
 
 
 def char_tone(c: str, rng: np.random.Generator,
-              dur_s: float = CHAR_S) -> np.ndarray:
+              dur_s: float = CHAR_S, n_samples: int = 0) -> np.ndarray:
     """Harmonic tone unique to the letter; 5 ms fades, tiny noise.
 
     ``dur_s`` jitters per char instance (see :func:`render`): with FIXED
@@ -41,10 +42,15 @@ def char_tone(c: str, rng: np.random.Generator,
     round 5, fixed-duration corpora train to degenerate attention that
     copies the previous frame (CER ~1.0) while scoring ~0.5 on the
     length-gated weighted_score. Duration jitter (like real phone-length
-    variance) makes text the only source of WHEN the tone changes."""
+    variance) makes text the only source of WHEN the tone changes.
+
+    ``n_samples`` (when nonzero) pins the length exactly — used by the
+    frame-quantized corpus so boundaries land on exact frame multiples
+    (``int(SR * dur_s)`` stays for the default path so the committed
+    r=1 corpus remains bit-identical)."""
     i = CHARS.index(c)
     f0 = 220.0 * (1575.0 / 220.0) ** (i / (len(CHARS) - 1))
-    t = np.arange(int(SR * dur_s)) / SR
+    t = np.arange(n_samples if n_samples else int(SR * dur_s)) / SR
     x = (0.50 * np.sin(2 * np.pi * f0 * t)
          + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
          + 0.12 * np.sin(2 * np.pi * 3 * f0 * t))
@@ -56,22 +62,52 @@ def char_tone(c: str, rng: np.random.Generator,
             ).astype(np.float32)
 
 
-def render(text: str, rng: np.random.Generator) -> np.ndarray:
+def render(text: str, rng: np.random.Generator,
+           frame_multiple: int = 0) -> np.ndarray:
+    """Render ``text`` to audio with per-char duration jitter.
+
+    ``frame_multiple`` (= the decoder's ``n_frames_per_step`` r, when
+    > 0) quantizes every duration to whole r-frame DECODER GROUPS:
+    letters last 2 or 3 groups (drawn per instance — duration stays
+    jittered, so text remains the only source of WHEN a tone changes),
+    word gaps 2 groups, trailing silence 5 groups, all exact multiples
+    of ``r * HOP`` samples. Rationale (measured, round 5): an r-step
+    decoder commits to r frames per attention read, so a boundary whose
+    phase WITHIN a group is uniform-random (the unquantized corpus) is
+    irreducibly unpredictable — teacher-forced CER floors at ~0.73 at
+    r=4 no matter the recipe. That entropy is an artifact of the hard
+    0 ms tone switches, not of the r=4 decode path (real speech
+    co-articulates through boundaries); quantizing to group multiples
+    removes only the unlearnable phase while keeping the alignment task
+    (2-vs-3-group durations are per-instance random) fully intact."""
     parts = []
+    fm_samples = frame_multiple * HOP
     for w, word in enumerate(text.split(" ")):
         if w:
-            parts.append(np.zeros(int(SR * GAP_S), np.float32))
+            parts.append(np.zeros(
+                2 * fm_samples if frame_multiple else int(SR * GAP_S),
+                np.float32))
         for c in word:
-            dur = float(rng.uniform(CHAR_S_MIN, CHAR_S_MAX))
-            parts.append(char_tone(c, rng, dur))
-    parts.append(np.zeros(int(SR * END_S), np.float32))
+            if frame_multiple:
+                groups = int(rng.integers(2, 4))     # 2 or 3 groups
+                parts.append(char_tone(c, rng,
+                                       n_samples=groups * fm_samples))
+            else:
+                dur = float(rng.uniform(CHAR_S_MIN, CHAR_S_MAX))
+                parts.append(char_tone(c, rng, dur))
+    parts.append(np.zeros(
+        5 * fm_samples if frame_multiple else int(SR * END_S), np.float32))
     return np.concatenate(parts)
 
 
 def make_corpus(work: str, seed: int = 0,
-                n_train: int = N_TRAIN, n_val: int = N_VAL):
+                n_train: int = N_TRAIN, n_val: int = N_VAL,
+                frame_multiple: int = 0):
     """Write n_train+n_val wavs + filelist_train/validation.txt under
-    ``work``; returns (train_filelist, val_filelist)."""
+    ``work``; returns (train_filelist, val_filelist).
+
+    ``frame_multiple``: see :func:`render` — group-quantized durations
+    for n_frames_per_step > 1 evidence runs."""
     from . import audio_io
     rng = np.random.default_rng(seed)
     os.makedirs(work, exist_ok=True)
@@ -93,7 +129,7 @@ def make_corpus(work: str, seed: int = 0,
     lines = []
     for i, t in enumerate(texts):
         p = os.path.join(work, f"u{i:03d}.wav")
-        audio_io.save_wav(p, render(t, rng), SR)
+        audio_io.save_wav(p, render(t, rng, frame_multiple), SR)
         lines.append(f"{p}|{t}|0")
     train_fl = os.path.join(work, "filelist_train.txt")
     val_fl = os.path.join(work, "filelist_validation.txt")

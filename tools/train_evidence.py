@@ -175,7 +175,7 @@ def parse_curve(run_dir: str):
 
 
 def free_running_cer(run_dir: str, val_fl: str, checkpoint: str = None,
-                     nfps: int = 1):
+                     nfps: int = 1, mel_bucket: int = 144):
     """Synthesize every held-out utterance free-running from the latest
     checkpoint and decode the tones back to text. Returns
     (mean CER, gt sanity CER, [(text, decoded)])."""
@@ -207,7 +207,7 @@ def free_running_cer(run_dir: str, val_fl: str, checkpoint: str = None,
     dcfg = DataConfig(sampling_rate=SR, filter_length=1024, hop_length=256,
                       win_length=1024, n_mel_channels=32, mel_fmax=8000.0,
                       trim_enable=False, text_buckets=[24],
-                      mel_buckets=[144])
+                      mel_buckets=[mel_bucket])
     entries = load_filelist(val_fl)
     ds = TTSDataset(entries, dcfg,
                     features=("text", "mel", "speaker_id", "sylps", "gate"))
@@ -259,13 +259,26 @@ def main():
             REPO, "TRAIN_EVIDENCE.md" if args.nfps == 1
             else f"TRAIN_EVIDENCE_R{args.nfps}.md")
     hparams = HPARAMS
+    mel_bucket = 144
     if args.nfps != 1:
-        hparams += f",n_frames_per_step={args.nfps}"
+        # group-quantized durations run 2-3 r-frame groups per letter
+        # (up to 12 letters x 12 frames + gaps + tail), so the single
+        # fixed mel bucket grows; must stay divisible by r
+        mel_bucket = 192
+        hparams += (f",n_frames_per_step={args.nfps}"
+                    f",mel_buckets=[{mel_bucket}]"
+                    f",max_segment_frames={mel_bucket}")
         if args.work == "/tmp/train_evidence":
             args.work = f"/tmp/train_evidence_r{args.nfps}"
 
-    train_fl, val_fl = make_corpus(args.work, args.seed,
-                                   n_train=N_TRAIN_EVIDENCE)
+    train_fl, val_fl = make_corpus(
+        args.work, args.seed, n_train=N_TRAIN_EVIDENCE,
+        # r > 1: quantize every duration to whole decoder groups — the
+        # boundary phase WITHIN a group is irreducible entropy no
+        # decoder can predict (see evidence_corpus.render docstring);
+        # durations stay jittered in GROUP COUNTS so the alignment task
+        # is intact and the corpus stays ungameable
+        frame_multiple=args.nfps if args.nfps != 1 else 0)
     run_dir = os.path.join(args.work, "run")
     live_path = os.path.join(args.work, "run_every_epoch.py")
     with open(live_path, "w") as f:
@@ -305,7 +318,8 @@ def main():
     t_loss0 = train[0]["loss"]
     t_loss1 = np.mean([r["loss"] for r in train[-20:]])
 
-    cer, gt_cer, pairs = free_running_cer(run_dir, val_fl, nfps=args.nfps)
+    cer, gt_cer, pairs = free_running_cer(run_dir, val_fl, nfps=args.nfps,
+                                          mel_bucket=mel_bucket)
 
     ok = (first["inf_weighted_score"] < 0.40
           and peak["inf_weighted_score"] > 0.60
@@ -331,10 +345,21 @@ def main():
     lines = [
         title,
         "",
-    ] + ([f"Same corpus/recipe/criteria as TRAIN_EVIDENCE.md but decoding "
+    ] + ([f"Same recipe/criteria as TRAIN_EVIDENCE.md but decoding "
           f"{args.nfps} mel frames per decoder step — the novel surface "
           "behind the r=4 interactive-serving headline (the reference "
-          "only declares n_frames_per_step, hparams.py:209).", ""]
+          "only declares n_frames_per_step, hparams.py:209). The corpus' "
+          "duration jitter is quantized to whole decoder groups "
+          f"(letters last 2 or 3 random {args.nfps}-frame groups): an "
+          "r-step decoder commits to r frames per attention read, so a "
+          "boundary whose phase WITHIN a group is uniform-random is "
+          "irreducible entropy — measured, teacher-forced CER floors at "
+          "~0.73 at r=4 on the unquantized corpus no matter the recipe. "
+          "That entropy is an artifact of the corpus' hard 0 ms tone "
+          "switches (real speech co-articulates through boundaries); "
+          "group quantization removes only the unlearnable phase while "
+          "keeping WHEN each tone changes knowable solely from the text "
+          "(evidence_corpus.render docstring).", ""]
          if args.nfps != 1 else []) + [
         "Proof that the framework *learns* (not merely *equals* converted",
         "checkpoints): Tacotron2 trained from random init by the standard",
